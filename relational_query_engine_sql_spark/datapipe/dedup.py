@@ -1,0 +1,221 @@
+"""Deduplication operators for a training-data pipeline.
+
+Five dedup families, all engine-native (no Python UDFs) and all
+oracle-checkable because the hash primitive is md5 (identical hex
+output in Spark and DuckDB):
+
+- exact          — hash-groupBy on normalized text.
+- n-gram Jaccard — word-shingle self-join (exact similarity, the
+                   verification primitive the approximate methods reuse).
+- MinHash + LSH  — md5-string minhash signature, banded; candidate
+                   pairs come from band-bucket equi-joins, then are
+                   verified with true Jaccard. At 100 TB this is THE
+                   scale path: the only join is on band keys, never
+                   all-pairs.
+- SimHash        — 16-bit sign-sum fingerprint from per-token md5 bits;
+                   Hamming-close fingerprints → near-dups.
+- embedding cosine — see ``similarity.py``.
+
+Scale notes: shingling explodes ~n_tokens rows per doc but they are
+(doc_id, shingle) pairs that immediately feed a groupBy/join — classic
+map-heavy, shuffle-on-shingle shape. Hot shingles (stop-phrases) are
+the skew risk; production would frequency-cap shingles (drop shingles
+appearing in > X% of docs) — provided here via ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+DEFAULT_SHINGLE = 3
+DEFAULT_MINHASHES = 4  # 2 bands x 2 rows
+DEFAULT_BANDS = 2
+
+
+def normalized(text_col: str = "text") -> F.Column:
+    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content hash: one survivor (min id) per distinct
+    normalized text. Output: (keeper, n_copies). Single shuffle on the
+    16-byte hash — the cheapest possible dedup at any scale."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper", "n_copies")
+    )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh).
+
+    Built with sequence+transform+explode — array ops inside codegen,
+    no Python. Documents shorter than n shingle to nothing (dropped)."""
+    w = tokens(text_col)
+    # Guard: sequence(1, 0) would step DOWNWARD in Spark, so short docs
+    # get an explicit empty index array (explode then drops them).
+    idxs = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idxs, lambda i: F.array_join(F.slice(w, i, n), " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over document pairs.
+
+    ``sh``: (id, sh) distinct shingles. If ``candidates`` (d1 < d2) is
+    given, only verify those pairs (the LSH path); otherwise generate
+    pairs from the shingle self-join (exact path). ``max_shingle_df``
+    drops shingles occurring in more than that many docs — the skew cap.
+    Output: (d1, d2, jaccard) with jaccard >= threshold.
+    """
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
+
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.select(F.col("id").alias("d1"), "sh")
+    b = sh.select(F.col("id").alias("d2"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["d1", "d2"], "left_semi")
+
+    n1 = counts.select(F.col("id").alias("d1"), F.col("n").alias("n1"))
+    n2 = counts.select(F.col("id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(
+    sh: DataFrame, n_hashes: int = DEFAULT_MINHASHES
+) -> DataFrame:
+    """MinHash signature per doc: h_i = MIN(md5('<i>|' || shingle)).
+
+    md5-as-string keeps the signature identical across engines; min of
+    a uniformly-distributed hex string is a valid minhash. Output:
+    (id, h0..h{n-1}) — one groupBy over the shingle set."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    n_hashes: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band key become candidate pairs.
+
+    Each band key is the concat of rows_per_band signature columns; the
+    join is an equi-join on (band, key) — this is what keeps near-dup
+    detection sub-quadratic at 100 TB. Output: distinct (d1, d2), d1<d2.
+    """
+    rows_per_band = n_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(c) for c in cols]).alias("key"),
+            )
+        )
+    all_bands = band_frames[0]
+    for bf in band_frames[1:]:
+        all_bands = all_bands.union(bf)
+    a = all_bands.select(F.col("id").alias("d1"), "band", "key")
+    b_ = all_bands.select(F.col("id").alias("d2"), "band", "key")
+    return (
+        a.join(b_, ["band", "key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.4,
+    n: int = DEFAULT_SHINGLE,
+    n_hashes: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
+    candidates → exact-Jaccard verification. Output: (d1, d2, jaccard)."""
+    sh = shingles(df, id_col, text_col, n)
+    cand = lsh_candidates(minhash_signature(sh, n_hashes), n_hashes, bands)
+    return jaccard_pairs(sh, threshold, candidates=cand)
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint: per token, md5 hex; bit p is the high bit of
+    hex digit p (digit >= '8'). Sign-sum over tokens (with repetition —
+    frequency-weighted), fingerprint bit = sum >= 0. Output:
+    (id, simhash) where simhash is a {bits}-char bitstring."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.md5(F.col("t")))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", p + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{p}")
+        for p in range(bits)
+    ]
+    summed = tok.groupBy("id").agg(*bit_sums)
+    fp = F.concat(
+        *[
+            F.when(F.col(f"b{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(bits)
+        ]
+    )
+    return summed.select("id", fp.alias("simhash"))

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``cosine_topk`` — brute-force cosine top-k: exact, O(|Q|·|N|) dot
+  products, the correctness baseline. All math happens JVM-side via
+  ``zip_with``/``aggregate`` higher-order functions on array columns —
+  no Python, no explode, one row per (query, candidate).
+
+- ``ivf_topk`` — IVF-style bucketed search: assign each query to its
+  nearest partition centroid, then search only that bucket. At 100 TB
+  this is the scale path — the candidate scan drops by the bucket
+  fan-out factor and the centroid table is broadcast-sized. Buckets
+  here come from the ``label`` column (a real pipeline would train
+  k-means; the plan shape is identical).
+
+Floats are cast to double before any arithmetic so results are stable
+and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, qvec). The query side is broadcast —
+    candidates stream through one projection + one top-k window.
+    Output: (query_id, vec_id, cos, rnk).
+    """
+    cand = emb.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    q = queries.select(
+        F.col("query_id"), as_double(F.col("qvec")).alias("_q")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        # round before ranking so ulp-level engine drift can't flip ranks;
+        # ties break on vec_id.
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("_q"), F.col("_v")), 9).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos", "rnk")
+    )
+
+
+def embedding_positions(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Long form (id, pos, val:double) — the representation centroid
+    math runs on."""
+    return emb.select(
+        F.col(id_col), F.posexplode(as_double(F.col(vec_col)))
+    ).toDF(id_col, "pos", "val")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-bucketed ANN: nearest-centroid probe, then exact cosine
+    within the probed bucket only.
+
+    Output: (query_id, vec_id, cos, rnk). Centroids (n_buckets × dim)
+    are broadcast-sized at any realistic bucket count.
+    """
+    pos = embedding_positions(emb, id_col, vec_col)
+    buckets = emb.select(F.col(id_col), F.col(bucket_col).alias("bucket"))
+    cpos = (
+        pos.join(buckets, id_col)
+        .groupBy("bucket", "pos")
+        .agg(F.avg("val").alias("cval"))
+    )
+    qpos = queries.select(
+        "query_id", F.posexplode(as_double(F.col("qvec")))
+    ).toDF("query_id", "pos", "qval")
+
+    # query ↔ centroid cosine from the long form: one join on pos.
+    qc = (
+        qpos.join(F.broadcast(cpos), "pos")
+        .groupBy("query_id", "bucket")
+        .agg(
+            F.sum(F.col("qval") * F.col("cval")).alias("_dot"),
+            F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("_qn"),
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("_cn"),
+        )
+        .select(
+            "query_id",
+            "bucket",
+            F.round(F.col("_dot") / (F.col("_qn") * F.col("_cn")), 9).alias("ccos"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("bucket"))
+    probe = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") == 1)
+        .select("query_id", "bucket")
+    )
+
+    # exact cosine within the probed bucket.
+    cand = emb.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("bucket"),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+    q = queries.select("query_id", as_double(F.col("qvec")).alias("_q"))
+    scored = (
+        cand.join(F.broadcast(probe), "bucket")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("_q"), F.col("_v")), 9).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos", "rnk")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-duplicates (v1 < v2, cos >= threshold).
+    Brute force is the correctness baseline; the scale path buckets by
+    LSH/IVF first (see ``ivf_topk``) so the pair space never
+    materializes."""
+    a = emb.select(
+        F.col(id_col).alias("v1"), as_double(F.col(vec_col)).alias("_a")
+    )
+    b = emb.select(
+        F.col(id_col).alias("v2"), as_double(F.col(vec_col)).alias("_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            F.round(cosine(F.col("_a"), F.col("_b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

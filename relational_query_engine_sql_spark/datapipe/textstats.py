@@ -1,0 +1,95 @@
+"""Text analysis operators for a training-data pipeline.
+
+Everything is built-in-function Spark (split/regexp/aggregate) — no
+Python UDFs in the hot path, so the plan stays in whole-stage codegen
+and scales linearly with document count. Each operator has an exact
+DuckDB-SQL equivalent (the query modules carry the oracle strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "y", "es", "en", "un"],
+    "fr": ["le", "la", "de", "et", "est", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "in", "ein"],
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-ish proxy: count word pieces + digit runs + punctuation marks
+    via a regex split — a cheap deterministic stand-in for a real
+    tokenizer's token count."""
+    return F.size(
+        F.filter(
+            F.split(F.col(text_col), r"([^A-Za-z0-9]+)"),
+            lambda x: x != F.lit(""),
+        )
+    )
+
+
+def stopword_hits(text_col: str, words: list[str]) -> Column:
+    """How many tokens are in the given stopword list."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(arr, t)))
+
+
+def quality_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality panel: char/token counts, mean token length,
+    alpha ratio, stopword ratio (en). The reference has no text ops —
+    this is the §7 beyond-reference surface."""
+    n_tok = token_count(text_col)
+    n_char = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    sw = stopword_hits(text_col, STOPWORDS["en"])
+    return df.select(
+        F.col(id_col),
+        n_char.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.round(n_char.cast("double") / n_tok, 6).alias("chars_per_token"),
+        F.round(alpha_chars.cast("double") / n_char, 6).alias("alpha_ratio"),
+        F.round(sw.cast("double") / n_tok, 6).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language-ID heuristic: score each language by
+    stopword hits, pick the argmax (ties → 'und'). Deterministic and
+    SQL-expressible; a real pipeline would swap in a trained model via
+    pandas_udf without changing the plan shape."""
+    scores = {lang: stopword_hits(text_col, ws) for lang, ws in STOPWORDS.items()}
+    # argmax via chained when(): >= all others (and > 0) wins.
+    langs = list(STOPWORDS)
+    expr = F.lit("und")
+    # Build from lowest to highest priority so earlier langs win ties
+    # deterministically (en > es > fr > de order of preference).
+    for lang in reversed(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = scores[lang] > F.lit(0)
+        for o in others:
+            cond = cond & (scores[lang] >= o)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.select(F.col(id_col), expr.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of
+    whitespace-normalized, lowercased text (first 16 hex chars)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+    )

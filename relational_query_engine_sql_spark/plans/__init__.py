@@ -1,0 +1,18 @@
+"""Named-query registry.
+
+Importing this package registers every query module. ``queries()`` /
+``oracle_sql()`` in ``__spark_entry__.py`` read from here.
+"""
+
+from .registry import all_oracles, all_queries, get, query
+
+# Import for registration side effects — each module registers its
+# SURVEY.md §2 operator family.
+from . import queries_core  # noqa: E402,F401
+from . import queries_joins  # noqa: E402,F401
+from . import queries_window_stats  # noqa: E402,F401
+from . import queries_forecast  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
+from . import queries_similarity  # noqa: E402,F401
+
+__all__ = ["all_oracles", "all_queries", "get", "query"]

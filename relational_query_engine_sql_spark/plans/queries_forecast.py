@@ -1,0 +1,108 @@
+"""Regression forecast queries (SURVEY.md §2.10 U1/U4, §2.8 E10) —
+GET /api/portfolio/predict/:symbol re-expressed as one DataFrame plan
+(reference: src/routes/portfolio.js:491-558)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.forecast import classify_trend, forecast_horizon, linear_fit
+from ..operators.returns import daily_close_panel
+from ..sources import load_table
+from .registry import query
+
+# Oracle CTEs: daily close panel on events → last-50 window → 0-based
+# index → regr_slope/regr_intercept (DuckDB's closed-form OLS).
+_FIT_CTE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, AVG(value) AS close
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    recent AS (
+        SELECT event_type, d, close,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC) AS rdesc
+        FROM daily
+    ),
+    indexed AS (
+        SELECT event_type, d, close,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d ASC) - 1
+                    AS DOUBLE) AS x
+        FROM recent
+        WHERE rdesc <= 50
+    ),
+    fit AS (
+        SELECT event_type,
+               REGR_SLOPE(close, x)     AS slope,
+               REGR_INTERCEPT(close, x) AS intercept,
+               COUNT(*)                 AS n_obs,
+               MAX(d)                   AS last_t
+        FROM indexed
+        GROUP BY event_type
+        HAVING COUNT(*) >= 5
+    )
+"""
+
+
+def _fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    panel = daily_close_panel(ev, key="event_type", ts_col="ts", value_col="value")
+    return linear_fit(panel, key="event_type", time_col="d", value_col="close")
+
+
+# --------------------------------------------------------------------------
+# U1 + U4 — per-key OLS fit + trend classification by slope sign.
+# --------------------------------------------------------------------------
+@query(
+    "u1_linreg_fit",
+    survey="U1,U4",
+    oracle=_FIT_CTE
+    + """
+    SELECT event_type,
+           ROUND(slope, 6)     AS slope,
+           ROUND(intercept, 6) AS intercept,
+           n_obs,
+           CASE WHEN slope > 0 THEN 'upward'
+                WHEN slope < 0 THEN 'downward'
+                ELSE 'stable' END AS trend
+    FROM fit
+    """,
+)
+def u1_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fit = _fit(spark, sf_dir)
+    return fit.select(
+        "event_type",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        "n_obs",
+        classify_trend().alias("trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E10 — 30-day forecast rows via sequence()+explode date stepping
+# (the reference's JS day-stepping loop, portfolio.js:526-542).
+# --------------------------------------------------------------------------
+@query(
+    "e10_forecast_horizon",
+    survey="E10,U1",
+    oracle=_FIT_CTE
+    + """
+    SELECT f.event_type,
+           s.step,
+           CAST(f.last_t + s.step * INTERVAL 1 DAY AS DATE) AS forecast_day,
+           ROUND(f.intercept + f.slope * (f.n_obs - 1 + s.step), 6) AS predicted
+    FROM fit f
+    CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 30)) AS step) s
+    """,
+)
+def e10_forecast_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fit = _fit(spark, sf_dir)
+    fc = forecast_horizon(fit, key="event_type")
+    return fc.select(
+        "event_type",
+        "step",
+        "forecast_day",
+        F.round("predicted", 6).alias("predicted"),
+    )

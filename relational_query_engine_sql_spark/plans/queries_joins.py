@@ -1,0 +1,316 @@
+"""Join operators (SURVEY.md §2.3): equi / OR-join rewrite / triangular
+self-join / semi / anti / fact-bridge / as-of latest-per-key.
+
+Scale notes baked into each plan:
+- dimension sides are broadcast (no shuffle of the fact table for J1/J6);
+- the J2 OR-join is rewritten as a union of two equi-joins — an OR join
+  condition would force a broadcast-nested-loop join, which is quadratic
+  at 100 TB;
+- J7 (as-of) replaces the reference's N+1 per-key loop
+  (src/routes/portfolio.js:289-302 et al.) with one window + one join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators.asof import latest_per_key
+from ..sources import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# J1 — inner equi-joins fact→dims (stocklist⋈users etc.,
+# src/routes/lists.js:24-36). Dims broadcast; single shuffle on the
+# group key only.
+# --------------------------------------------------------------------------
+@query(
+    "j1_join_dims",
+    survey="J1,A1",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def j1_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 — join with disjunctive ON (undirected friend-edge resolution,
+# src/routes/users.js:68-75). An OR join forces BNLJ in Spark, so we
+# rewrite as a UNION of two equi-joins + DISTINCT — each leg hash-joins.
+# --------------------------------------------------------------------------
+@query(
+    "j2_or_join_union",
+    survey="J2",
+    oracle="""
+    SELECT DISTINCT c.c_custkey, s.s_suppkey
+    FROM customer c
+    JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey OR c.c_custkey = s.s_suppkey
+    """,
+)
+def j2_or_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    leg1 = c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey).select(
+        "c_custkey", "s_suppkey"
+    )
+    leg2 = c.join(F.broadcast(s), c.c_custkey == s.s_suppkey).select(
+        "c_custkey", "s_suppkey"
+    )
+    return leg1.union(leg2).distinct()
+
+
+# --------------------------------------------------------------------------
+# J4 — self-join with triangular (theta) component: equi key in the ON
+# clause, `<=` as a post-filter so Catalyst keeps the hash join
+# (upper-triangle correlation pairs, src/routes/portfolio.js:464-473).
+# --------------------------------------------------------------------------
+@query(
+    "j4_triangular_selfjoin",
+    survey="J4",
+    oracle="""
+    SELECT s1.s_nationkey AS nationkey,
+           s1.s_suppkey AS supp1, s2.s_suppkey AS supp2
+    FROM supplier s1
+    JOIN supplier s2
+      ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+    """,
+)
+def j4_triangular_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    s1 = s.alias("s1")
+    s2 = s.alias("s2")
+    return (
+        s1.join(s2, F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+        .filter(F.col("s1.s_suppkey") < F.col("s2.s_suppkey"))
+        .select(
+            F.col("s1.s_nationkey").alias("nationkey"),
+            F.col("s1.s_suppkey").alias("supp1"),
+            F.col("s2.s_suppkey").alias("supp2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — semi-join via EXISTS (shared-with existence,
+# src/routes/lists.js:168-194) → left_semi: no row duplication, the
+# probe side never materializes.
+# --------------------------------------------------------------------------
+@query(
+    "j5_semijoin_exists",
+    survey="J5",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def j5_semijoin_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# J8 — anti-join (validation probes whose empty result gates an insert,
+# src/routes/users.js:318-350) → left_anti.
+# --------------------------------------------------------------------------
+@query(
+    "j8_antijoin",
+    survey="J8",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def j8_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# J6 — fact ⋈ bridge (Holdings⋈Stocks, src/routes/portfolio.js:459-462):
+# lineitem ⋈ orders, revenue by order priority.
+# --------------------------------------------------------------------------
+@query(
+    "j6_fact_bridge",
+    survey="J6",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j6_fact_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — as-of / latest-per-key. The reference runs one query per key
+# (`ORDER BY timestamp DESC LIMIT 1` in a loop —
+# src/routes/portfolio.js:289-302, src/routes/holdings.js:46-65,
+# src/routes/trading.js:22-35). Set-based rewrite: row_number over
+# (PARTITION BY key ORDER BY time DESC) = 1, then one equi-join.
+# One shuffle on the key instead of N round-trips.
+# --------------------------------------------------------------------------
+@query(
+    "j7_asof_latest",
+    survey="J7,W3",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, t.o_orderkey AS last_orderkey,
+           t.o_orderdate AS last_orderdate, t.o_totalprice AS last_totalprice
+    FROM customer c
+    JOIN (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) t ON t.o_custkey = c.c_custkey AND t.rn = 1
+    """,
+)
+def j7_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    last = latest_per_key(
+        o, keys=["o_custkey"], order_col="o_orderdate", tiebreak="o_orderkey"
+    )
+    return c.join(last, c.c_custkey == last.o_custkey).select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 + A7 — portfolio market value: latest price per key, then
+# sum over a grouping (the reference accumulates close*shares in a JS
+# loop across N+1 queries, src/routes/portfolio.js:288-303).
+# --------------------------------------------------------------------------
+@query(
+    "j7_a7_market_value",
+    survey="J7,A7",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(t.o_totalprice), 2) AS segment_value
+    FROM customer c
+    JOIN (
+        SELECT o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) t ON t.o_custkey = c.c_custkey AND t.rn = 1
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j7_a7_market_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    last = latest_per_key(
+        o, keys=["o_custkey"], order_col="o_orderdate", tiebreak="o_orderkey"
+    )
+    return (
+        c.join(last, c.c_custkey == last.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W3 — ranked top-n per group (generalization of the latest-per-key
+# window, SURVEY.md §2.5 W3).
+# --------------------------------------------------------------------------
+@query(
+    "w3_topn_per_group",
+    survey="W3,O2",
+    oracle="""
+    SELECT nationkey, c_custkey, c_acctbal, rnk
+    FROM (
+        SELECT c_nationkey AS nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey
+               ) AS rnk
+        FROM customer
+    ) t
+    WHERE rnk <= 3
+    """,
+)
+def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "c_custkey",
+            "c_acctbal",
+            "rnk",
+        )
+    )

@@ -1,0 +1,152 @@
+"""Similarity-search queries over the embeddings table
+(beyond-reference, SURVEY.md §7): brute-force cosine top-k, IVF-bucketed
+ANN, and embedding-cosine near-dup pairs.
+
+Query vectors: vec_id < 5 (deterministic). All float arrays are cast to
+double before arithmetic in BOTH engines; cosines are rounded to 9
+decimals BEFORE ranking so ulp-level drift cannot flip a rank, with
+vec_id as the tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datapipe.similarity import cosine_topk, embedding_near_dups, ivf_topk
+from ..sources import load_table
+from .registry import query
+
+N_QUERIES = 5
+NEAR_DUP_THRESHOLD = 0.95
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k — the exact baseline.
+# --------------------------------------------------------------------------
+@query(
+    "ann_bruteforce_topk",
+    survey="beyond:ann-bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+                     9) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, vec_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _queries_df(emb), k=10)
+
+
+# --------------------------------------------------------------------------
+# IVF-bucketed ANN — nearest-centroid probe, search one bucket.
+# --------------------------------------------------------------------------
+@query(
+    "ann_ivf_topk",
+    survey="beyond:ann-ivf",
+    oracle=f"""
+    WITH pos1 AS (
+        SELECT vec_id, label, embedding,
+               UNNEST(generate_series(1, LEN(embedding))) AS pos
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+        FROM pos1
+    ),
+    cent AS (
+        SELECT label AS bucket, pos, AVG(val) AS cval
+        FROM vals GROUP BY label, pos
+    ),
+    qv AS (
+        SELECT vec_id AS query_id, pos, val AS qval
+        FROM vals WHERE vec_id < {N_QUERIES}
+    ),
+    qc AS (
+        SELECT q.query_id, c.bucket,
+               ROUND(SUM(q.qval * c.cval)
+                     / (SQRT(SUM(q.qval * q.qval)) * SQRT(SUM(c.cval * c.cval))),
+                     9) AS ccos
+        FROM qv q JOIN cent c ON q.pos = c.pos
+        GROUP BY q.query_id, c.bucket
+    ),
+    probe AS (
+        SELECT query_id, bucket FROM (
+            SELECT query_id, bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY ccos DESC, bucket
+                   ) AS r
+            FROM qc
+        ) t WHERE r = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT p.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+                     9) AS cos
+        FROM probe p
+        JOIN embeddings e ON e.label = p.bucket
+        JOIN q ON q.query_id = p.query_id
+        WHERE e.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos, rnk FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, vec_id
+               ) AS rnk
+        FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _queries_df(emb), k=5)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    survey="beyond:dedup-embedding",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=NEAR_DUP_THRESHOLD).select(
+        F.col("v1"), F.col("v2"), F.col("cos")
+    )

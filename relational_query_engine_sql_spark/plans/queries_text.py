@@ -1,0 +1,299 @@
+"""Text-analysis + deduplication queries on the documents table
+(beyond-reference, SURVEY.md §7) plus the reference's ledger string
+round-trip (E9, src/routes/trading.js:105 / transaction.js:37-38).
+
+The oracle SQL mirrors the Spark plan exactly; md5 is the shared hash
+primitive (identical hex in both engines). DuckDB regexes need the 'g'
+flag where Spark's regexp_replace is global by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datapipe.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signature,
+    shingles,
+    simhash,
+)
+from ..datapipe.textstats import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_metrics,
+)
+from ..sources import load_table
+from .registry import query
+
+JACCARD_THRESHOLD = 0.4
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+# --------------------------------------------------------------------------
+# E9 — ledger string build + regexp_extract round-trip.
+# --------------------------------------------------------------------------
+@query(
+    "e9_ledger_regex",
+    survey="E9",
+    oracle="""
+    SELECT o_orderkey,
+           detail,
+           regexp_extract(detail, 'priority ([0-9])', 1) AS priority_num
+    FROM (
+        SELECT o_orderkey,
+               'Order ' || CAST(o_orderkey AS VARCHAR)
+                        || ' at priority ' || o_orderpriority AS detail
+        FROM orders
+    ) t
+    """,
+)
+def e9_ledger_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    detail = F.concat(
+        F.lit("Order "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" at priority "),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        detail.alias("detail"),
+    ).select(
+        "o_orderkey",
+        "detail",
+        F.regexp_extract("detail", r"priority ([0-9])", 1).alias("priority_num"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text quality metrics panel.
+# --------------------------------------------------------------------------
+@query(
+    "text_quality_metrics",
+    survey="beyond:text-quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_m,
+           LEN(w)       AS n_tokens,
+           ROUND(LENGTH(text) * 1.0 / LEN(w), 6) AS chars_per_token,
+           ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                 / LENGTH(text), 6) AS alpha_ratio,
+           ROUND(LEN(list_filter(w, x -> list_contains({_sw_list('en')}, x)))
+                 * 1.0 / LEN(w), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_metrics(docs)
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (stopword vote).
+# --------------------------------------------------------------------------
+def _lang_case_sql() -> str:
+    langs = list(STOPWORDS)
+    score = {
+        lang: f"LEN(list_filter(w, x -> list_contains({_sw_list(lang)}, x)))"
+        for lang in langs
+    }
+    whens = []
+    for lang in langs:
+        conds = [f"{score[lang]} > 0"] + [
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+@query(
+    "text_lang_id",
+    survey="beyond:lang-id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id, {_lang_case_sql()} AS lang_pred
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint (md5 of normalized text).
+# --------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    survey="beyond:fingerprint",
+    oracle="""
+    SELECT doc_id,
+           SUBSTR(md5(LOWER(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
+                  1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+# --------------------------------------------------------------------------
+# Exact dedup by content hash.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    survey="beyond:dedup-exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM (
+        SELECT doc_id,
+               md5(LOWER(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    ) t
+    GROUP BY h
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+# Shared oracle CTE: distinct 3-gram word shingles per doc.
+_SHINGLE_CTE = """
+    WITH words AS (
+        SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    idx AS (
+        SELECT id, w, UNNEST(generate_series(1, LEN(w) - 2)) AS i
+        FROM words
+    ),
+    sh AS (
+        SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS sh
+        FROM idx
+    ),
+    counts AS (
+        SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+    )
+"""
+
+_JACCARD_TAIL = f"""
+    , common AS (
+        SELECT a.id AS d1, b.id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT d1, d2,
+           ROUND(c * 1.0 / (n1.n + n2.n - c), 6) AS jaccard
+    FROM common
+    JOIN counts n1 ON common.d1 = n1.id
+    JOIN counts n2 ON common.d2 = n2.id
+    WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    survey="beyond:dedup-jaccard",
+    oracle=_SHINGLE_CTE + _JACCARD_TAIL,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    pairs = jaccard_pairs(sh, JACCARD_THRESHOLD)
+    return pairs.select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs (banded candidates, exact verification).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash_lsh",
+    survey="beyond:dedup-minhash-lsh",
+    oracle=_SHINGLE_CTE
+    + f"""
+    , sig AS (
+        SELECT id,
+               MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+               MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, h0 || h1 AS key FROM sig
+        UNION ALL
+        SELECT id, 1 AS band, h2 || h3 AS key FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS d1, b.id AS d2
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    common AS (
+        SELECT a.id AS d1, b.id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT common.d1, common.d2,
+           ROUND(c * 1.0 / (n1.n + n2.n - c), 6) AS jaccard
+    FROM common
+    JOIN cand ON common.d1 = cand.d1 AND common.d2 = cand.d2
+    JOIN counts n1 ON common.d1 = n1.id
+    JOIN counts n2 ON common.d2 = n2.id
+    WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    cand = lsh_candidates(minhash_signature(sh))
+    pairs = jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=cand)
+    return pairs.select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints.
+# --------------------------------------------------------------------------
+def _simhash_sql(bits: int = 16) -> str:
+    cases = ", ".join(
+        f"CASE WHEN SUM(CASE WHEN SUBSTR(md5(t), {p + 1}, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+        for p in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS id,
+               UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    )
+    SELECT id, CONCAT({cases}) AS simhash
+    FROM tok GROUP BY id
+    """
+
+
+@query("dedup_simhash", survey="beyond:dedup-simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)

@@ -1,0 +1,224 @@
+"""Window returns + statistical aggregates (SURVEY.md §2.5 W1-W3,
+§2.4 A2-A5) — the analytical heart of the reference
+(GET /api/portfolio/:id/statistics, src/routes/portfolio.js:319-482).
+
+The events table plays the role of the Stocks OHLCV fact:
+event_type ≈ symbol, daily AVG(value) ≈ close. Every query here derives
+from ONE shared returns panel — where the reference runs 2 queries per
+holding (N+1) plus a matrix query, we run one window + k aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.returns import daily_close_panel, returns_panel
+from ..operators.statistics import (
+    beta_vs_market,
+    coefficient_of_variation,
+    correlation_matrix,
+    market_returns,
+)
+from ..sources import load_table
+from .registry import query
+
+# Shared oracle CTE: daily close panel + LAG returns on events.
+_RETURNS_CTE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, AVG(value) AS close
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    rets AS (
+        SELECT event_type, d,
+               (close - LAG(close) OVER (PARTITION BY event_type ORDER BY d))
+               / LAG(close) OVER (PARTITION BY event_type ORDER BY d) AS r
+        FROM daily
+    ),
+    rnn AS (
+        SELECT event_type, d, r FROM rets WHERE r IS NOT NULL
+    )
+"""
+
+
+def _returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    panel = daily_close_panel(ev, key="event_type", ts_col="ts", value_col="value")
+    return returns_panel(panel, key="event_type")
+
+
+# --------------------------------------------------------------------------
+# W2 + F7 — partitioned LAG return panel with NULL-first-row filter
+# (src/routes/portfolio.js:396-400 + the IS NOT NULL filters).
+# --------------------------------------------------------------------------
+@query(
+    "w2_returns_panel",
+    survey="W2,F7,E5,A3",
+    oracle=_RETURNS_CTE
+    + "SELECT event_type, d, ROUND(r, 6) AS r FROM rnn",
+)
+def w2_returns_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _returns(spark, sf_dir)
+    return r.select("event_type", "d", F.round("r", 6).alias("r"))
+
+
+# --------------------------------------------------------------------------
+# W1 — unpartitioned LAG over a single-key slice
+# (src/routes/portfolio.js:367-372).
+# --------------------------------------------------------------------------
+@query(
+    "w1_single_series_returns",
+    survey="W1,F7",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, AVG(value) AS close
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    rets AS (
+        SELECT d, (close - LAG(close) OVER (ORDER BY d))
+                  / LAG(close) OVER (ORDER BY d) AS r
+        FROM daily
+    )
+    SELECT d, ROUND(r, 6) AS r FROM rets WHERE r IS NOT NULL
+    """,
+)
+def w1_single_series_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    panel = daily_close_panel(ev, key="event_type", ts_col="ts", value_col="value")
+    # Single-key slice → the reference's unpartitioned form is safe here;
+    # we still compute it per-key then drop the key column.
+    r = returns_panel(panel, key="event_type")
+    return r.select("d", F.round("r", 6).alias("r"))
+
+
+# --------------------------------------------------------------------------
+# A2 — coefficient of variation STDDEV(r)/AVG(r) per key
+# (the reference's "COV", src/routes/portfolio.js:366-378;
+# Postgres STDDEV = sample stddev → stddev_samp).
+# --------------------------------------------------------------------------
+@query(
+    "a2_coefficient_of_variation",
+    survey="A2,E6",
+    oracle=_RETURNS_CTE
+    + """
+    SELECT event_type, ROUND(STDDEV_SAMP(r) / AVG(r), 6) AS cov
+    FROM rnn
+    GROUP BY event_type
+    """,
+)
+def a2_coefficient_of_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _returns(spark, sf_dir)
+    return coefficient_of_variation(r, key="event_type").select(
+        "event_type", F.round("cov", 6).alias("cov")
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — equal-weight market return per day (src/routes/portfolio.js:402-407).
+# --------------------------------------------------------------------------
+@query(
+    "a3_market_returns",
+    survey="A3",
+    oracle=_RETURNS_CTE
+    + """
+    SELECT d, ROUND(AVG(r), 6) AS mr
+    FROM rnn
+    GROUP BY d
+    """,
+)
+def a3_market_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _returns(spark, sf_dir)
+    return market_returns(r).select("d", F.round("mr", 6).alias("mr"))
+
+
+# --------------------------------------------------------------------------
+# A4 — beta = COVAR_POP(r, mr)/VAR_POP(mr) per key vs the equal-weight
+# market (src/routes/portfolio.js:386-417).
+# --------------------------------------------------------------------------
+@query(
+    "a4_beta",
+    survey="A4,J3,E6",
+    oracle=_RETURNS_CTE
+    + """
+    , mkt AS (
+        SELECT d, AVG(r) AS mr FROM rnn GROUP BY d
+    )
+    SELECT rnn.event_type,
+           ROUND(COVAR_POP(rnn.r, mkt.mr) / VAR_POP(mkt.mr), 6) AS beta
+    FROM rnn JOIN mkt ON rnn.d = mkt.d
+    GROUP BY rnn.event_type
+    """,
+)
+def a4_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _returns(spark, sf_dir)
+    return beta_vs_market(r, key="event_type").select(
+        "event_type", F.round("beta", 6).alias("beta")
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 + A5 — upper-triangle correlation matrix: self-join the returns
+# panel on day with s1 <= s2, then corr/covar_pop per pair
+# (src/routes/portfolio.js:450-475).
+# --------------------------------------------------------------------------
+@query(
+    "a5_correlation_matrix",
+    survey="A5,J4",
+    oracle=_RETURNS_CTE
+    + """
+    SELECT r1.event_type AS s1, r2.event_type AS s2,
+           ROUND(CORR(r1.r, r2.r), 6)      AS correlation,
+           ROUND(COVAR_POP(r1.r, r2.r), 6) AS covariance
+    FROM rnn r1
+    JOIN rnn r2 ON r1.d = r2.d AND r1.event_type <= r2.event_type
+    GROUP BY r1.event_type, r2.event_type
+    """,
+)
+def a5_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _returns(spark, sf_dir)
+    m = correlation_matrix(r, key="event_type")
+    return m.select(
+        "s1",
+        "s2",
+        F.round("correlation", 6).alias("correlation"),
+        F.round("covariance", 6).alias("covariance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §3.1 flagship bundle — COV + beta in ONE pass over the shared persisted
+# returns panel (replaces the reference's 2-queries-per-holding N+1 loop
+# and its statistics_cache round trips, portfolio.js:319-482).
+# --------------------------------------------------------------------------
+@query(
+    "stats_bundle_cov_beta",
+    survey="A2,A4,W2,J3",
+    oracle=_RETURNS_CTE
+    + """
+    , mkt AS (SELECT d, AVG(r) AS mr FROM rnn GROUP BY d),
+    cov_t AS (
+        SELECT event_type, STDDEV_SAMP(r) / AVG(r) AS cov
+        FROM rnn GROUP BY event_type
+    ),
+    beta_t AS (
+        SELECT rnn.event_type,
+               COVAR_POP(rnn.r, mkt.mr) / VAR_POP(mkt.mr) AS beta
+        FROM rnn JOIN mkt ON rnn.d = mkt.d
+        GROUP BY rnn.event_type
+    )
+    SELECT c.event_type, ROUND(c.cov, 6) AS cov, ROUND(b.beta, 6) AS beta
+    FROM cov_t c JOIN beta_t b ON c.event_type = b.event_type
+    """,
+)
+def stats_bundle_cov_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _returns(spark, sf_dir).persist()
+    cov = coefficient_of_variation(r, key="event_type")
+    beta = beta_vs_market(r, key="event_type")
+    return cov.join(beta, on="event_type").select(
+        "event_type",
+        F.round("cov", 6).alias("cov"),
+        F.round("beta", 6).alias("beta"),
+    )

@@ -1,0 +1,69 @@
+"""Registry of named queries with their DuckDB oracle SQL.
+
+Every SURVEY.md §2 operator gets a named entry: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the
+equivalent ANSI SQL the driver runs through DuckDB on the same parquet
+tables. Column names are aliased identically on both sides — the
+driver's comparator sorts columns by name before value-hashing.
+
+Float policy: aggregate/derived double columns are rounded to a fixed
+number of decimals on BOTH sides (Spark ``F.round`` / SQL ``ROUND``) so
+summation-order differences between engines (~1 ulp) can't flip the
+value hash. Raw passthrough columns are never rounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → driver records rows-only check
+    survey: str  # SURVEY.md §2 operator ids, e.g. "A1" or "J7,A7"
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    survey: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = RegisteredQuery(
+            name=name, fn=fn, oracle=oracle, survey=survey, tags=tuple(tags)
+        )
+        return fn
+
+    return deco
+
+
+def get(name: str) -> RegisteredQuery:
+    return _REGISTRY[name]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {n: q.fn for n, q in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
+
+
+def registry() -> dict[str, RegisteredQuery]:
+    return dict(_REGISTRY)

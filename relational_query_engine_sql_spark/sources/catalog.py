@@ -1,0 +1,50 @@
+"""Table catalog: load the driver's parquet tables.
+
+The reference has no file readers — data arrives row-at-a-time over
+REST (``/root/reference/src/routes/stocks.js:126-155``). Our engine's
+canonical source is columnar parquet: pushdown + pruning come free.
+A CSV ingest path for OHLCV (the reference's implied ``SP500History.csv``
+bulk source, ``.gitignore:5``) lives in ``csv_ingest.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import DRIVER_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Parquet scans get predicate pushdown,
+    column pruning, and min/max row-group skipping from Catalyst — the
+    Spark analogs of the reference's b-tree indexes (SURVEY.md §4).
+
+    The events table carries TIMESTAMP(NANOS) which Spark rejects;
+    we read nanos as long and truncate to microseconds (identical to
+    DuckDB's ns→µs cast — values are post-1970 so floor == trunc).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or DRIVER_TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register every driver table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

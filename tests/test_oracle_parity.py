@@ -1,0 +1,133 @@
+"""Differential test: every registered query vs its DuckDB oracle.
+
+Mimics the driver's correctness gate (CORRECTNESS_r{N}.json): run the
+Spark query and the oracle SQL on the same parquet tables, then compare
+row count, column names, and values (order-insensitive; floats at
+tolerance, everything else exact).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from relational_query_engine_sql_spark import plans
+from relational_query_engine_sql_spark.schemas import DRIVER_TABLES
+
+REL_TOL = 1e-6
+ABS_TOL = 1e-9
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Coerce every column to a canonical comparable dtype:
+    float64 for floats/decimals, int64 for any integer width,
+    datetime64[us] for temporals (incl. python date objects), str
+    otherwise. Then sort rows by all columns."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    import datetime as _dt
+    import decimal as _decimal
+
+    for c in df.columns:
+        kind = df[c].dtype.kind
+        if kind == "f":
+            df[c] = df[c].astype("float64")
+        elif kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif kind == "M":
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            sample = df[c].dropna()
+            first = sample.iloc[0] if len(sample) else None
+            if isinstance(first, (_dt.date, _dt.datetime)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            elif isinstance(first, _decimal.Decimal):
+                df[c] = df[c].astype("float64")
+            elif isinstance(first, (int,)):
+                df[c] = df[c].astype("int64")
+            elif isinstance(first, float):
+                df[c] = df[c].astype("float64")
+            elif not isinstance(first, str) and first is not None:
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} "
+        f"vs {sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    s = _normalize(spark_pdf)
+    o = _normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            sv = sv.astype(float)
+            ov = ov.astype(float)
+            mism = []
+            for i, (a, b) in enumerate(zip(sv, ov)):
+                a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+                b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+                if a_nan and b_nan:
+                    continue
+                if a_nan != b_nan or not math.isclose(
+                    a, b, rel_tol=REL_TOL, abs_tol=ABS_TOL
+                ):
+                    mism.append((i, a, b))
+            if mism:
+                i, a, b = mism[0]
+                raise AssertionError(
+                    f"{name}.{c}: {len(mism)} float mismatches; first at "
+                    f"sorted-row {i}: {a} vs {b}"
+                )
+        else:
+            sa = sv.astype(str)
+            oa = ov.astype(str)
+            if not sa.equals(oa):
+                bad = sa[sa != oa]
+                idx = bad.index[0]
+                raise AssertionError(
+                    f"{name}.{c}: {len(bad)} mismatches; first at sorted-row "
+                    f"{idx}: {sa.loc[idx]!r} vs {oa.loc[idx]!r}"
+                )
+
+
+_ORACLES = plans.all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(spark, sf_oracle, name):
+    q = plans.get(name)
+    spark_pdf = q.fn(spark, sf_oracle).toPandas()
+    con = _duck(sf_oracle)
+    oracle_pdf = con.sql(q.oracle).df()
+    con.close()
+    _compare(spark_pdf, oracle_pdf, name)
+
+
+def test_all_queries_have_entries():
+    qs = plans.all_queries()
+    assert len(qs) >= 25, f"expected a broad catalog, got {len(qs)}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
