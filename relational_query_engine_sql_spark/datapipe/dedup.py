@@ -106,6 +106,13 @@ def jaccard_pairs(
 
     a = sh.select(F.col("id").alias("d1"), "sh")
     b = sh.select(F.col("id").alias("d2"), "sh")
+    if candidates is not None:
+        # LSH path: restrict BOTH shingle sides to docs that appear in a
+        # candidate pair before the self-join — the intersection is only
+        # computed for the (tiny) candidate set, never all-pairs. This is
+        # what keeps verification sub-quadratic at scale.
+        a = a.join(candidates.select("d1").distinct(), "d1", "left_semi")
+        b = b.join(candidates.select("d2").distinct(), "d2", "left_semi")
     common = (
         a.join(b, "sh")
         .filter(F.col("d1") < F.col("d2"))

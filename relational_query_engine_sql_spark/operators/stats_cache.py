@@ -1,0 +1,67 @@
+"""Statistics-cache probe-or-compute wrapper (SURVEY.md §4).
+
+The reference memoizes COV/beta per (portfolio, start, end, symbol) in
+a ``statistics_cache`` table: read-before-compute, upsert on recompute
+(/root/reference/sql/schema.sql:101-110,
+src/routes/portfolio.js:329-346,427-445). That behavior is
+reference-observable, so we keep it: a keyed parquet table probed
+before computing, upserted after.
+
+Within a single Spark session ``.persist()`` on the shared returns
+panel already removes recomputation; this wrapper is the
+*cross-session* analog.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import DOMAIN_KEYS, DOMAIN_SCHEMAS
+from .mutation import ParquetTable
+
+
+def statistics_cache_table(spark: SparkSession, path: str) -> ParquetTable:
+    return ParquetTable(
+        spark,
+        path,
+        DOMAIN_SCHEMAS["statistics_cache"],
+        keys=DOMAIN_KEYS["statistics_cache"],
+    )
+
+
+def cached_portfolio_statistics(
+    cache: ParquetTable,
+    portfolio_id: int,
+    start_date: str,
+    end_date: str,
+    compute: Callable[[], DataFrame],
+) -> DataFrame:
+    """Probe the cache for (portfolio_id, start, end); on miss, run
+    ``compute()`` (must return (symbol, cov, beta)), upsert the result,
+    and return it. On hit, return cached rows without computing —
+    mirroring portfolio.js:329-346.
+    """
+    probe = cache.read().filter(
+        (F.col("portfolio_id") == portfolio_id)
+        & (F.col("start_date") == F.lit(start_date).cast("date"))
+        & (F.col("end_date") == F.lit(end_date).cast("date"))
+    )
+    hit = probe.limit(1).count() > 0
+    if hit:
+        return probe.select("symbol", "cov", "beta")
+
+    result = compute()
+    rows = result.select(
+        F.lit(portfolio_id).cast("int").alias("portfolio_id"),
+        F.lit(start_date).cast("date").alias("start_date"),
+        F.lit(end_date).cast("date").alias("end_date"),
+        F.col("symbol"),
+        F.col("cov").cast("double"),
+        F.col("beta").cast("double"),
+        F.current_timestamp().alias("updated_at"),
+    )
+    cache.upsert(rows)
+    return result.select("symbol", "cov", "beta")

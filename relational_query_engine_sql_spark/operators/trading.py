@@ -1,0 +1,151 @@
+"""Trade application with weighted-average cost basis (SURVEY.md §2.10
+U2, §2.4 A8).
+
+Reference semantics (/root/reference/src/routes/trading.js):
+- BUY (:81-97): existing holding → newAvg = (avg·shares + price·n)
+  / (shares + n), shares += n; no holding → insert at avg = price.
+- SELL (:185-200): shares -= n, avg unchanged; shares hitting 0
+  deletes the holding; selling more than held is rejected (:174-183).
+- Every trade writes a signed ledger row with the detail string format
+  the UI regex-parses back (:105,215).
+
+The reference runs check→update→update→insert WITHOUT a transaction
+(SURVEY.md §3 flags the gap). Here a whole trade batch is applied as
+ONE atomic recompute: holdings, cash, and ledger all derive from the
+same input DataFrames and swap in together.
+
+The per-position fold is inherently sequential in trade order, so it
+runs as a grouped-map Pandas UDF (``applyInPandas``) — one group per
+(portfolio, symbol) position, Arrow-batched, parallel across
+positions. At 100 TB of trades this shuffles once on the position key;
+group size is bounded by trades-per-position, not table size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+TRADE_COLUMNS = ["portfolioid", "symbol", "side", "shares", "price", "ts"]
+
+_FOLD_SCHEMA = (
+    "portfolioid int, symbol string, shares int, avgprice double, rejected int"
+)
+
+
+def _fold_position(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential fold of one (portfolio, symbol) position.
+
+    Input rows: the existing holding (kind=0, at most one) plus trades
+    (kind=1) — sorted here by (kind, ts) so the holding seeds the state.
+    """
+    pdf = pdf.sort_values(["kind", "ts", "rowid"]).reset_index(drop=True)
+    shares = 0
+    avg = 0.0
+    rejected = 0
+    pid = int(pdf["portfolioid"].iloc[0])
+    sym = pdf["symbol"].iloc[0]
+    for row in pdf.itertuples(index=False):
+        if row.kind == 0:
+            shares = int(row.shares)
+            avg = float(row.price)
+            continue
+        n = int(row.shares)
+        p = float(row.price)
+        if row.side == "BUY":
+            new_shares = shares + n
+            avg = (avg * shares + p * n) / new_shares if new_shares else p
+            shares = new_shares
+        else:  # SELL — reject if insufficient (trading.js:174-183)
+            if n > shares:
+                rejected += 1
+                continue
+            shares -= n  # avg unchanged (trading.js:185-200)
+    if shares == 0:
+        # full sell deletes the holding (trading.js:196-199); emit the
+        # tombstone so callers can still see rejected counts.
+        return pd.DataFrame(
+            [[pid, sym, 0, None, rejected]],
+            columns=["portfolioid", "symbol", "shares", "avgprice", "rejected"],
+        )
+    return pd.DataFrame(
+        [[pid, sym, shares, round(avg, 4), rejected]],
+        columns=["portfolioid", "symbol", "shares", "avgprice", "rejected"],
+    )
+
+
+def apply_trades(holdings: DataFrame, trades: DataFrame) -> DataFrame:
+    """Apply a trade batch to positions.
+
+    ``holdings``: (portfolioid, symbol, shares, avgprice[, ...]).
+    ``trades``: (portfolioid, symbol, side BUY|SELL, shares, price, ts).
+    Returns the new position table (portfolioid, symbol, shares,
+    avgprice, rejected) — rows with shares == 0 are closed positions.
+    """
+    h = holdings.select(
+        "portfolioid",
+        "symbol",
+        F.col("shares").cast("int").alias("shares"),
+        F.col("avgprice").cast("double").alias("price"),
+        F.lit("HOLD").alias("side"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(0).alias("kind"),
+    )
+    t = trades.select(
+        "portfolioid",
+        "symbol",
+        F.col("shares").cast("int").alias("shares"),
+        F.col("price").cast("double").alias("price"),
+        "side",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(1).alias("kind"),
+    )
+    unioned = h.unionByName(t).withColumn(
+        "rowid", F.monotonically_increasing_id()
+    )
+    return unioned.groupBy("portfolioid", "symbol").applyInPandas(
+        _fold_position, schema=_FOLD_SCHEMA
+    )
+
+
+def ledger_entries(trades: DataFrame, start_id: int = 1) -> DataFrame:
+    """Signed ledger rows in the reference's exact detail format
+    (trading.js:105,215): BUY → negative amount, SELL → positive."""
+    amount = F.when(
+        F.col("side") == "BUY", -F.col("price") * F.col("shares")
+    ).otherwise(F.col("price") * F.col("shares"))
+    verb = F.when(F.col("side") == "BUY", F.lit("Bought")).otherwise(F.lit("Sold"))
+    detail = F.format_string(
+        "%s %d shares of %s at $%s each.",
+        verb,
+        F.col("shares").cast("int"),
+        F.col("symbol"),
+        F.col("price").cast("string"),
+    )
+    w_id = F.row_number().over(W.orderBy("ts", "portfolioid", "symbol"))
+    return trades.select(
+        (w_id + F.lit(start_id - 1)).alias("transactionid"),
+        "portfolioid",
+        F.round(amount, 2).alias("amount"),
+        detail.alias("detail"),
+        F.col("ts").alias("createdat"),
+    )
+
+
+def cash_deltas(trades: DataFrame) -> DataFrame:
+    """Net cash movement per portfolio for a trade batch."""
+    amount = F.when(
+        F.col("side") == "BUY", -F.col("price") * F.col("shares")
+    ).otherwise(F.col("price") * F.col("shares"))
+    return trades.groupBy("portfolioid").agg(
+        F.round(F.sum(amount), 2).alias("cash_delta")
+    )
+
+
+def parse_ledger_symbol(detail_col: str = "detail") -> F.Column:
+    """Extract the symbol back out of a ledger detail string —
+    the reference's regex `/of ([A-Z]{1,5})/i`
+    (trading.js:215, transaction.js:37-38)."""
+    return F.regexp_extract(F.col(detail_col), r"(?i)of ([A-Z]{1,5})", 1)
