@@ -1,0 +1,17 @@
+from .events import (
+    read_events_stream,
+    sessionize_batch,
+    sessionized_stream,
+    sliding_counts,
+    stateful_running_totals,
+    tumbling_aggregate,
+)
+
+__all__ = [
+    "read_events_stream",
+    "sessionize_batch",
+    "sessionized_stream",
+    "sliding_counts",
+    "stateful_running_totals",
+    "tumbling_aggregate",
+]

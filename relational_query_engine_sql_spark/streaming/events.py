@@ -1,0 +1,177 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming (SURVEY.md §2.9); its closest surfaces
+are the append-only Transaction ledger and incremental daily Stocks
+appends. This module is the §7 additive milestone: the same event
+analytics the batch plans compute, expressed as streams with
+watermarks, windowed aggregation, session windows, and a custom
+stateful operator.
+
+Every streaming transformation here also runs in batch mode (pass a
+batch DataFrame) — the watermark is a no-op in batch — which is how the
+tests pin stream results to the batch oracle.
+
+Scale notes: watermark + append mode bounds state; session windows use
+Spark's native state store; the stateful operator keys state by
+user_id so it shards across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events physical schema: ts is TIMESTAMP(NANOS) in the parquet file,
+# readable only as long (see sources.catalog.load_table).
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source streaming —
+    each file is one micro-batch; production swaps in Kafka without
+    touching the transforms)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_aggregate(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data
+    watermark. Works on streams and batch frames alike."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts (overlapping windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows per user: a session closes after ``gap``
+    of inactivity."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization via lag + running sum (the classic
+    window-function rewrite; DuckDB-oracle-checkable). Session ids are
+    1-based per user in time order. Output: (user_id, session_id,
+    n_events, session_start, session_end)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = events.withColumn(
+        "_new",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+            > gap_us,
+            1,
+        )
+        .otherwise(0),
+    )
+    wed = marked.withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)) + 1,
+    )
+    return wed.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: running per-user totals with
+# applyInPandasWithState (the §7 "custom stateful operator" surface).
+# --------------------------------------------------------------------------
+_STATE_SCHEMA = "total double, n long"
+_OUT_SCHEMA = "user_id long, n long, total double"
+
+
+def _update_totals(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame([[user_id, n, round(total, 4)]], columns=["user_id", "n", "total"])
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary-stateful streaming op: per-user running (count, sum)
+    across micro-batches. State is keyed by user_id → shards across
+    executors; ProcessingTimeTimeout left off for determinism."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming tests: streams driven to completion with a
+memory sink, results pinned to the batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from relational_query_engine_sql_spark.sources import load_table
+from relational_query_engine_sql_spark.streaming import (
+    read_events_stream,
+    sessionize_batch,
+    sessionized_stream,
+    stateful_running_totals,
+    tumbling_aggregate,
+)
+
+
+def _run_stream(df, name, mode="complete"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    assert stream.isStreaming
+    _run_stream(tumbling_aggregate(stream), "tumbling_out")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = tumbling_aggregate(load_table(spark, sf_small, "events"))
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 10
+
+
+def test_session_window_stream(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    _run_stream(sessionized_stream(stream, gap="30 minutes"), "sessions_out")
+    got = spark.sql("SELECT * FROM sessions_out")
+    batch = sessionize_batch(load_table(spark, sf_small, "events"), 30)
+    # session_window and the lag/cumsum rewrite agree on session count
+    # and total events per user.
+    g = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in got.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    b = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert g == b
+
+
+def test_stateful_running_totals(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    _run_stream(stateful_running_totals(stream), "totals_out", mode="update")
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in spark.sql(
+            # update mode may emit a row per micro-batch; keep the last
+            # (largest n) per user.
+            """
+            SELECT user_id, n, total FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY n DESC) AS rk
+                FROM totals_out
+            ) WHERE rk = 1
+            """
+        ).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
