@@ -1,0 +1,91 @@
+"""CSV ingest path (sources/csv_ingest.py): the reference's implied
+SP500History.csv bulk loader (/root/reference/.gitignore:5), batch-shaped.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from relational_query_engine_sql_spark.fixtures import make_stocks
+from relational_query_engine_sql_spark.sources.csv_ingest import (
+    clean_ohlcv,
+    corrupt_rows,
+    ingest_ohlcv_csv,
+    read_ohlcv_csv,
+    symbol_registry,
+)
+
+
+@pytest.fixture(scope="module")
+def csv_dir(spark, tmp_path_factory):
+    """Write the domain stocks fixture out as a single CSV file."""
+    d = tmp_path_factory.mktemp("ohlcv")
+    stocks = make_stocks(spark)
+    pdf = stocks.toPandas()
+    # lowercase symbols + a duplicated row to exercise the reference's
+    # upper() normalization and ON CONFLICT-style dedup
+    pdf["symbol"] = pdf["symbol"].str.lower()
+    pdf = pdf._append(pdf.iloc[0])
+    path = d / "SP500History.csv"
+    pdf.to_csv(path, index=False, date_format="%Y-%m-%d")
+    # one malformed line for the PERMISSIVE quarantine path
+    with open(path, "a") as f:
+        f.write("AAPL,not-a-date,1,2,3,4,notanumber\n")
+    return str(path), stocks
+
+
+def test_roundtrip_and_normalization(spark, csv_dir):
+    path, stocks = csv_dir
+    cleaned = clean_ohlcv(read_ohlcv_csv(spark, path))
+    assert cleaned.schema == stocks.schema
+    # dedup removed the duplicated row; corrupt row excluded
+    assert cleaned.count() == stocks.count()
+    # symbols re-uppercased
+    assert cleaned.filter("symbol != upper(symbol)").count() == 0
+    # exact content match against the source frame (pandas compare —
+    # exceptAll over a PERMISSIVE-CSV+dedup plan trips a Catalyst
+    # binding bug in Spark 4.1)
+    key = ["symbol", "timestamp"]
+    got = cleaned.toPandas().sort_values(key).reset_index(drop=True)
+    want = stocks.toPandas().sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_corrupt_quarantine(spark, csv_dir):
+    path, _ = csv_dir
+    bad = corrupt_rows(read_ohlcv_csv(spark, path)).collect()
+    assert len(bad) == 1
+    assert "not-a-date" in bad[0]["_corrupt_record"]
+
+
+def test_strict_mode_fails(spark, csv_dir):
+    path, _ = csv_dir
+    # collect(), not count() — count() short-circuits column parsing
+    # so FAILFAST would never see the malformed row
+    with pytest.raises(Exception):
+        read_ohlcv_csv(spark, path, strict=True).collect()
+
+
+def test_ingest_partitioned_parquet(spark, csv_dir, tmp_path):
+    path, stocks = csv_dir
+    out = str(tmp_path / "stocks_pq")
+    cleaned = ingest_ohlcv_csv(spark, path, out)
+    back = spark.read.parquet(out)
+    assert back.count() == cleaned.count()
+    # partitioned by symbol → per-symbol scan prunes to one directory
+    import os
+
+    assert any(p.startswith("symbol=") for p in os.listdir(out))
+    # re-ingest is idempotent
+    again = ingest_ohlcv_csv(spark, path, out)
+    assert again.count() == cleaned.count()
+
+
+def test_symbol_registry(spark, csv_dir):
+    path, stocks = csv_dir
+    cleaned = clean_ohlcv(read_ohlcv_csv(spark, path))
+    reg = sorted(r["symbol"] for r in symbol_registry(cleaned).collect())
+    expect = sorted(
+        r["symbol"] for r in stocks.select("symbol").distinct().collect()
+    )
+    assert reg == expect
