@@ -1,0 +1,228 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Beyond-reference surface (the reference is text/numeric-only; SURVEY.md
+§7). The pattern a 100 TB training-data pipeline needs:
+
+* media rows = ``(id, media_type, payload binary, meta struct)`` — the
+  payload is opaque to Spark; everything the *planner* needs (type,
+  dimensions, duration) lives in the typed ``meta`` struct so filters
+  and partition pruning never touch the bytes,
+* decode / resize / feature-extract run as Arrow-batched
+  ``mapInPandas`` — one Python worker per partition, whole column
+  batches, never row-at-a-time,
+* frame sampling is pure column algebra (``sequence`` + ``explode``) —
+  no Python at all for the fan-out step.
+
+The actual codec calls (PIL/librosa/ffmpeg) are NOT in this container,
+so decoding is STUBBED: ``decode_media`` raises ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic stand-in derives
+"pixels" from the payload bytes. The Spark-side plumbing — schemas,
+batch shapes, UDF signatures, partitioning — is real and tested; a
+deployment swaps ``_fake_decode`` for the codec and nothing else moves.
+
+Since the driver testdata has no binary tables, :func:`attach_media`
+manufactures the media frame deterministically from the ``documents``
+table (payload = UTF-8 bytes of ``text``; metadata = arithmetic on
+``doc_id``) — every derived column is reproducible in the DuckDB
+oracle, which is what makes the metadata-level queries hash-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # codec stack absent in this container — plumbing still testable
+    from PIL import Image  # noqa: F401
+
+    _HAS_CODECS = True
+except ImportError:
+    _HAS_CODECS = False
+
+_MEDIA_TYPES = ["image", "audio", "video"]
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """documents → media frame with a binary payload and typed metadata.
+
+    Deterministic: media_type cycles by doc_id; width/height/n_frames/
+    sample_rate are doc_id arithmetic; payload is the UTF-8 encoding of
+    the text. All JVM-side column expressions — zero Python.
+    """
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 16 * 64 + 64).cast("int").alias("width"),
+            (F.col("doc_id") % 9 * 64 + 64).cast("int").alias("height"),
+            (F.col("doc_id") % 240 + 1).cast("int").alias("n_frames"),
+            F.lit(16000).alias("sample_rate"),
+            ((F.col("doc_id") % 240 + 1) / 24.0).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def media_catalog(media: DataFrame) -> DataFrame:
+    """Per-type catalog rollup — planner-level metadata only; the scan
+    prunes the payload column entirely (check ReadSchema)."""
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.avg("meta.width").alias("avg_width"),
+            F.round(F.sum("meta.duration_s"), 4).alias("total_duration_s"),
+        )
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
+    """Video rows → one row per sampled frame index (0, n, 2n, …).
+
+    Pure ``sequence``+``explode`` fan-out: distributes with the rows,
+    no Python, no shuffle (explode is a map-side operation).
+    """
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+            )
+        ).alias("frame_idx"),
+        "meta.n_frames",
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched decode / resize / feature-extract (mapInPandas).
+# --------------------------------------------------------------------------
+_DECODED_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, width int, height int, "
+    "mean_byte double"
+)
+
+
+def _trunc6(x: float) -> float:
+    """Truncate to 6 decimals. Truncation (not round()) because Python
+    rounds half-to-even while SQL engines round half-away-from-zero —
+    floor(x*1e6)/1e6 is bit-identical in both, keeping the stub
+    oracle-checkable."""
+    import math
+
+    return math.floor(x * 1e6) / 1e6
+
+
+def _fake_decode(payload: bytes) -> tuple[int, float]:
+    """Deterministic stand-in for a codec: 'decoding' reports byte
+    length and mean byte value. Replace with PIL/librosa in deployment."""
+    n = len(payload)
+    return n, _trunc6(sum(payload) / n) if n else 0.0
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads via Arrow-batched ``mapInPandas``.
+
+    Real decoding needs the codec stack (PIL/librosa/ffmpeg) that this
+    container doesn't ship — pass ``fake=True`` to run the
+    deterministic stand-in through the identical plumbing.
+    """
+    if not fake and not _HAS_CODECS:
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/ffmpeg) not installed; "
+            "use decode_media(media, fake=True) for the stub path"
+        )
+
+    def batches(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in pdfs:
+            decoded = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": decoded.map(lambda t: t[0]),
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                    "mean_byte": decoded.map(lambda t: t[1]),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=_DECODED_SCHEMA)
+
+
+_RESIZED_SCHEMA = (
+    "doc_id long, media_type string, payload binary, width int, height int"
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """'Resize' image payloads (stub: proportional byte truncation —
+    a real deployment calls Image.resize here; batch shape, schema,
+    and partition behavior are identical)."""
+
+    def batches(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in pdfs:
+            imgs = pdf[pdf["media_type"] == "image"]
+            scale = [
+                min(
+                    1.0,
+                    (width * height)
+                    / max(1, m["width"] * m["height"]),
+                )
+                for m in imgs["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": imgs["doc_id"],
+                    "media_type": imgs["media_type"],
+                    "payload": [
+                        p[: max(1, int(len(p) * s))]
+                        for p, s in zip(imgs["payload"], scale)
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=_RESIZED_SCHEMA)
+
+
+_FEATURE_SCHEMA = "doc_id long, feature array<double>"
+_COUNT_SCHEMA = "doc_id long, feature array<long>"
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, normalize: bool = True
+) -> DataFrame:
+    """Byte-histogram feature vector per payload (the stand-in for a
+    vision/audio encoder). ``dim`` buckets over byte values 0..255;
+    L1-normalized by default, raw counts with ``normalize=False``
+    (integer counts hash-match an SQL oracle exactly — no float
+    rounding-mode concerns)."""
+
+    def batches(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdfs:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr // (256 // dim), minlength=dim)[:dim]
+                if normalize:
+                    total = hist.sum() or 1
+                    feats.append([_trunc6(v) for v in hist / total])
+                else:
+                    feats.append(hist.tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return media.mapInPandas(
+        batches, schema=_FEATURE_SCHEMA if normalize else _COUNT_SCHEMA
+    )

@@ -1,0 +1,122 @@
+"""Multimodal-column queries (beyond-reference, SURVEY.md §7).
+
+The media frame is manufactured deterministically from ``documents``
+(datapipe.multimodal.attach_media: payload = UTF-8 bytes of text,
+metadata = doc_id arithmetic), so even the Arrow-batched mapInPandas
+operators are DuckDB-oracle-checkable: the oracle recomputes the same
+quantities from the text column (pure-ASCII in the driver data, so
+``unicode(char) == byte``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datapipe.multimodal import (
+    attach_media,
+    decode_media,
+    extract_features,
+    media_catalog,
+    sample_frames,
+)
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "mm_media_catalog",
+    survey="beyond:multimodal-catalog",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)]
+                   AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               (doc_id % 16) * 64 + 64 AS width,
+               (doc_id % 240 + 1) / 24.0 AS duration_s
+        FROM documents
+    )
+    SELECT media_type,
+           COUNT(*) AS n,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           AVG(width) AS avg_width,
+           ROUND(SUM(duration_s), 4) AS total_duration_s
+    FROM media
+    GROUP BY media_type
+    """,
+)
+def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return media_catalog(attach_media(docs))
+
+
+@query(
+    "mm_frame_sample",
+    survey="beyond:multimodal-frames",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(generate_series(0, CAST(doc_id % 240 AS BIGINT), 24))
+               AS frame_idx,
+           doc_id % 240 + 1 AS n_frames
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_media(docs), every_n=24)
+
+
+@query(
+    "mm_decode_stub",
+    survey="beyond:multimodal-decode",
+    oracle="""
+    SELECT doc_id,
+           ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)]
+               AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           CAST((doc_id % 16) * 64 + 64 AS INT) AS width,
+           CAST((doc_id % 9) * 64 + 64 AS INT) AS height,
+           FLOOR(list_avg(list_transform(string_split(text, ''),
+                                         x -> unicode(x))) * 1000000)
+               / 1000000 AS mean_byte
+    FROM documents
+    """,
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_media(docs), fake=True)
+
+
+@query(
+    "mm_byte_histogram",
+    survey="beyond:multimodal-features",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               UNNEST(list_transform(string_split(text, ''),
+                                     x -> unicode(x) // 32)) AS b
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM chars GROUP BY doc_id, b
+    ),
+    grid AS (
+        SELECT doc_id, UNNEST(generate_series(0, 7)) AS bucket
+        FROM documents
+    )
+    SELECT grid.doc_id,
+           CAST(grid.bucket AS INT) AS bucket,
+           CAST(COALESCE(counts.c, 0) AS BIGINT) AS n_bytes
+    FROM grid
+    LEFT JOIN counts
+      ON counts.doc_id = grid.doc_id AND counts.b = grid.bucket
+    """,
+)
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_media(docs), dim=8, normalize=False)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("bucket", "n_bytes")
+    )

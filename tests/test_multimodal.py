@@ -1,0 +1,102 @@
+"""Multimodal binary-column plumbing (datapipe/multimodal.py).
+
+The codec stack (PIL/librosa/ffmpeg) is absent in this container, so
+decode is a deterministic stub — these tests pin the Spark-side
+mechanics: schemas, the NotImplementedError gate, mapInPandas batch
+behavior, and stub determinism. Oracle parity for the four registry
+queries runs in test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from relational_query_engine_sql_spark.datapipe.multimodal import (
+    _HAS_CODECS,
+    attach_media,
+    decode_media,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from relational_query_engine_sql_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    return attach_media(docs).cache()
+
+
+def test_media_schema(media):
+    d = dict(media.dtypes)
+    assert d["payload"] == "binary"
+    assert d["media_type"] == "string"
+    assert d["meta"].startswith("struct<width:int,height:int,n_frames:int")
+
+
+def test_payload_is_utf8_text(spark, sf_small, media):
+    docs = load_table(spark, sf_small, "documents")
+    joined = media.join(docs, "doc_id").select(
+        "payload", "text", "n_chars"
+    )
+    row = joined.first()
+    assert bytes(row["payload"]).decode("utf-8") == row["text"]
+
+
+def test_decode_gate_without_codecs(media):
+    if _HAS_CODECS:
+        pytest.skip("codec stack present; gate not reachable")
+    with pytest.raises(NotImplementedError):
+        decode_media(media, fake=False)
+
+
+def test_decode_stub_deterministic(media):
+    a = decode_media(media, fake=True).orderBy("doc_id").collect()
+    b = decode_media(media, fake=True).orderBy("doc_id").collect()
+    assert a == b
+    # n_bytes equals actual payload length
+    lens = {
+        r["doc_id"]: len(bytes(r["payload"]))
+        for r in media.select("doc_id", "payload").collect()
+    }
+    for r in a:
+        assert r["n_bytes"] == lens[r["doc_id"]]
+        assert 0.0 <= r["mean_byte"] <= 255.0
+
+
+def test_frame_sampling_counts(media):
+    frames = sample_frames(media, every_n=24)
+    rows = frames.groupBy("doc_id", "n_frames").count().collect()
+    assert rows, "no video rows sampled"
+    for r in rows:
+        # sequence(0, n_frames-1, 24) has ceil(n_frames/24) elements
+        assert r["count"] == -(-r["n_frames"] // 24)
+
+
+def test_resize_images_only_and_bounded(media):
+    out = resize_images(media, 64, 64)
+    assert dict(out.dtypes)["payload"] == "binary"
+    rows = out.collect()
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+    n_images = media.filter("media_type = 'image'").count()
+    assert len(rows) == n_images
+    orig = {
+        r["doc_id"]: len(bytes(r["payload"]))
+        for r in media.select("doc_id", "payload").collect()
+    }
+    for r in rows:
+        assert 1 <= len(bytes(r["payload"])) <= orig[r["doc_id"]]
+
+
+def test_feature_histogram_sums(media):
+    counts = extract_features(media, dim=8, normalize=False).collect()
+    lens = {
+        r["doc_id"]: len(bytes(r["payload"]))
+        for r in media.select("doc_id", "payload").collect()
+    }
+    for r in counts:
+        assert len(r["feature"]) == 8
+        assert sum(r["feature"]) == lens[r["doc_id"]]
+    normed = extract_features(media, dim=8, normalize=True).first()
+    assert abs(sum(normed["feature"]) - 1.0) < 1e-4
