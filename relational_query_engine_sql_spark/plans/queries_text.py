@@ -101,6 +101,31 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token counting: whitespace words + BPE-ish pre-tokens.
+# --------------------------------------------------------------------------
+@query(
+    "text_token_counts",
+    survey="beyond:token-count",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+           LEN(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens,
+           FLOOR(LENGTH(text)
+                 / LEN(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
+                 * 1000000) / 1000000 AS bytes_per_token
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs)
+
+
+# --------------------------------------------------------------------------
 # Language-ID heuristic (stopword vote).
 # --------------------------------------------------------------------------
 def _lang_case_sql() -> str:
