@@ -26,7 +26,7 @@ from ..datapipe.textstats import (
     language_id,
     quality_metrics,
 )
-from ..sources import load_table
+from ..sources import load_table, spread
 from .registry import query
 
 JACCARD_THRESHOLD = 0.4
@@ -242,7 +242,7 @@ _JACCARD_TAIL = f"""
     oracle=_SHINGLE_CTE + _JACCARD_TAIL,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     sh = shingles(docs)
     pairs = jaccard_pairs(sh, JACCARD_THRESHOLD)
     return pairs.select(
@@ -289,7 +289,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     sh = shingles(docs)
     cand = lsh_candidates(minhash_signature(sh))
     pairs = jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=cand)
@@ -320,5 +320,5 @@ def _simhash_sql(bits: int = 16) -> str:
 
 @query("dedup_simhash", survey="beyond:dedup-simhash", oracle=_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return simhash(docs)

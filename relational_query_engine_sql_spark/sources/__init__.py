@@ -1,4 +1,4 @@
-from .catalog import load_table, load_tables, register_views
+from .catalog import load_table, load_tables, register_views, spread
 from .csv_ingest import (
     clean_ohlcv,
     corrupt_rows,
@@ -15,5 +15,6 @@ __all__ = [
     "load_tables",
     "read_ohlcv_csv",
     "register_views",
+    "spread",
     "symbol_registry",
 ]

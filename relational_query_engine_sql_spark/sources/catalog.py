@@ -36,6 +36,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen an under-partitioned scan to the cluster's parallelism.
+
+    A small single parquet file yields ONE input split (one task — 31
+    of 32 local cores idle through an explode-heavy pipeline). At real
+    scale the scan already produces thousands of splits and this is a
+    no-op: we only repartition when the scan came back narrower than
+    defaultParallelism, never force a plan-wide shuffle on data that is
+    already spread.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
