@@ -22,6 +22,7 @@ from relational_query_engine_sql_spark.session import get_spark
 # analytically interesting plans (stats, as-of, dedup, ANN).
 HEADLINE = [
     "a1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
     "j1_join_dims",
     "j7_asof_latest",
     "j7_a7_market_value",
