@@ -82,6 +82,57 @@ def classify_trend(slope_col: str = "slope") -> F.Column:
     )
 
 
+def linear_fit_grouped(
+    panel: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    fit_window: int = DEFAULT_FIT_WINDOW,
+    min_rows: int = DEFAULT_MIN_ROWS,
+) -> DataFrame:
+    """``applyInPandas`` variant of :func:`linear_fit` — the grouped-map
+    Pandas-UDF path the reference's per-symbol JS fit maps to at scale
+    (one Arrow batch per key, fits run in parallel across executors).
+
+    Same closed-form formulas as the aggregate version so the two paths
+    are numerically comparable (pinned to ~1e-9 in tests); prefer
+    :func:`linear_fit` when the model IS expressible as aggregates —
+    this path exists for models that aren't.
+    """
+    import pandas as pd
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col).tail(fit_window)
+        n = len(pdf)
+        if n < min_rows:
+            return pd.DataFrame(
+                columns=[key, "slope", "intercept", "n_obs", "last_t", "last_x"]
+            )
+        x = pd.Series(range(n), dtype="float64")
+        y = pdf[value_col].astype("float64").reset_index(drop=True)
+        covar = ((x - x.mean()) * (y - y.mean())).mean()
+        var = ((x - x.mean()) ** 2).mean()
+        slope = covar / var
+        return pd.DataFrame(
+            [
+                {
+                    key: pdf[key].iloc[0],
+                    "slope": slope,
+                    "intercept": y.mean() - slope * x.mean(),
+                    "n_obs": n,
+                    "last_t": pdf[time_col].iloc[-1],
+                    "last_x": float(n - 1),
+                }
+            ]
+        )
+
+    out_schema = (
+        f"{key} string, slope double, intercept double, n_obs long, "
+        "last_t date, last_x double"
+    )
+    return panel.groupBy(key).applyInPandas(fit_one, schema=out_schema)
+
+
 def forecast_horizon(
     fit: DataFrame,
     key: str,

@@ -80,6 +80,28 @@ def u1_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grouped-map Pandas-UDF variant of the fit (SURVEY §2.10 U1
+# "alternative: applyInPandas per symbol"). No oracle: same closed form
+# but numpy/pandas summation order differs from SQL aggregates at the
+# ~1e-12 level, so hash equality is not guaranteed — the two Spark
+# paths are instead pinned to each other in tests/test_forecast_paths.py
+# and the driver records a rows-only check.
+@query("u1_linreg_fit_pandas", survey="U1:applyInPandas")
+def u1_linreg_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.forecast import linear_fit_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    panel = daily_close_panel(ev, key="event_type", ts_col="ts", value_col="value")
+    fit = linear_fit_grouped(panel, key="event_type", time_col="d", value_col="close")
+    return fit.select(
+        "event_type",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        "n_obs",
+        classify_trend().alias("trend"),
+    )
+
+
 # --------------------------------------------------------------------------
 # E10 — 30-day forecast rows via sequence()+explode date stepping
 # (the reference's JS day-stepping loop, portfolio.js:526-542).

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from ..streaming.events import sessionize_batch, tumbling_aggregate
+from ..streaming.events import (
+    sessionize_batch,
+    sliding_counts,
+    tumbling_aggregate,
+)
 from .registry import query
 
 
@@ -32,6 +36,94 @@ from .registry import query
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return tumbling_aggregate(ev, window="1 hour")
+
+
+@query(
+    "stream_sliding_15m",
+    survey="streaming:sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k.k * INTERVAL '15 minutes' AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15m windows: every event lands in exactly four
+    overlapping windows; the oracle materializes that fan-out with a
+    cross join on offsets 0..3 (both engines 15-minute-align to the
+    same epoch-divisible origin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev, window="1 hour", slide="15 minutes")
+
+
+@query(
+    "ev_user_activity",
+    survey="streaming:events-profile",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "ev_funnel",
+    survey="streaming:funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_view) AS n_viewed,
+           COUNT(CASE WHEN first_purchase > first_view THEN 1 END)
+               AS n_converted
+    FROM firsts
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → purchase conversion funnel: first-touch per type per
+    user, then ordered-pair counting — one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_view"), 1)
+        ).alias("n_converted"),
+    )
 
 
 @query(

@@ -1,4 +1,5 @@
 from .events import (
+    dedup_stream,
     read_events_stream,
     sessionize_batch,
     sessionized_stream,
@@ -8,6 +9,7 @@ from .events import (
 )
 
 __all__ = [
+    "dedup_stream",
     "read_events_stream",
     "sessionize_batch",
     "sessionized_stream",

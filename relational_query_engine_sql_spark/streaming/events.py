@@ -142,6 +142,23 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id.
+
+    ``dropDuplicatesWithinWatermark`` keeps the seen-key state only for
+    the watermark horizon — at 100 TB/day of events, plain
+    ``dropDuplicates`` on a stream would accumulate unbounded state;
+    the watermark bound is what makes streaming ingest-dedup viable.
+    Batch frames fall back to plain ``dropDuplicates`` (same result on
+    bounded data).
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 # --------------------------------------------------------------------------
 # Custom stateful operator: running per-user totals with
 # applyInPandasWithState (the §7 "custom stateful operator" surface).

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from relational_query_engine_sql_spark.sources import load_table
 from relational_query_engine_sql_spark.streaming import (
+    dedup_stream,
     read_events_stream,
     sessionize_batch,
     sessionized_stream,
@@ -71,6 +72,22 @@ def test_session_window_stream(spark, sf_small):
         .collect()
     }
     assert g == b
+
+
+def test_streaming_dedup(spark, sf_small):
+    """A stream unioned with itself (every event twice) deduped by
+    dropDuplicatesWithinWatermark collapses back to the distinct
+    event count."""
+    doubled = read_events_stream(spark, sf_small).union(
+        read_events_stream(spark, sf_small)
+    )
+    _run_stream(dedup_stream(doubled), "dedup_out", mode="append")
+    got = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0]["n"]
+    want = load_table(spark, sf_small, "events").count()
+    assert got == want
+    # batch fallback path
+    ev = load_table(spark, sf_small, "events")
+    assert dedup_stream(ev.union(ev)).count() == want
 
 
 def test_stateful_running_totals(spark, sf_small):
