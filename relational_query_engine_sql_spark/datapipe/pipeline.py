@@ -1,0 +1,58 @@
+"""End-to-end corpus-cleaning pipeline: the composition a training-data
+run actually executes (quality gate → language gate → exact dedup),
+expressed as ONE declarative plan so Catalyst fuses the filters into
+the scan and the only shuffles are the language-vote join and the
+dedup hash groupBy.
+
+Stage order matters at scale: the cheap row-local gates (token count,
+alpha ratio) run first and prune before anything shuffles; dedup —
+the only wide stage — sees only survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+from .textstats import language_id, token_count
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    min_alpha: float = 0.8,
+    lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surviving documents after the three gates.
+
+    Output: (doc_id, n_tokens) for docs that (1) have >= min_tokens
+    whitespace tokens and alpha-character ratio >= min_alpha,
+    (2) vote ``lang`` under the stopword language-ID heuristic, and
+    (3) are the keeper (min id) of their normalized-content hash group
+    — dedup runs AFTER the filters so the wide stage only processes
+    survivors.
+    """
+    t = F.col(text_col)
+    alpha_ratio = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.length(t)
+    gated = docs.select(
+        F.col(id_col), t, token_count(text_col).alias("n_tokens")
+    ).filter(
+        (F.col("n_tokens") >= min_tokens) & (alpha_ratio >= min_alpha)
+    )
+
+    voted = gated.join(
+        language_id(docs).filter(F.col("lang_pred") == lang),
+        id_col,
+        "left_semi",
+    )
+
+    hashed = voted.select(
+        F.col(id_col), "n_tokens", F.md5(normalized(text_col)).alias("h")
+    )
+    keepers = hashed.groupBy("h").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keepers, [id_col, "h"], "left_semi").select(
+        id_col, "n_tokens"
+    )

@@ -1,0 +1,46 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew,
+but a groupBy on a power-law key (a handful of keys owning most rows —
+the shape of event types, hot symbols, stop-shingles at 100 TB) can
+still bottleneck single reducers. Salted aggregation is the classic
+fix: shard each key across ``buckets`` sub-keys, partially aggregate,
+then merge the partials — two narrow shuffles instead of one skewed one.
+
+The salt is ``pmod(hash(<salt_col>), buckets)`` — deterministic (no
+rand(), which would break retry/speculation consistency and oracle
+checks), and derived from a high-cardinality column so each hot key
+spreads evenly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_sum(
+    df: DataFrame,
+    keys: list[str],
+    salt_col: str,
+    value_col: str | None = None,
+    buckets: int = 16,
+) -> DataFrame:
+    """groupBy(keys) computing COUNT(*) (and SUM(value_col)) through a
+    two-stage salted plan. Result is identical to the direct groupBy —
+    count/sum are commutative monoids, so partial-merge is exact.
+
+    Output: keys + n (+ total when ``value_col`` given, rounded to 4).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col(salt_col)), F.lit(buckets))
+    )
+    partial_aggs = [F.count(F.lit(1)).alias("_pn")]
+    if value_col is not None:
+        partial_aggs.append(F.sum(value_col).alias("_ps"))
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+
+    final_aggs: list[Column] = [F.sum("_pn").alias("n")]
+    if value_col is not None:
+        final_aggs.append(F.round(F.sum("_ps"), 4).alias("total"))
+    return partial.groupBy(*keys).agg(*final_aggs)

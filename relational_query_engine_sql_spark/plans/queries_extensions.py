@@ -174,6 +174,29 @@ def ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_salted_agg",
+    survey="ext:skew-salting",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on the power-law event_type key —
+    bit-identical result to the direct groupBy (count/sum are
+    commutative monoids), verified against the plain-SQL oracle."""
+    from ..operators.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_sum(
+        ev, ["event_type"], salt_col="event_id", value_col="value"
+    )
+
+
+@query(
     "ext_moving_avg",
     survey="ext:window-frame",
     oracle="""

@@ -199,6 +199,52 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs)
 
 
+# --------------------------------------------------------------------------
+# Composite corpus-cleaning pipeline: quality gate → language gate →
+# exact dedup, as one declarative plan.
+# --------------------------------------------------------------------------
+def _corpus_clean_oracle() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, text, LEN(w) AS n_tokens, w
+        FROM t
+        WHERE LEN(w) >= 20
+          AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+              / LENGTH(text) >= 0.8
+    ),
+    voted AS (
+        SELECT doc_id, text, n_tokens
+        FROM gated
+        WHERE ({_lang_case_sql()}) = 'en'
+    ),
+    hashed AS (
+        SELECT doc_id, n_tokens,
+               md5(LOWER(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        FROM voted
+    )
+    SELECT doc_id, n_tokens
+    FROM hashed
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM hashed GROUP BY h)
+    """
+
+
+@query(
+    "corpus_clean_pipeline",
+    survey="beyond:corpus-pipeline",
+    oracle=_corpus_clean_oracle(),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.pipeline import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs)
+
+
 # Shared oracle CTE: distinct 3-gram word shingles per doc.
 _SHINGLE_CTE = """
     WITH words AS (

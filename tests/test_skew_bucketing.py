@@ -1,0 +1,70 @@
+"""Scale mechanics: salted aggregation equivalence and shuffle-free
+bucketed joins (operators/skew.py, sources/bucketing.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from relational_query_engine_sql_spark.operators.skew import salted_count_sum
+from relational_query_engine_sql_spark.sources import load_table
+from relational_query_engine_sql_spark.sources.bucketing import (
+    assert_no_shuffle_join,
+    bucketed_join,
+    executed_plan,
+    write_bucketed,
+)
+
+
+def test_salted_agg_equals_direct(spark, sf_oracle):
+    li = load_table(spark, sf_oracle, "lineitem")
+    salted = {
+        r["l_returnflag"]: (r["n"], r["total"])
+        for r in salted_count_sum(
+            li, ["l_returnflag"], salt_col="l_orderkey",
+            value_col="l_quantity",
+        ).collect()
+    }
+    direct = {
+        r["l_returnflag"]: (r["n"], r["total"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("total"),
+        )
+        .collect()
+    }
+    assert salted == direct
+
+
+def test_salted_plan_has_two_aggregation_exchanges(spark, sf_oracle):
+    li = load_table(spark, sf_oracle, "lineitem")
+    plan = executed_plan(
+        salted_count_sum(li, ["l_returnflag"], salt_col="l_orderkey")
+    )
+    # stage 1 shuffles on (key, salt), stage 2 on key
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_oracle):
+    orders = load_table(spark, sf_oracle, "orders")
+    li = load_table(spark, sf_oracle, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        ["o_orderkey"],
+        buckets=8,
+    )
+    joined = bucketed_join(spark, "orders_b", "lineitem_b", ["o_orderkey"])
+    assert_no_shuffle_join(joined)
+    # joining the raw (un-bucketed) frames as a sort-merge join DOES
+    # shuffle — the bucket layout is what removes the exchange (the
+    # merge hint rules out broadcast, which small test data would pick)
+    raw = orders.hint("merge").join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), ["o_orderkey"]
+    )
+    with pytest.raises(AssertionError):
+        assert_no_shuffle_join(raw)
+    # and the bucketed join returns the same rows
+    assert joined.count() == raw.count()
