@@ -143,7 +143,7 @@ def s2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S9 — connectivity probe (SELECT NOW(), src/index.js:45). Deterministic
 # variant for the oracle.
 # --------------------------------------------------------------------------
-@query("s9_probe", survey="S9", oracle="SELECT 1 AS ok")
+@query("s9_probe", survey="S9,E1", oracle="SELECT 1 AS ok")
 def s9_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT 1 AS ok")
 

@@ -91,7 +91,7 @@ def j2_or_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "j4_triangular_selfjoin",
-    survey="J4",
+    survey="J4,E7",
     oracle="""
     SELECT s1.s_nationkey AS nationkey,
            s1.s_suppkey AS supp1, s2.s_suppkey AS supp2
