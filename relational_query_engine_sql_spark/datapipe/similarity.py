@@ -83,6 +83,71 @@ def cosine_topk(
     )
 
 
+def cosine_topk_numpy(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force cosine top-k via ``mapInPandas``.
+
+    The realistic scale path for dense similarity: the (small) query
+    matrix ships to every partition inside the closure; each Arrow
+    batch of candidates becomes one numpy ``Q @ C.T`` matrix multiply —
+    BLAS throughput instead of per-element JVM expression evaluation.
+    Partial top-k per partition, then a global window finishes the
+    merge (k·n_queries rows per partition cross the shuffle, never the
+    full score matrix).
+
+    Numerically identical ranking to :func:`cosine_topk` (both round
+    cosines to 9 decimals before ranking, ties on id) — the two paths
+    are pinned to each other in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select("query_id", as_double(F.col("qvec")).alias("q")).collect()
+    qids = np.array([r["query_id"] for r in qrows])
+    qm = np.array([r["q"] for r in qrows], dtype=np.float64)
+    qm_norm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm_n = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cos = np.round(qm_norm @ cm_n.T, 9)  # (n_q, batch)
+            cids = pdf[id_col].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(cids)),
+                    id_col: np.tile(cids, len(qids)),
+                    "cos": cos.ravel(),
+                }
+            )
+            out = out[out["query_id"] != out[id_col]]
+            # partial top-k per batch bounds shuffle volume
+            out = (
+                out.sort_values(["query_id", "cos", id_col],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+            yield out
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos", "rnk")
+    )
+
+
 def embedding_positions(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -60,6 +60,19 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _queries_df(emb), k=10)
 
 
+# Vectorized numpy variant of the brute-force path (mapInPandas +
+# BLAS matrix multiply) — the throughput path at real embedding scale.
+# Rows-only for the driver; ranking equivalence to the JVM path (and
+# thus transitively to the DuckDB oracle) is pinned in
+# tests/test_ann_paths.py.
+@query("ann_bruteforce_numpy", survey="beyond:ann-numpy")
+def ann_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import cosine_topk_numpy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_numpy(emb, _queries_df(emb), k=10)
+
+
 # --------------------------------------------------------------------------
 # IVF-bucketed ANN — nearest-centroid probe, search one bucket.
 # --------------------------------------------------------------------------
