@@ -225,6 +225,190 @@ def ext_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_json_extract",
+    survey="ext:json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+           MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props column — stays
+    JVM-side (get_json_object), no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "ext_pivot",
+    survey="ext:pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — the list keeps the output
+    schema static (a discovery pass over a 100 TB fact table just to
+    learn the columns would be its own job)."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "ext_percentiles",
+    survey="ext:percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation; approx_percentile is the sketch alternative at
+    scale, checked like approx_count_distinct if adopted)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "ext_range_frame",
+    survey="ext:range-frame",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_1h
+    FROM events
+    """,
+)
+def ext_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (value-based, not row-count-based):
+    Spark ranges over a numeric sort key, so order by epoch micros
+    with a ±interval expressed in the same unit. Peers at the same
+    timestamp aggregate together in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h"),
+    )
+
+
+@query(
+    "ext_array_agg",
+    survey="ext:array-functions",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+           LEN(list(l_linenumber)) AS n_lines,
+           list_contains(list(l_linenumber), 1) AS has_first
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def ext_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + array functions; the array is serialized to a
+    canonical string because engines render list cells differently —
+    the values, not the rendering, are what's compared."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array_sort(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(arr, ",").alias("lines"),
+        F.size(F.collect_list("l_linenumber")).alias("n_lines"),
+        F.array_contains(F.collect_list("l_linenumber"), 1).alias(
+            "has_first"
+        ),
+    )
+
+
+@query(
+    "ext_null_semantics",
+    survey="ext:null-semantics,E4",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(masked)') AS seg,
+           c_acctbal IS NOT DISTINCT FROM 0.0 AS acct_is_zero
+    FROM customer
+    """,
+)
+def ext_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF / COALESCE / null-safe equality (Spark <=> ≡ SQL
+    IS NOT DISTINCT FROM)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(masked)")
+        ).alias("seg"),
+        F.col("c_acctbal").eqNullSafe(F.lit(0.0)).alias("acct_is_zero"),
+    )
+
+
+@query(
+    "f3_asof_today",
+    survey="F3,E2",
+    oracle="""
+    SELECT COUNT(*) AS n_past_orders
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) <= CURRENT_DATE
+    """,
+)
+def f3_asof_today(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast-then-compare against CURRENT_DATE (the reference's
+    ``timestamp::date <= CURRENT_DATE``, portfolio.js:294). Both
+    engines evaluate current_date in UTC here (session.py pins the
+    Spark session timezone)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").cast("date") <= F.current_date()
+    ).agg(F.count(F.lit(1)).alias("n_past_orders"))
+
+
+@query(
     "ext_lead_ntile",
     survey="ext:ranking",
     oracle="""
