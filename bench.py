@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "text_quality_metrics",
+    "corpus_clean_pipeline",
+    "stream_tumbling_hourly",
+    "tpch_q6_forecast_revenue",
 ]
 
 
