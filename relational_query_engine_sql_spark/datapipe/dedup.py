@@ -160,19 +160,23 @@ def lsh_candidates(
     detection sub-quadratic at 100 TB. Output: distinct (d1, d2), d1<d2.
     """
     rows_per_band = n_hashes // bands
-    band_frames = []
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                F.col("id"),
-                F.lit(b).alias("band"),
-                F.concat(*[F.col(c) for c in cols]).alias("key"),
+    # one posexplode pass instead of a union of per-band branches —
+    # same rows, but the signature subtree is scanned once and the plan
+    # stays a single narrow chain (fewer stages to schedule and codegen)
+    band_keys = F.array(
+        *[
+            F.concat(
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
             )
-        )
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.union(bf)
+            for b in range(bands)
+        ]
+    )
+    all_bands = sig.select(
+        F.col("id"), F.posexplode(band_keys).alias("band", "key")
+    )
     a = all_bands.select(F.col("id").alias("d1"), "band", "key")
     b_ = all_bands.select(F.col("id").alias("d2"), "band", "key")
     return (

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalized
-from .textstats import language_id, token_count
+from .textstats import language_vote, token_count
 
 
 def clean_corpus(
@@ -43,11 +43,10 @@ def clean_corpus(
         (F.col("n_tokens") >= min_tokens) & (alpha_ratio >= min_alpha)
     )
 
-    voted = gated.join(
-        language_id(docs).filter(F.col("lang_pred") == lang),
-        id_col,
-        "left_semi",
-    )
+    # language vote as a column on the already-gated rows — no join,
+    # and the (relatively pricey) stopword scoring never runs on rows
+    # the quality gate dropped
+    voted = gated.filter(language_vote(text_col) == lang)
 
     hashed = voted.select(
         F.col(id_col), "n_tokens", F.md5(normalized(text_col)).alias("h")

@@ -65,13 +65,12 @@ def quality_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-vote language-ID heuristic: score each language by
-    stopword hits, pick the argmax (ties → 'und'). Deterministic and
-    SQL-expressible; a real pipeline would swap in a trained model via
-    pandas_udf without changing the plan shape."""
+def language_vote(text_col: str = "text") -> Column:
+    """The stopword-vote language-ID heuristic as a plain Column —
+    score each language by stopword hits, pick the argmax (ties →
+    'und'). Being a column expression (not a frame) lets pipelines
+    apply it AFTER their cheap filters without a join."""
     scores = {lang: stopword_hits(text_col, ws) for lang, ws in STOPWORDS.items()}
-    # argmax via chained when(): >= all others (and > 0) wins.
     langs = list(STOPWORDS)
     expr = F.lit("und")
     # Build from lowest to highest priority so earlier langs win ties
@@ -82,7 +81,14 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         for o in others:
             cond = cond & (scores[lang] >= o)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return df.select(F.col(id_col), expr.alias("lang_pred"))
+    return expr
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document language prediction (see :func:`language_vote`).
+    A real pipeline would swap in a trained model via pandas_udf
+    without changing the plan shape."""
+    return df.select(F.col(id_col), language_vote(text_col).alias("lang_pred"))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -241,7 +241,7 @@ def _corpus_clean_oracle() -> str:
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.pipeline import clean_corpus
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return clean_corpus(docs)
 
 

@@ -59,10 +59,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    if os.environ.get("SPARK_DRIVER_MEMORY"):
-        builder = builder.config(
-            "spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"]
-        )
+    # Local mode puts driver AND all executor threads in one JVM —
+    # Spark's 1g default heap GC-thrashes under a 32-thread shuffle and
+    # OOMs on shingle-scale intermediates. 8g is conservative for the
+    # target hosts; override with $SPARK_DRIVER_MEMORY. (Only effective
+    # for the process that CREATES the JVM — set before first
+    # getOrCreate.)
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 
