@@ -1,5 +1,7 @@
 from .events import (
+    EVENTS_TABLE_SCHEMA,
     dedup_stream,
+    ingest_stream_to_table,
     read_events_stream,
     sessionize_batch,
     sessionized_stream,
@@ -9,7 +11,9 @@ from .events import (
 )
 
 __all__ = [
+    "EVENTS_TABLE_SCHEMA",
     "dedup_stream",
+    "ingest_stream_to_table",
     "read_events_stream",
     "sessionize_batch",
     "sessionized_stream",

@@ -142,6 +142,39 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+EVENTS_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def ingest_stream_to_table(events, table, checkpoint_dir: str):
+    """Stream → keyed table ingestion via foreachBatch.
+
+    Effectively-once without a transactional sink: the checkpoint gives
+    at-least-once batch delivery, and the table's key-based
+    ``insert_ignore`` (ON CONFLICT DO NOTHING semantics on event_id)
+    makes redelivery a no-op — the classic idempotent-sink pattern.
+    Returns the started query; callers await termination.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.insert_ignore(batch_df)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id.
 

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from relational_query_engine_sql_spark.sources import load_table
 from relational_query_engine_sql_spark.streaming import (
+    EVENTS_TABLE_SCHEMA,
     dedup_stream,
+    ingest_stream_to_table,
     read_events_stream,
     sessionize_batch,
     sessionized_stream,
@@ -88,6 +90,33 @@ def test_streaming_dedup(spark, sf_small):
     # batch fallback path
     ev = load_table(spark, sf_small, "events")
     assert dedup_stream(ev.union(ev)).count() == want
+
+
+def test_stream_to_table_ingestion_effectively_once(spark, sf_small, tmp_path):
+    """foreachBatch + keyed insert_ignore: duplicated input collapses,
+    and re-running the whole stream (fresh checkpoint, simulating a
+    full redelivery) adds nothing."""
+    from relational_query_engine_sql_spark.operators.mutation import (
+        ParquetTable,
+    )
+
+    table = ParquetTable(
+        spark, str(tmp_path / "events_tbl"), EVENTS_TABLE_SCHEMA,
+        keys=["event_id"],
+    )
+    doubled = read_events_stream(spark, sf_small).union(
+        read_events_stream(spark, sf_small)
+    )
+    q = ingest_stream_to_table(doubled, table, str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+    want = load_table(spark, sf_small, "events").count()
+    assert table.read().count() == want
+    # full redelivery: same data, fresh checkpoint → idempotent
+    q2 = ingest_stream_to_table(
+        read_events_stream(spark, sf_small), table, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert table.read().count() == want
 
 
 def test_stateful_running_totals(spark, sf_small):
