@@ -18,5 +18,6 @@ from . import queries_streaming  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
 from . import queries_extensions  # noqa: E402,F401
+from . import queries_quality  # noqa: E402,F401
 
 __all__ = ["all_oracles", "all_queries", "get", "query"]

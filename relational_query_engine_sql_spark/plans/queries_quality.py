@@ -1,0 +1,133 @@
+"""Gap filling, ranking with ties, and data-quality assertions.
+
+- ``w4_gap_fill`` densifies the sparse per-user daily activity series
+  (the chart-feeding pattern the reference assumes is dense).
+- ``w5_rank_ties`` exercises rank vs dense_rank under genuine ties
+  (bucketized order key) — well-defined in both engines regardless of
+  within-tie row order, unlike row_number.
+- ``dq_violation_counts`` maps the reference's CHECK constraints
+  (sql/schema.sql:30,95 — Spark schemas can't enforce them, SURVEY
+  §1.2) to explicit assertion counts: one conditional-aggregation scan
+  per table, zero rows moved when clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import gap_fill
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "w4_gap_fill",
+    survey="ext:gap-fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS v
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    scaffold AS (
+        SELECT u.user_id, UNNEST(generate_series(b.lo, b.hi,
+                                                 INTERVAL 1 DAY))::DATE AS d
+        FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN bounds b
+    )
+    SELECT s.user_id, s.d,
+           last_value(daily.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.d
+               ROWS UNBOUNDED PRECEDING) AS filled
+    FROM scaffold s
+    LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+    """,
+)
+def w4_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    return gap_fill(daily, key="user_id", time_col="d", value_col="v")
+
+
+@query(
+    "w5_rank_ties",
+    survey="ext:rank-ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice / 10000, 0) AS price_bucket,
+           RANK() OVER (
+               PARTITION BY o_custkey
+               ORDER BY ROUND(o_totalprice / 10000, 0) DESC) AS rnk,
+           DENSE_RANK() OVER (
+               PARTITION BY o_custkey
+               ORDER BY ROUND(o_totalprice / 10000, 0) DESC) AS drnk
+    FROM orders
+    """,
+)
+def w5_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.round(F.col("o_totalprice") / 10000, 0)
+    w = W.partitionBy("o_custkey").orderBy(bucket.desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        bucket.alias("price_bucket"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "dq_violation_counts",
+    survey="ext:data-quality",
+    oracle="""
+    SELECT 'lineitem.quantity_positive' AS rule,
+           COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.discount_in_range',
+           COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.status_in_domain',
+           COUNT(CASE WHEN o_orderstatus NOT IN ('P', 'O', 'F') THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'events.value_not_null',
+           COUNT(CASE WHEN value IS NULL THEN 1 END)
+    FROM events
+    """,
+)
+def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(df: DataFrame, rule: str, bad: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(rule).alias("rule"),
+            F.count(F.when(bad, 1)).alias("violations"),
+        )
+
+    return (
+        check(li, "lineitem.quantity_positive", F.col("l_quantity") <= 0)
+        .unionAll(
+            check(
+                li,
+                "lineitem.discount_in_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            )
+        )
+        .unionAll(
+            check(
+                o,
+                "orders.status_in_domain",
+                ~F.col("o_orderstatus").isin("P", "O", "F"),
+            )
+        )
+        .unionAll(check(ev, "events.value_not_null", F.col("value").isNull()))
+    )
