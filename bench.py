@@ -51,13 +51,17 @@ def main() -> None:
     plans.get("a1_pricing_summary").fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in HEADLINE:
         q = plans.get(name)
         t0 = time.perf_counter()
-        # count() materializes every row through the full plan without
-        # collecting results to the driver.
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            # count() materializes every row through the full plan
+            # without collecting results to the driver.
+            q.fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # one bad query must not lose the run
+            failures[name] = f"{type(ex).__name__}: {ex}"[:200]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -68,6 +72,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"failures": failures} if failures else {}),
             }
         )
     )
