@@ -409,3 +409,29 @@ def a8_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wavg_price")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-string API path: the SAME ANSI text runs on Spark (spark.sql over
+# registered views) and on DuckDB as the oracle — demonstrating the
+# engine's SQL surface is dialect-portable, not just the DataFrame API.
+# Correlated EXISTS (J5) chosen because subquery decorrelation is the
+# planner feature worth pinning.
+# --------------------------------------------------------------------------
+_SQL_API_EXISTS = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > 400000
+    )
+"""
+
+
+@query("sql_api_exists", survey="J5,S1", oracle=_SQL_API_EXISTS)
+def sql_api_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_SQL_API_EXISTS)
