@@ -431,3 +431,28 @@ def ext_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# Explicit GROUPING SETS (the general form rollup/cube specialize) —
+# via the SQL surface; the same text is the DuckDB oracle.
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+"""
+
+
+@query(
+    "ext_grouping_sets",
+    survey="ext:grouping-sets",
+    oracle=_GROUPING_SETS_SQL,
+)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUPING_SETS_SQL)
