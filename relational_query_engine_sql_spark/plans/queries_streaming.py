@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..streaming.events import (
+    purchase_click_attribution,
     sessionize_batch,
     sliding_counts,
     tumbling_aggregate,
@@ -58,6 +59,34 @@ def stream_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     same epoch-divisible origin)."""
     ev = load_table(spark, sf_dir, "events")
     return sliding_counts(ev, window="1 hour", slide="15 minutes")
+
+
+@query(
+    "stream_join_attribution",
+    survey="streaming:interval-join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           p.value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+      AND c.event_type = 'click'
+    """,
+)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join in batch mode — SURVEY §2.3 notes the
+    reference has no range joins; this is the streaming-capable
+    attribution shape (the stream-stream variant with watermarked
+    state expiry runs in tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_click_attribution(ev)
 
 
 @query(

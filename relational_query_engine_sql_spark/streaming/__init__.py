@@ -2,6 +2,7 @@ from .events import (
     EVENTS_TABLE_SCHEMA,
     dedup_stream,
     ingest_stream_to_table,
+    purchase_click_attribution,
     read_events_stream,
     sessionize_batch,
     sessionized_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "EVENTS_TABLE_SCHEMA",
     "dedup_stream",
     "ingest_stream_to_table",
+    "purchase_click_attribution",
     "read_events_stream",
     "sessionize_batch",
     "sessionized_stream",

@@ -192,6 +192,50 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def purchase_click_attribution(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Interval join: each purchase matched to the same user's clicks
+    in the preceding ``max_gap``.
+
+    On streams this is a stream-stream inner join — both sides carry
+    watermarks and the join condition bounds event time on both sides,
+    which is exactly what lets Spark expire join state (an unbounded
+    stream-stream join would buffer forever). On batch frames the same
+    condition plans as a hash join on user_id with the time range as a
+    post-filter — never a nested-loop join.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (purchases.user_id == clicks.user_id)
+        & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}"))
+        & (clicks.click_ts <= purchases.purchase_ts)
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        purchases.user_id,
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Custom stateful operator: running per-user totals with
 # applyInPandasWithState (the §7 "custom stateful operator" surface).

@@ -92,6 +92,30 @@ def test_streaming_dedup(spark, sf_small):
     assert dedup_stream(ev.union(ev)).count() == want
 
 
+def test_stream_stream_interval_join(spark, sf_small):
+    """Watermarked stream-stream purchase←click attribution matches
+    the batch interval join."""
+    from relational_query_engine_sql_spark.streaming import (
+        purchase_click_attribution,
+    )
+
+    stream = read_events_stream(spark, sf_small)
+    _run_stream(
+        purchase_click_attribution(stream), "attrib_out", mode="append"
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib_out").collect()
+    }
+    batch = purchase_click_attribution(
+        load_table(spark, sf_small, "events")
+    )
+    want = {
+        (r["purchase_id"], r["click_id"]) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stream_to_table_ingestion_effectively_once(spark, sf_small, tmp_path):
     """foreachBatch + keyed insert_ignore: duplicated input collapses,
     and re-running the whole stream (fresh checkpoint, simulating a
