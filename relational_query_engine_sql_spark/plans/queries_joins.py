@@ -314,3 +314,42 @@ def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F8/F9 analog on driver tables — the reference's access-control
+# predicate shape (owner OR public OR EXISTS(share),
+# src/routes/lists.js:184-194) as: own-segment OR urgent OR
+# EXISTS(big lineitem). Same plan shape: OR of cheap predicates with a
+# semi-join arm. The true fixture-table versions live in
+# operators/domain.py (tests/test_domain_semantics.py).
+# --------------------------------------------------------------------------
+@query(
+    "f8_analog_acl",
+    survey="F8,F9,J5",
+    oracle="""
+    SELECT o.o_orderkey
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+       OR o.o_orderpriority = '1-URGENT'
+       OR EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+          )
+    """,
+)
+def f8_analog_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 49).select("l_orderkey").distinct()
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        big, o.o_orderkey == big.l_orderkey, "left"
+    )
+    visible = (
+        (F.col("c_mktsegment") == "BUILDING")
+        | (F.col("o_orderpriority") == "1-URGENT")
+        | F.col("l_orderkey").isNotNull()
+    )
+    return joined.filter(visible).select("o_orderkey")
