@@ -132,3 +132,62 @@ class ParquetTable:
     # S7 variant — delete by key set (anti-join rewrite).
     def delete_keys(self, keys_df: DataFrame) -> None:
         self._swap_in(self.read().join(keys_df, self.keys, "left_anti"))
+
+
+# --------------------------------------------------------------------------
+# S7 cascade — FK ON DELETE CASCADE as explicit multi-table deletes.
+# The reference's schema declares CASCADE on every child FK
+# (sql/schema.sql:21,28,36,44,54,60,77,93-94); Postgres walks the FK
+# graph implicitly, Spark has no FKs, so the walk is explicit here.
+# --------------------------------------------------------------------------
+# A cascade spec is a list of edges: (child_table, fk_maps, grandchildren)
+# where fk_maps is a list of {child_col: parent_key_col} dicts — one per
+# FK the child has to this parent (friend has TWO, userid1 and userid2;
+# matching ANY of them dooms the row).
+CascadeSpec = list  # recursive: [(ParquetTable, [dict], CascadeSpec), ...]
+
+
+def _snapshot(table: ParquetTable, df: DataFrame) -> DataFrame:
+    """Materialize a doomed-key set so it survives the parent's
+    directory swap (lazy plans would re-read post-swap files). Driver
+    collect is fine at fixture scale; a 100 TB deployment would stage
+    to a scratch parquet path instead — same contract."""
+    rows = df.collect()
+    return table.spark.createDataFrame(rows, df.schema)
+
+
+def cascade_delete_keys(
+    table: ParquetTable, keys_df: DataFrame, children: CascadeSpec = ()
+) -> None:
+    """Delete ``table`` rows matching ``keys_df`` (on table.keys),
+    depth-first cascading into ``children`` before touching this level
+    so every child computes its doomed set against pre-delete data."""
+    for child, fk_maps, grandchildren in children:
+        doomed_child = None
+        for m in fk_maps:
+            probe = keys_df.select(
+                *[F.col(pk).alias(cc) for cc, pk in m.items()]
+            ).dropDuplicates()
+            hit = (
+                child.read()
+                .join(probe, list(m.keys()), "left_semi")
+                .select(child.keys)
+            )
+            doomed_child = (
+                hit if doomed_child is None else doomed_child.union(hit)
+            )
+        cascade_delete_keys(
+            child, _snapshot(child, doomed_child.dropDuplicates()), grandchildren
+        )
+    table.delete_keys(keys_df)
+
+
+def cascade_delete(
+    parent: ParquetTable, condition: Column, children: CascadeSpec = ()
+) -> None:
+    """DELETE FROM parent WHERE condition, cascading through the FK
+    graph (ON DELETE CASCADE semantics, done explicitly)."""
+    doomed = _snapshot(
+        parent, parent.read().filter(condition).select(parent.keys)
+    )
+    cascade_delete_keys(parent, doomed, children)
