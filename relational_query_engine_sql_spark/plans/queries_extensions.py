@@ -456,3 +456,59 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# Multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
+# multiplicity — the variant ext_setops' distinct forms discard.
+@query(
+    "ext_setops_all",
+    survey="ext:set-operations-all",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b
+    )
+    UNION ALL
+    SELECT 'except_all', o_custkey FROM (
+        SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b
+    )
+    """,
+)
+def ext_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        a.intersectAll(b)
+        .select(F.lit("intersect_all").alias("op"), "o_custkey")
+        .unionAll(
+            a.exceptAll(b).select(F.lit("except_all").alias("op"), "o_custkey")
+        )
+    )
+
+
+@query(
+    "ext_percent_rank",
+    survey="ext:percent-rank",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+               AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+               AS cume
+    FROM orders
+    """,
+)
+def ext_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist — deterministic under ties (equal sort
+    keys share a value), both rounded to 6 for cross-engine hashing."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
