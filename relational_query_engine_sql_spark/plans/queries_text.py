@@ -368,3 +368,51 @@ def _simhash_sql(bits: int = 16) -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return simhash(docs)
+
+
+# --------------------------------------------------------------------------
+# Hash-stable sampling — the reproducible way to sample at 100 TB
+# (df.sample() draws from an RNG: not portable across engines, runs, or
+# partitionings). Bucketing md5(id) gives a deterministic ~1/16 sample
+# that is stable under re-partitioning, retries, and engine choice.
+# --------------------------------------------------------------------------
+@query(
+    "sample_stable",
+    survey="beyond:stable-sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("doc_id", "n_chars")
+
+
+@query(
+    "sample_stratified",
+    survey="beyond:stratified-sample",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           IN ('0', '1', '2', '3') THEN 1 END) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum ~25% hash sample accounting: the deterministic
+    analog of sampleBy, with the sample decision a pure function of the
+    row key."""
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2", "3")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(in_sample, 1)).alias("n_sampled"),
+    )
