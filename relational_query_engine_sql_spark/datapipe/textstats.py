@@ -30,15 +30,12 @@ def token_count(text_col: str = "text") -> Column:
 
 
 def bpe_ish_token_count(text_col: str = "text") -> Column:
-    """BPE-ish proxy: count word pieces + digit runs + punctuation marks
-    via a regex split — a cheap deterministic stand-in for a real
-    tokenizer's token count."""
-    return F.size(
-        F.filter(
-            F.split(F.col(text_col), r"([^A-Za-z0-9]+)"),
-            lambda x: x != F.lit(""),
-        )
-    )
+    """BPE-style pre-token count — delegates to the canonical
+    tokenizer in ``functions.tokenize`` (single source of truth for
+    the pattern, which must stay Java-regex/RE2-identical)."""
+    from ..functions.tokenize import bpe_ish_tokens
+
+    return F.size(bpe_ish_tokens(F.col(text_col)))
 
 
 def stopword_hits(text_col: str, words: list[str]) -> Column:

@@ -81,6 +81,19 @@ def test_ingest_partitioned_parquet(spark, csv_dir, tmp_path):
     assert again.count() == cleaned.count()
 
 
+def test_partition_pruning_on_symbol(spark, csv_dir, tmp_path):
+    """The symbol-partitioned layout must turn a per-symbol probe into
+    directory pruning (PartitionFilters on the scan) — the Spark analog
+    of the reference's (symbol, timestamp) b-tree index."""
+    path, _ = csv_dir
+    out = str(tmp_path / "pq_pruned")
+    ingest_ohlcv_csv(spark, path, out)
+    probe = spark.read.parquet(out).filter("symbol = 'AAPL'")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "symbol" in plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+
+
 def test_symbol_registry(spark, csv_dir):
     path, stocks = csv_dir
     cleaned = clean_ohlcv(read_ohlcv_csv(spark, path))
