@@ -38,6 +38,8 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "stream_tumbling_hourly",
     "tpch_q6_forecast_revenue",
+    "ext_pivot",
+    "w4_gap_fill",
 ]
 
 

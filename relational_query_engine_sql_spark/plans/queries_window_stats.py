@@ -222,3 +222,56 @@ def stats_bundle_cov_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cov", 6).alias("cov"),
         F.round("beta", 6).alias("beta"),
     )
+
+
+# --------------------------------------------------------------------------
+# §4 statistics cache — probe-or-compute, registry-gated. The reference
+# memoizes COV/beta in a statistics_cache table (schema.sql:101-110,
+# portfolio.js:329-346,427-445); here the wrapper computes on miss,
+# upserts, and serves the SECOND call from the cache — the returned
+# frame is the cache-hit read, so the oracle also validates the
+# write→read round trip through the keyed parquet table.
+# --------------------------------------------------------------------------
+@query(
+    "stats_cached_cov_beta",
+    survey="A2,A4,cache:statistics",
+    oracle=_RETURNS_CTE
+    + """
+    , mkt AS (SELECT d, AVG(r) AS mr FROM rnn GROUP BY d),
+    cov_t AS (
+        SELECT event_type, STDDEV_SAMP(r) / AVG(r) AS cov
+        FROM rnn GROUP BY event_type
+    ),
+    beta_t AS (
+        SELECT rnn.event_type,
+               COVAR_POP(rnn.r, mkt.mr) / VAR_POP(mkt.mr) AS beta
+        FROM rnn JOIN mkt ON rnn.d = mkt.d
+        GROUP BY rnn.event_type
+    )
+    SELECT c.event_type AS symbol,
+           ROUND(c.cov, 6) AS cov,
+           ROUND(b.beta, 6) AS beta
+    FROM cov_t c JOIN beta_t b ON c.event_type = b.event_type
+    """,
+)
+def stats_cached_cov_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.stats_cache import (
+        cached_portfolio_statistics,
+        statistics_cache_table,
+    )
+
+    cache = statistics_cache_table(
+        spark, tempfile.mkdtemp(prefix="statcache") + "/t"
+    )
+
+    def compute() -> DataFrame:
+        return (
+            stats_bundle_cov_beta(spark, sf_dir)
+            .select(F.col("event_type").alias("symbol"), "cov", "beta")
+        )
+
+    args = (cache, 1, "2024-01-01", "2024-12-31", compute)
+    cached_portfolio_statistics(*args)  # miss → compute + upsert
+    return cached_portfolio_statistics(*args)  # hit → served from cache
