@@ -84,6 +84,7 @@ def jaccard_pairs(
     threshold: float,
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over document pairs.
 
@@ -91,7 +92,10 @@ def jaccard_pairs(
     given, only verify those pairs (the LSH path); otherwise generate
     pairs from the shingle self-join (exact path). ``max_shingle_df``
     drops shingles occurring in more than that many docs — the skew cap.
-    Output: (d1, d2, jaccard) with jaccard >= threshold.
+    ``counts`` (id, n) can be supplied when the caller already computed
+    per-doc shingle counts (minhash_signature emits them) — saves one
+    recomputation of the shingle subtree. Output: (d1, d2, jaccard)
+    with jaccard >= threshold.
     """
     if max_shingle_df is not None:
         keep = (
@@ -101,8 +105,10 @@ def jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(keep, "sh", "left_semi")
+        counts = None  # the cap changes per-doc counts; recompute
 
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if counts is None:
+        counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.select(F.col("id").alias("d1"), "sh")
     b = sh.select(F.col("id").alias("d2"), "sh")
@@ -140,11 +146,13 @@ def minhash_signature(
 
     md5-as-string keeps the signature identical across engines; min of
     a uniformly-distributed hex string is a valid minhash. Output:
-    (id, h0..h{n-1}) — one groupBy over the shingle set."""
+    (id, h0..h{n-1}, n) — one groupBy over the shingle set; ``n`` (the
+    per-doc shingle count) rides along for free so the verification
+    stage doesn't recompute the shingle subtree for it."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
         for i in range(n_hashes)
-    ]
+    ] + [F.count(F.lit(1)).alias("n")]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -199,8 +207,11 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → exact-Jaccard verification. Output: (d1, d2, jaccard)."""
     sh = shingles(df, id_col, text_col, n)
-    cand = lsh_candidates(minhash_signature(sh, n_hashes), n_hashes, bands)
-    return jaccard_pairs(sh, threshold, candidates=cand)
+    sig = minhash_signature(sh, n_hashes)
+    cand = lsh_candidates(sig, n_hashes, bands)
+    return jaccard_pairs(
+        sh, threshold, candidates=cand, counts=sig.select("id", "n")
+    )
 
 
 def simhash(

@@ -337,8 +337,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     sh = shingles(docs)
-    cand = lsh_candidates(minhash_signature(sh))
-    pairs = jaccard_pairs(sh, JACCARD_THRESHOLD, candidates=cand)
+    sig = minhash_signature(sh)
+    cand = lsh_candidates(sig)
+    pairs = jaccard_pairs(
+        sh, JACCARD_THRESHOLD, candidates=cand, counts=sig.select("id", "n")
+    )
     return pairs.select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )
