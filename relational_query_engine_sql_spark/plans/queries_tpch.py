@@ -210,3 +210,77 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    survey="ext:tpch-q4,J5",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate <  DATE '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS-gated aggregate (late lineitems per order) —
+    the semi-join feeds a single groupBy; the driver schema lacks
+    commitdate so shipdate>orderdate stands in for the lateness
+    predicate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    survey="ext:tpch-q14",
+    oracle="""
+    SELECT ROUND(
+               100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue_pct,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-09-01'
+      AND l_shipdate <  DATE '1997-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional revenue ratio over a fact⋈dim join —
+    the part side broadcasts; one aggregate, two conditional sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
