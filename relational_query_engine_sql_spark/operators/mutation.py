@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -147,39 +148,56 @@ class ParquetTable:
 CascadeSpec = list  # recursive: [(ParquetTable, [dict], CascadeSpec), ...]
 
 
-def _snapshot(table: ParquetTable, df: DataFrame) -> DataFrame:
+def _snapshot(table: ParquetTable, df: DataFrame, scratch_root: str) -> DataFrame:
     """Materialize a doomed-key set so it survives the parent's
-    directory swap (lazy plans would re-read post-swap files). Driver
-    collect is fine at fixture scale; a 100 TB deployment would stage
-    to a scratch parquet path instead — same contract."""
-    rows = df.collect()
-    return table.spark.createDataFrame(rows, df.schema)
+    directory swap (lazy plans would re-read post-swap files).
+
+    Staged to a scratch parquet path and read back — the doomed set of
+    a hot parent (users → friend/request/review) can exceed driver
+    memory at scale, so it never passes through the driver. The scratch
+    directory lives until the top-level cascade completes (the returned
+    frame reads lazily from it)."""
+    path = os.path.join(scratch_root, f"doomed-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(path)
+    return table.spark.read.schema(df.schema).parquet(path)
 
 
 def cascade_delete_keys(
-    table: ParquetTable, keys_df: DataFrame, children: CascadeSpec = ()
+    table: ParquetTable,
+    keys_df: DataFrame,
+    children: CascadeSpec = (),
+    _scratch_root: str | None = None,
 ) -> None:
     """Delete ``table`` rows matching ``keys_df`` (on table.keys),
     depth-first cascading into ``children`` before touching this level
     so every child computes its doomed set against pre-delete data."""
-    for child, fk_maps, grandchildren in children:
-        doomed_child = None
-        for m in fk_maps:
-            probe = keys_df.select(
-                *[F.col(pk).alias(cc) for cc, pk in m.items()]
-            ).dropDuplicates()
-            hit = (
-                child.read()
-                .join(probe, list(m.keys()), "left_semi")
-                .select(child.keys)
+    own_scratch = _scratch_root is None
+    scratch = _scratch_root or tempfile.mkdtemp(prefix="rqe-cascade-")
+    try:
+        for child, fk_maps, grandchildren in children:
+            doomed_child = None
+            for m in fk_maps:
+                probe = keys_df.select(
+                    *[F.col(pk).alias(cc) for cc, pk in m.items()]
+                ).dropDuplicates()
+                hit = (
+                    child.read()
+                    .join(probe, list(m.keys()), "left_semi")
+                    .select(child.keys)
+                )
+                doomed_child = (
+                    hit if doomed_child is None else doomed_child.union(hit)
+                )
+            cascade_delete_keys(
+                child,
+                _snapshot(child, doomed_child.dropDuplicates(), scratch),
+                grandchildren,
+                _scratch_root=scratch,
             )
-            doomed_child = (
-                hit if doomed_child is None else doomed_child.union(hit)
-            )
-        cascade_delete_keys(
-            child, _snapshot(child, doomed_child.dropDuplicates()), grandchildren
-        )
-    table.delete_keys(keys_df)
+        table.delete_keys(keys_df)
+    finally:
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
 
 
 def cascade_delete(
@@ -187,7 +205,11 @@ def cascade_delete(
 ) -> None:
     """DELETE FROM parent WHERE condition, cascading through the FK
     graph (ON DELETE CASCADE semantics, done explicitly)."""
-    doomed = _snapshot(
-        parent, parent.read().filter(condition).select(parent.keys)
-    )
-    cascade_delete_keys(parent, doomed, children)
+    scratch = tempfile.mkdtemp(prefix="rqe-cascade-")
+    try:
+        doomed = _snapshot(
+            parent, parent.read().filter(condition).select(parent.keys), scratch
+        )
+        cascade_delete_keys(parent, doomed, children, _scratch_root=scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -112,7 +112,16 @@ def apply_trades(holdings: DataFrame, trades: DataFrame) -> DataFrame:
 
 def ledger_entries(trades: DataFrame, start_id: int = 1) -> DataFrame:
     """Signed ledger rows in the reference's exact detail format
-    (trading.js:105,215): BUY → negative amount, SELL → positive."""
+    (trading.js:105,215): BUY → negative amount, SELL → positive.
+
+    Transaction ids are SERIAL-like: dense, deterministic, starting at
+    ``start_id``. Postgres SERIAL guarantees uniqueness, not insertion
+    order, so no global total order is required — ids are assigned with
+    a window partitioned by ``portfolioid`` plus per-portfolio offsets
+    (cumulative counts over the tiny portfolio-count frame). Every
+    shuffle is keyed by portfolio; no single-reducer Exchange appears
+    in the plan (pinned in tests/test_plan_properties.py).
+    """
     amount = F.when(
         F.col("side") == "BUY", -F.col("price") * F.col("shares")
     ).otherwise(F.col("price") * F.col("shares"))
@@ -124,13 +133,37 @@ def ledger_entries(trades: DataFrame, start_id: int = 1) -> DataFrame:
         F.col("symbol"),
         F.col("price").cast("string"),
     )
-    w_id = F.row_number().over(W.orderBy("ts", "portfolioid", "symbol"))
-    return trades.select(
-        (w_id + F.lit(start_id - 1)).alias("transactionid"),
+    # per-portfolio dense rank: rows shuffle on portfolioid only.
+    w_local = F.row_number().over(
+        W.partitionBy("portfolioid").orderBy("ts", "symbol", "side", "shares")
+    )
+    # per-portfolio id offsets: cumulative counts over one row per
+    # portfolio — broadcast-sized at any realistic portfolio count.
+    counts = trades.groupBy("portfolioid").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
         "portfolioid",
-        F.round(amount, 2).alias("amount"),
-        detail.alias("detail"),
-        F.col("ts").alias("createdat"),
+        (
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("portfolioid").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+            + F.lit(start_id)
+        ).alias("_base"),
+    )
+    return (
+        trades.withColumn("_rn", w_local)
+        .join(F.broadcast(offsets), "portfolioid")
+        .select(
+            (F.col("_base") + F.col("_rn") - 1).alias("transactionid"),
+            "portfolioid",
+            F.round(amount, 2).alias("amount"),
+            detail.alias("detail"),
+            F.col("ts").alias("createdat"),
+        )
     )
 
 

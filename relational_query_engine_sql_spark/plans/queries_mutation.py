@@ -1,0 +1,281 @@
+"""Mutation write-path queries (SURVEY.md §2.1 S3–S7, §2.10 U2).
+
+The reference mutates rows in PostgreSQL (INSERT / ON CONFLICT /
+UPDATE / DELETE CASCADE — src/routes/stocks.js:137-142,
+lists.js:483-491, portfolio.js:110-114, trading.js:81-200,
+sql/schema.sql FK CASCADE decls). Spark-side, each write is a batch
+recompute over :class:`~..operators.mutation.ParquetTable` (read →
+transform → atomic swap).
+
+To give the write paths a *hard* driver correctness signal, every
+query here clones the needed driver table(s) into a scratch parquet
+directory, applies the mutation through the real write path, and
+returns the **post-state** as a DataFrame. The DuckDB oracle expresses
+the same post-state as a pure SELECT over the untouched source views
+(UNION ALL for inserts, CASE for updates, NOT IN for cascades) — an
+independent replay of the reference's row semantics.
+
+Scratch directories live under the system tmpdir for the lifetime of
+the process (the returned frames read from them lazily).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mutation import ParquetTable, cascade_delete
+from ..sources import load_table
+from .registry import query
+
+
+def _clone(spark: SparkSession, sf_dir: str, name: str, keys: list[str]) -> ParquetTable:
+    """Copy a driver table into a scratch ParquetTable (real write path,
+    isolated from the read-only testdata directory)."""
+    src = load_table(spark, sf_dir, name)
+    root = tempfile.mkdtemp(prefix=f"rqe-mutq-{name}-")
+    table = ParquetTable(spark, f"{root}/{name}", src.schema, keys)
+    table.init(src)
+    return table
+
+
+# --------------------------------------------------------------------------
+# S3 — plain row append (INSERT ... RETURNING, stocks.js:126-155).
+# --------------------------------------------------------------------------
+@query(
+    "s3_row_append",
+    survey="S3",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT CAST(900 AS INTEGER), 'ATLANTIS', CAST(0 AS INTEGER)
+    UNION ALL
+    SELECT CAST(901 AS INTEGER), 'ELBONIA', CAST(1 AS INTEGER)
+    """,
+)
+def s3_row_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _clone(spark, sf_dir, "nation", ["n_nationkey"])
+    rows = spark.createDataFrame(
+        [(900, "ATLANTIS", 0), (901, "ELBONIA", 1)], schema=t.schema
+    )
+    t.append(rows)
+    return t.read()
+
+
+# --------------------------------------------------------------------------
+# S4 — idempotent insert (ON CONFLICT DO NOTHING, stocks.js:137-142):
+# the batch carries one key collision (nationkey 0) that must be
+# silently dropped and one genuinely new row that must land.
+# --------------------------------------------------------------------------
+@query(
+    "s4_insert_ignore",
+    survey="S4",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT CAST(902 AS INTEGER), 'NARNIA', CAST(2 AS INTEGER)
+    """,
+)
+def s4_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _clone(spark, sf_dir, "nation", ["n_nationkey"])
+    rows = spark.createDataFrame(
+        [(0, "SHOULD NOT LAND", 9), (902, "NARNIA", 2)], schema=t.schema
+    )
+    t.insert_ignore(rows)
+    return t.read()
+
+
+# --------------------------------------------------------------------------
+# S5 — upsert (ON CONFLICT ... DO UPDATE SET col = EXCLUDED.col,
+# lists.js:483-491): the colliding row REPLACES the existing one.
+# --------------------------------------------------------------------------
+@query(
+    "s5_upsert",
+    survey="S5",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey = 0 THEN 'UPDATED ZERO' ELSE n_name END
+               AS n_name,
+           CASE WHEN n_nationkey = 0 THEN CAST(4 AS INTEGER)
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT CAST(903 AS INTEGER), 'VALINOR', CAST(3 AS INTEGER)
+    """,
+)
+def s5_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _clone(spark, sf_dir, "nation", ["n_nationkey"])
+    rows = spark.createDataFrame(
+        [(0, "UPDATED ZERO", 4), (903, "VALINOR", 3)], schema=t.schema
+    )
+    t.upsert(rows)
+    return t.read()
+
+
+# --------------------------------------------------------------------------
+# S6 — conditional UPDATE with arithmetic + COALESCE partial update
+# (CashBalance = CashBalance + $1, SET Name = COALESCE($1, Name) —
+# portfolio.js:110-114,162-164).
+# --------------------------------------------------------------------------
+@query(
+    "s6_conditional_update",
+    survey="S6,E4",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN COALESCE(NULL, c_name) ELSE c_name END AS c_name,
+           c_nationkey,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN ROUND(c_acctbal + 100.0, 2) ELSE c_acctbal END
+               AS c_acctbal,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN 'UPGRADED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def s6_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _clone(spark, sf_dir, "customer", ["c_custkey"])
+    t.update(
+        F.col("c_mktsegment") == "BUILDING",
+        {
+            # COALESCE(NULL, Name) — the reference's partial-update
+            # idiom: an absent param leaves the column unchanged.
+            "c_name": F.coalesce(F.lit(None), F.col("c_name")),
+            "c_acctbal": F.round(F.col("c_acctbal") + 100.0, 2),
+            "c_mktsegment": F.lit("UPGRADED"),
+        },
+    )
+    return t.read()
+
+
+# --------------------------------------------------------------------------
+# S7 — DELETE with FK ON DELETE CASCADE (sql/schema.sql:21,28,36,44:
+# region ← nation ← {customer, supplier} here). Deleting region 0 must
+# take down its nations and their customers/suppliers, nothing else.
+# The result is the tagged union of surviving keys at every level —
+# row-level verification of the whole cascade.
+# --------------------------------------------------------------------------
+@query(
+    "s7_cascade_delete",
+    survey="S7",
+    oracle="""
+    SELECT 'region' AS tbl, CAST(r_regionkey AS BIGINT) AS k
+    FROM region WHERE r_regionkey <> 0
+    UNION ALL
+    SELECT 'nation', CAST(n_nationkey AS BIGINT)
+    FROM nation WHERE n_regionkey <> 0
+    UNION ALL
+    SELECT 'customer', CAST(c_custkey AS BIGINT)
+    FROM customer WHERE c_nationkey IN
+        (SELECT n_nationkey FROM nation WHERE n_regionkey <> 0)
+    UNION ALL
+    SELECT 'supplier', CAST(s_suppkey AS BIGINT)
+    FROM supplier WHERE s_nationkey IN
+        (SELECT n_nationkey FROM nation WHERE n_regionkey <> 0)
+    """,
+)
+def s7_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _clone(spark, sf_dir, "region", ["r_regionkey"])
+    nation = _clone(spark, sf_dir, "nation", ["n_nationkey"])
+    customer = _clone(spark, sf_dir, "customer", ["c_custkey"])
+    supplier = _clone(spark, sf_dir, "supplier", ["s_suppkey"])
+    cascade_delete(
+        region,
+        F.col("r_regionkey") == 0,
+        children=[
+            (
+                nation,
+                [{"n_regionkey": "r_regionkey"}],
+                [
+                    (customer, [{"c_nationkey": "n_nationkey"}], []),
+                    (supplier, [{"s_nationkey": "n_nationkey"}], []),
+                ],
+            )
+        ],
+    )
+
+    def tagged(df: DataFrame, tbl: str, key: str) -> DataFrame:
+        return df.select(
+            F.lit(tbl).alias("tbl"), F.col(key).cast("bigint").alias("k")
+        )
+
+    return (
+        tagged(region.read(), "region", "r_regionkey")
+        .unionByName(tagged(nation.read(), "nation", "n_nationkey"))
+        .unionByName(tagged(customer.read(), "customer", "c_custkey"))
+        .unionByName(tagged(supplier.read(), "supplier", "s_suppkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# U2 — trade application (trading.js:81-200): BUY accumulates shares at
+# a weighted-average cost basis, SELL decrements shares leaving the
+# average unchanged, a position sold to zero is tombstoned (avg NULL).
+#
+# Trades derive deterministically from lineitem: every line is a BUY
+# (shares = quantity, ts = shipdate); lines with orderkey % 7 = 0 also
+# emit a later 1-share SELL (ts = shipdate + 5000 days puts every sell
+# after every buy, so no sell can be rejected). The price is a pure
+# function of the symbol, which keeps the sequential fold's incremental
+# average EXACT in binary floating point (p·(s+n)/(s+n) == p) — the
+# closed-form oracle below is therefore bit-identical, not
+# approximately equal. Multi-price folds (where the incremental average
+# is genuinely path-dependent) are pinned against a Python reference in
+# tests/test_mutation.py.
+# --------------------------------------------------------------------------
+_U2_ORACLE = """
+    WITH t AS (
+        SELECT CAST(l_suppkey % 100 AS INTEGER) AS portfolioid,
+               'S' || CAST(l_partkey % 25 AS VARCHAR) AS symbol,
+               CAST(l_quantity AS INTEGER) AS sh,
+               CAST(l_partkey % 25 * 3 + 7 AS DOUBLE) AS price,
+               CASE WHEN l_orderkey % 7 = 0 THEN 1 ELSE 0 END AS sold
+        FROM lineitem
+    )
+    SELECT portfolioid, symbol,
+           CAST(SUM(sh) - SUM(sold) AS INTEGER) AS shares,
+           CASE WHEN SUM(sh) - SUM(sold) = 0 THEN NULL
+                ELSE ROUND(SUM(sh * price) / SUM(sh), 4) END AS avgprice,
+           0 AS rejected
+    FROM t GROUP BY portfolioid, symbol
+"""
+
+
+@query("u2_apply_trades", survey="U2,A8", oracle=_U2_ORACLE)
+def u2_apply_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trading import apply_trades
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_suppkey") % 100).cast("int").alias("portfolioid"),
+        F.concat(F.lit("S"), (F.col("l_partkey") % 25).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("l_quantity").cast("int").alias("shares"),
+        (F.col("l_partkey") % 25 * 3 + 7).cast("double").alias("price"),
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        F.col("l_orderkey").alias("_ok"),
+    )
+    buys = base.select(
+        "portfolioid", "symbol", F.lit("BUY").alias("side"), "shares", "price", "ts"
+    )
+    sells = base.filter(F.col("_ok") % 7 == 0).select(
+        "portfolioid",
+        "symbol",
+        F.lit("SELL").alias("side"),
+        F.lit(1).alias("shares"),
+        "price",
+        (F.col("ts") + F.expr("INTERVAL 5000 DAYS")).alias("ts"),
+    )
+    holdings = spark.createDataFrame(
+        [], "portfolioid int, symbol string, shares int, avgprice double"
+    )
+    return apply_trades(holdings, buys.unionByName(sells)).select(
+        "portfolioid",
+        "symbol",
+        "shares",
+        "avgprice",
+        F.col("rejected").cast("int").alias("rejected"),
+    )

@@ -65,7 +65,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only for the driver; ranking equivalence to the JVM path (and
 # thus transitively to the DuckDB oracle) is pinned in
 # tests/test_ann_paths.py.
-@query("ann_bruteforce_numpy", survey="beyond:ann-numpy")
+@query("ann_bruteforce_numpy", survey="beyond:ann-numpy", priority=90)
 def ann_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.similarity import cosine_topk_numpy
 

@@ -29,6 +29,8 @@ class RegisteredQuery:
     oracle: str | None  # None → driver records rows-only check
     survey: str  # SURVEY.md §2 operator ids, e.g. "A1" or "J7,A7"
     tags: tuple[str, ...] = field(default_factory=tuple)
+    priority: int = 50  # lower = earlier in the exported ordering
+    index: int = 0  # registration sequence (tie-break within a priority)
 
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
@@ -39,18 +41,37 @@ def query(
     oracle: str | None = None,
     survey: str = "",
     tags: tuple[str, ...] = (),
+    priority: int = 50,
 ) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a named query with its oracle SQL."""
+    """Decorator: register a named query with its oracle SQL.
+
+    ``priority`` orders the exported registry (lower first; ties broken
+    by registration order, i.e. import order of the query modules). The
+    driver's correctness harness evaluates a bounded prefix of the
+    exported ordering, so queries that most need a hard oracle signal
+    this round are registered first; rows-only demos carry a higher
+    priority value and sort after every oracle-checked query.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         _REGISTRY[name] = RegisteredQuery(
-            name=name, fn=fn, oracle=oracle, survey=survey, tags=tuple(tags)
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            survey=survey,
+            tags=tuple(tags),
+            priority=priority,
+            index=len(_REGISTRY),
         )
         return fn
 
     return deco
+
+
+def _ordered() -> list[RegisteredQuery]:
+    return sorted(_REGISTRY.values(), key=lambda q: (q.priority, q.index))
 
 
 def get(name: str) -> RegisteredQuery:
@@ -58,12 +79,12 @@ def get(name: str) -> RegisteredQuery:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    return {n: q.fn for n, q in _REGISTRY.items()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 def registry() -> dict[str, RegisteredQuery]:
-    return dict(_REGISTRY)
+    return {q.name: q for q in _ordered()}
