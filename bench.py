@@ -8,8 +8,10 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -43,6 +45,42 @@ HEADLINE = [
 ]
 
 
+REGRESSION_FACTOR = 1.5
+REGRESSION_FLOOR_SEC = 0.5  # ignore sub-noise-floor deltas
+
+
+def _prior_bench(here: str, sf: str) -> dict | None:
+    """Latest BENCH_r{N}.json from a prior round at the same sf."""
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if str(prior.get("sf")) == sf:
+            return prior
+    return None
+
+
+def _regressions(timings: dict[str, float], prior: dict) -> dict[str, str]:
+    """Per-query deltas vs the prior round that exceed both the ratio
+    and the absolute noise floor — fail-loud on stderr, recorded in the
+    JSON line so round-over-round drift is visible in BENCH_r{N}."""
+    out: dict[str, str] = {}
+    for name, now in timings.items():
+        before = (prior.get("queries") or {}).get(name)
+        if before is None or before <= 0:
+            continue
+        if now > before * REGRESSION_FACTOR and now - before > REGRESSION_FLOOR_SEC:
+            out[name] = f"{before}s -> {now}s ({now / before:.2f}x)"
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -66,6 +104,12 @@ def main() -> None:
             failures[name] = f"{type(ex).__name__}: {ex}"[:200]
 
     total = round(sum(timings.values()), 3)
+    regressions: dict[str, str] = {}
+    prior = _prior_bench(os.path.dirname(os.path.abspath(__file__)), sf)
+    if prior:
+        regressions = _regressions(timings, prior)
+        for name, delta in regressions.items():
+            print(f"REGRESSION {name}: {delta}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -75,6 +119,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"failures": failures} if failures else {}),
+                **({"regressions": regressions} if regressions else {}),
             }
         )
     )

@@ -128,17 +128,152 @@ def _fake_decode(payload: bytes) -> tuple[int, float]:
     return n, _trunc6(sum(payload) / n) if n else 0.0
 
 
+# --------------------------------------------------------------------------
+# Real pure-Python codecs: BMP (struct header walk) and WAV (stdlib
+# wave module). These need no PIL/librosa/ffmpeg — they are the
+# non-fake decode path; formats beyond BMP/WAV still gate on the codec
+# stack.
+# --------------------------------------------------------------------------
+
+
+def sniff_codec(payload: bytes) -> str | None:
+    """Magic-byte container sniff: 'bmp' | 'wav' | None (opaque)."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def encode_bmp(width: int, height: int, value: int) -> bytes:
+    """Minimal valid 24bpp bottom-up BI_RGB bitmap filled with one byte
+    value (deterministic test/pipeline payloads)."""
+    import struct
+
+    row = bytes([value % 256]) * (width * 3)
+    pad = b"\x00" * ((4 - (width * 3) % 4) % 4)
+    pixels = (row + pad) * height
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + dib + pixels
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
+    """Parse a 24bpp BI_RGB bitmap: (width, height, n_pixels,
+    mean_pixel_byte). Walks rows off the real header geometry and skips
+    stride padding — not a trusted-metadata shortcut."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"only 24bpp BMP supported, got {bpp}")
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    total = 0
+    for r in range(height):
+        row = payload[offset + r * stride : offset + r * stride + width * 3]
+        total += sum(row)
+    n_pixels = width * height
+    mean = _trunc6(total / (n_pixels * 3)) if n_pixels else 0.0
+    return width, height, n_pixels, mean
+
+
+def encode_wav(n_frames: int, sample_rate: int, value: int) -> bytes:
+    """Minimal mono 8-bit PCM WAV filled with one sample value."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(bytes([value % 256]) * n_frames)
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """Parse a WAV container (stdlib wave): (sample_rate, n_samples,
+    mean_sample) for mono 8-bit PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 1:
+            raise ValueError("only 8-bit PCM supported")
+        rate = w.getframerate()
+        n = w.getnframes() * w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    mean = _trunc6(sum(frames) / n) if n else 0.0
+    return rate, n, mean
+
+
+_DECODED_CODEC_SCHEMA = (
+    "doc_id long, codec string, width int, height int, sample_rate int, "
+    "n_samples long, mean_val double"
+)
+
+
+def decode_media_codec(media: DataFrame) -> DataFrame:
+    """REAL decode via the pure-Python BMP/WAV codecs — no fake path.
+
+    Arrow-batched ``mapInPandas``; each payload is sniffed by magic
+    bytes and parsed off its actual container structure. Opaque
+    payloads raise (a training pipeline would dead-letter them; here
+    loud failure keeps the correctness contract honest). Images report
+    (width, height, n_pixels, mean pixel byte); audio reports
+    (sample_rate, n_samples, mean sample value).
+    """
+
+    def batches(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                codec = sniff_codec(p)
+                if codec == "bmp":
+                    w, h, n, mean = _decode_bmp(p)
+                    rows.append((doc_id, "bmp", w, h, None, n, mean))
+                elif codec == "wav":
+                    rate, n, mean = _decode_wav(p)
+                    rows.append((doc_id, "wav", None, None, rate, n, mean))
+                else:
+                    raise NotImplementedError(
+                        "payload is neither BMP nor WAV; other formats "
+                        "need the PIL/librosa/ffmpeg codec stack"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "width", "height", "sample_rate",
+                    "n_samples", "mean_val",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=_DECODED_CODEC_SCHEMA)
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads via Arrow-batched ``mapInPandas``.
 
-    Real decoding needs the codec stack (PIL/librosa/ffmpeg) that this
+    BMP/WAV payloads decode for real with no external dependency —
+    see :func:`decode_media_codec`. This entry point covers arbitrary
+    media types, which need the codec stack (PIL/librosa/ffmpeg) this
     container doesn't ship — pass ``fake=True`` to run the
     deterministic stand-in through the identical plumbing.
     """
     if not fake and not _HAS_CODECS:
         raise NotImplementedError(
             "media codecs (PIL/librosa/ffmpeg) not installed; "
-            "use decode_media(media, fake=True) for the stub path"
+            "use decode_media_codec() for real BMP/WAV parsing or "
+            "decode_media(media, fake=True) for the stub path"
         )
 
     def batches(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:

@@ -230,6 +230,113 @@ def ivf_topk(
     )
 
 
+def _signlsh_bands(
+    emb: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH band keys: (id, band, key).
+
+    One Arrow-batched numpy pass — each batch is a single ``V @ H``
+    BLAS matrix multiply against a deterministic seeded hyperplane
+    matrix, then sign bits pack into one integer key per band. Linear
+    in the table, no shuffle; the hyperplanes regenerate identically
+    inside every task from the seed (nothing is broadcast).
+    """
+    import numpy as np
+    import pandas as pd
+
+    total_bits = n_bands * rows_per_band
+
+    def sig(pdfs):
+        rng_h = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if rng_h is None:
+                rng = np.random.default_rng(seed)
+                rng_h = rng.standard_normal((v.shape[1], total_bits))
+            bits = (v @ rng_h) > 0  # (n, total_bits)
+            weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for b in range(n_bands):
+                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                keys = chunk.astype(np.int64) @ weights  # pack bits → int key
+                out.append(
+                    pd.DataFrame({id_col: ids, "band": b, "key": keys})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        sig, schema=f"{id_col} long, band int, key long"
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-duplicates — the 100 TB path.
+
+    Candidate pairs come from sign-LSH band collisions (equi-joins on
+    (band, key) — the all-pairs space never materializes), then each
+    candidate is verified with an exact JVM-side cosine. Recall is
+    probabilistic in the candidate step only: at cos = 0.95 a pair
+    collides in one 8-bit band with p ≈ 0.43, so 16 bands miss with
+    p ≈ 1.4e-4 (near-identical dups at cos ≥ 0.99 miss with p < 1e-8);
+    more bands buy recall linearly in cost. Verification is exact, so
+    precision is always 1.0 vs the brute-force baseline
+    (:func:`embedding_near_dups`), which pytest pins on planted
+    duplicates.
+
+    Scale shape: one linear signature pass (Arrow/BLAS), one
+    self-equi-join on band keys, one distinct, two candidate-restricted
+    joins to fetch vectors. Every shuffle is keyed; no crossJoin, no
+    BNLJ.
+    """
+    sigs = _signlsh_bands(
+        emb, n_bands, rows_per_band, seed, id_col, vec_col
+    )
+    left = sigs.select(
+        F.col(id_col).alias("v1"), "band", "key"
+    )
+    right = sigs.select(
+        F.col(id_col).alias("v2"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .dropDuplicates()
+    )
+    a = emb.select(
+        F.col(id_col).alias("v1"), as_double(F.col(vec_col)).alias("_a")
+    )
+    b = emb.select(
+        F.col(id_col).alias("v2"), as_double(F.col(vec_col)).alias("_b")
+    )
+    return (
+        cand.join(a, "v1")
+        .join(b, "v2")
+        .select(
+            "v1",
+            "v2",
+            F.round(cosine(F.col("_a"), F.col("_b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.99,
@@ -237,9 +344,8 @@ def embedding_near_dups(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All-pairs cosine near-duplicates (v1 < v2, cos >= threshold).
-    Brute force is the correctness baseline; the scale path buckets by
-    LSH/IVF first (see ``ivf_topk``) so the pair space never
-    materializes."""
+    Brute force is the correctness baseline and test oracle; the
+    canonical scale path is :func:`embedding_near_dups_lsh`."""
     a = emb.select(
         F.col(id_col).alias("v1"), as_double(F.col(vec_col)).alias("_a")
     )

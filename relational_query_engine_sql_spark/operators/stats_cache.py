@@ -44,14 +44,21 @@ def cached_portfolio_statistics(
     and return it. On hit, return cached rows without computing —
     mirroring portfolio.js:329-346.
     """
-    probe = cache.read().filter(
-        (F.col("portfolio_id") == portfolio_id)
-        & (F.col("start_date") == F.lit(start_date).cast("date"))
-        & (F.col("end_date") == F.lit(end_date).cast("date"))
+    probe = (
+        cache.read()
+        .filter(
+            (F.col("portfolio_id") == portfolio_id)
+            & (F.col("start_date") == F.lit(start_date).cast("date"))
+            & (F.col("end_date") == F.lit(end_date).cast("date"))
+        )
+        .select("symbol", "cov", "beta")
+        .persist()
     )
-    hit = probe.limit(1).count() > 0
-    if hit:
-        return probe.select("symbol", "cov", "beta")
+    # one scan of the cache table: count() materializes the persisted
+    # probe, and a hit returns the already-cached rows.
+    if probe.count() > 0:
+        return probe
+    probe.unpersist()
 
     result = compute()
     rows = result.select(

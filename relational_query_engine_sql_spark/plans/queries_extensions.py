@@ -113,7 +113,7 @@ def ext_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # No oracle: HLL sketch results are engine-specific by design. The
 # driver records a rows-only check; the ±5% accuracy bound vs the exact
 # count is asserted in tests/test_extensions.py.
-@query("ext_approx_distinct", survey="ext:approx-agg")
+@query("ext_approx_distinct", survey="ext:approx-agg", priority=90)
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -463,6 +463,9 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_setops_all",
     survey="ext:set-operations-all",
+    # near-duplicate of ext_setops (ALL vs DISTINCT variants): sorted
+    # after the checked prefix so a unique-coverage query gets the slot.
+    priority=90,
     oracle="""
     WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
          b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')

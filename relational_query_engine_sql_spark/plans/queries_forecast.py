@@ -81,12 +81,27 @@ def u1_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Grouped-map Pandas-UDF variant of the fit (SURVEY §2.10 U1
-# "alternative: applyInPandas per symbol"). No oracle: same closed form
-# but numpy/pandas summation order differs from SQL aggregates at the
-# ~1e-12 level, so hash equality is not guaranteed — the two Spark
-# paths are instead pinned to each other in tests/test_forecast_paths.py
-# and the driver records a rows-only check.
-@query("u1_linreg_fit_pandas", survey="U1:applyInPandas")
+# "alternative: applyInPandas per symbol"). Shares u1_linreg_fit's
+# closed-form oracle: summation-order drift between numpy and SQL
+# aggregates sits at ~1e-12, absorbed by the shared ROUND(…, 6) —
+# verified string-exact vs DuckDB at sf0.01 and sf0.1. The two Spark
+# paths are additionally pinned to each other in
+# tests/test_forecast_paths.py.
+@query(
+    "u1_linreg_fit_pandas",
+    survey="U1:applyInPandas",
+    oracle=_FIT_CTE
+    + """
+    SELECT event_type,
+           ROUND(slope, 6)     AS slope,
+           ROUND(intercept, 6) AS intercept,
+           n_obs,
+           CASE WHEN slope > 0 THEN 'upward'
+                WHEN slope < 0 THEN 'downward'
+                ELSE 'stable' END AS trend
+    FROM fit
+    """,
+)
 def u1_linreg_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.forecast import linear_fit_grouped
 

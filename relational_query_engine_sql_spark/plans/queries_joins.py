@@ -353,3 +353,69 @@ def f8_analog_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("l_orderkey").isNotNull()
     )
     return joined.filter(visible).select("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# J6 via bucketed layout — the ingest-time contract for the hot
+# fact⋈fact join. Both orders and lineitem are written bucketed+sorted
+# by orderkey ONCE (sources/bucketing.py); every subsequent join on
+# that key is a zero-Exchange sort-merge — at 100 TB the dominant join
+# shuffle disappears from all downstream pipelines reusing the layout.
+# The query asserts the property from the executed plan (the join
+# subplan must contain no Exchange) before aggregating, so a layout
+# regression fails the correctness row, not just a perf number.
+# Same semantics and oracle as j6_fact_bridge.
+# --------------------------------------------------------------------------
+@query(
+    "j6_bucketed_fact_join",
+    survey="J6,bucketed-join",
+    priority=45,
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j6_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from ..sources.bucketing import assert_no_shuffle_join, write_bucketed
+
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    if not spark.catalog.tableExists(lt) or not spark.catalog.tableExists(ot):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        write_bucketed(li, lt, ["l_orderkey"])
+        write_bucketed(o, ot, ["o_orderkey"])
+    # disable auto-broadcast for this plan so the bucketed sort-merge
+    # path (the 100 TB shape, where neither fact side broadcasts) is
+    # what actually executes and gets asserted.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ofilt = spark.table(ot).filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        joined = spark.table(lt).join(
+            ofilt, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert_no_shuffle_join(joined)
+        return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

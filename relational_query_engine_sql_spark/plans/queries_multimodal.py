@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from ..datapipe.multimodal import (
     attach_media,
     decode_media,
+    decode_media_codec,
+    encode_bmp,
+    encode_wav,
     extract_features,
     media_catalog,
     sample_frames,
@@ -87,6 +90,57 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(attach_media(docs), fake=True)
+
+
+# --------------------------------------------------------------------------
+# REAL codec decode — no fake path, no PIL/ffmpeg: payloads are genuine
+# BMP (even doc_id) and WAV (odd doc_id) containers built from doc_id
+# arithmetic, then parsed off their actual header/pixel/sample
+# structure by the pure-Python codecs. Because the encoded content is
+# a deterministic function of doc_id, the DuckDB oracle can state the
+# decoded geometry and mean values exactly.
+# --------------------------------------------------------------------------
+@query(
+    "mm_decode_real",
+    survey="beyond:multimodal-decode-real",
+    priority=46,
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS codec,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 16 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 9 + 1 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END
+               AS sample_rate,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((doc_id % 16 + 1) * (doc_id % 9 + 1) AS BIGINT)
+                ELSE CAST(doc_id % 240 + 1 AS BIGINT) END AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256
+                     ELSE doc_id % 128 END AS DOUBLE) AS mean_val
+    FROM documents
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(pdfs):
+        for pdf in pdfs:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    payloads.append(
+                        encode_bmp(d % 16 + 1, d % 9 + 1, d % 256)
+                    )
+                else:
+                    payloads.append(encode_wav(d % 240 + 1, 8000, d % 128))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return decode_media_codec(media)
 
 
 @query(

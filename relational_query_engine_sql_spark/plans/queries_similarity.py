@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..datapipe.similarity import cosine_topk, embedding_near_dups, ivf_topk
+from ..datapipe.similarity import (
+    cosine_topk,
+    embedding_near_dups_lsh,
+    ivf_topk,
+)
 from ..sources import load_table
 from .registry import query
 
@@ -143,6 +147,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs.
+#
+# The registered (canonical) plan is the LSH-bucketed path: sign-LSH
+# band-key equi-joins generate candidates, exact cosine verifies — the
+# all-pairs space never materializes, so the plan survives a 100×
+# scale-up. The DuckDB oracle is the exact all-pairs formulation (fine
+# at oracle scale); pytest additionally pins the LSH path against the
+# brute-force Spark baseline on planted near-duplicates
+# (tests/test_ann_paths.py).
 # --------------------------------------------------------------------------
 @query(
     "dedup_embedding_cosine",
@@ -160,6 +172,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=NEAR_DUP_THRESHOLD).select(
+    return embedding_near_dups_lsh(emb, threshold=NEAR_DUP_THRESHOLD).select(
         F.col("v1"), F.col("v2"), F.col("cos")
     )

@@ -33,6 +33,55 @@ def test_ivf_recall_tracks_coverage(spark, sf_oracle):
     assert sum(recalls) > 0, recalls
 
 
+def test_lsh_near_dups_match_brute_force_on_planted_dups(spark):
+    """The canonical LSH-bucketed near-dup path must find exactly the
+    pairs the all-pairs baseline finds on data WITH real near-dups.
+
+    Planted set: 40 isotropic base vectors (dim 32) plus 10
+    perturbed copies (cos ≈ 0.99 to their source) — the LSH miss
+    probability at that similarity is < 1e-8 per pair with the default
+    16×8 bands, and the hyperplanes are seed-deterministic, so exact
+    set equality is a stable assertion, not a flaky one."""
+    import numpy as np
+
+    from relational_query_engine_sql_spark.datapipe.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32))
+    dups = base[:10] + 0.05 * rng.standard_normal((10, 32))
+    vecs = np.vstack([base, dups])
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {
+        (r["v1"], r["v2"], r["cos"])
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["v1"], r["v2"], r["cos"])
+        for r in embedding_near_dups_lsh(emb, threshold=0.9).collect()
+    }
+    assert len(brute) >= 10  # the plants are actually near-dups
+    assert lsh == brute
+
+
+def test_lsh_near_dup_plan_has_no_cartesian(spark):
+    """The registered dedup_embedding_cosine plan must be band-key
+    equi-joins — no BroadcastNestedLoopJoin / CartesianProduct over the
+    pair space."""
+    df = plans.get("dedup_embedding_cosine").fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_numpy_topk_matches_jvm_topk(spark, sf_oracle):
     jvm = plans.get("ann_bruteforce_topk").fn(spark, sf_oracle).collect()
     npy = plans.get("ann_bruteforce_numpy").fn(spark, sf_oracle).collect()

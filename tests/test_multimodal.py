@@ -100,3 +100,45 @@ def test_feature_histogram_sums(media):
         assert sum(r["feature"]) == lens[r["doc_id"]]
     normed = extract_features(media, dim=8, normalize=True).first()
     assert abs(sum(normed["feature"]) - 1.0) < 1e-4
+
+
+def test_bmp_roundtrip():
+    from relational_query_engine_sql_spark.datapipe.multimodal import (
+        _decode_bmp,
+        encode_bmp,
+        sniff_codec,
+    )
+
+    payload = encode_bmp(5, 3, 200)
+    assert sniff_codec(payload) == "bmp"
+    w, h, n, mean = _decode_bmp(payload)
+    assert (w, h, n) == (5, 3, 15)
+    assert mean == 200.0
+
+
+def test_wav_roundtrip():
+    from relational_query_engine_sql_spark.datapipe.multimodal import (
+        _decode_wav,
+        encode_wav,
+        sniff_codec,
+    )
+
+    payload = encode_wav(120, 8000, 77)
+    assert sniff_codec(payload) == "wav"
+    rate, n, mean = _decode_wav(payload)
+    assert (rate, n) == (8000, 120)
+    assert mean == 77.0
+
+
+def test_decode_media_codec_rejects_opaque(spark):
+    import pytest as _pytest
+
+    from relational_query_engine_sql_spark.datapipe.multimodal import (
+        decode_media_codec,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not a container"))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|BMP"):
+        decode_media_codec(media).collect()
