@@ -42,6 +42,13 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "ext_pivot",
     "w4_gap_fill",
+    # round 2 additions
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "j6_bucketed_fact_join",
+    "u2_apply_trades",
+    "mm_decode_real",
+    "s7_cascade_delete",
 ]
 
 

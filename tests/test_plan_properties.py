@@ -65,3 +65,40 @@ def test_scan_prunes_columns(spark, sf_oracle):
 def test_semi_and_anti_joins_stay_semi(spark, sf_oracle):
     assert "LeftSemi" in _plan(spark, sf_oracle, "j5_semijoin_exists")
     assert "LeftAnti" in _plan(spark, sf_oracle, "j8_antijoin")
+
+
+def test_ledger_id_window_is_partitioned(spark):
+    """SERIAL-like ledger id assignment must never funnel the trade
+    table through one reducer: every Window over trade rows must carry
+    a portfolioid partition spec. (The cumulative-offset window runs
+    over the one-row-per-portfolio counts frame — broadcast-sized — and
+    is the only unpartitioned window allowed, identifiable by its
+    aggregated input.)"""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from relational_query_engine_sql_spark.operators.trading import (
+        ledger_entries,
+    )
+
+    trades = spark.range(10_000).select(
+        (F.col("id") % 50).cast("int").alias("portfolioid"),
+        F.concat(F.lit("S"), (F.col("id") % 7).cast("string")).alias("symbol"),
+        F.when(F.col("id") % 3 == 0, "SELL").otherwise("BUY").alias("side"),
+        (F.col("id") % 9 + 1).cast("int").alias("shares"),
+        (F.col("id") % 97 + 1).cast("double").alias("price"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+    )
+    out = ledger_entries(trades)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every row_number window must be partitioned by portfolioid
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\]", plan):
+        assert "portfolioid" in m.group(0), m.group(0)
+    # ids are dense 1..N and unique
+    n = trades.count()
+    ids = out.select("transactionid").distinct().count()
+    agg = out.agg(
+        F.min("transactionid").alias("lo"), F.max("transactionid").alias("hi")
+    ).collect()[0]
+    assert ids == n and agg["lo"] == 1 and agg["hi"] == n
