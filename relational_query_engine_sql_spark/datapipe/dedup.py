@@ -241,3 +241,37 @@ def simhash(
         ]
     )
     return summed.select("id", fp.alias("simhash"))
+
+
+def contamination(
+    docs: DataFrame,
+    bench_mod: int = 19,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by exact n-gram overlap: for every
+    training document, count how many of its distinct n-grams appear
+    anywhere in the benchmark set (docs with id % bench_mod == 0 stand
+    in for the eval benchmark here). Non-zero rows are contamination
+    candidates to drop or audit before training.
+
+    Scale shape: the benchmark's distinct-gram set is the small side of
+    one equi-join on the gram (broadcast at any realistic benchmark
+    size); the training side streams through map-side. Production runs
+    use n = 8-13 exact substring grams (GPT-3/C4 practice); the tiny
+    synthetic vocabulary here needs n = 3 for the overlap structure to
+    be non-degenerate.
+    """
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    bench = (
+        sh.filter(F.col("id") % bench_mod == 0)
+        .select("sh")
+        .distinct()
+    )
+    train = sh.filter(F.col("id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

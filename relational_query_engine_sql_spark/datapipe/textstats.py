@@ -96,3 +96,101 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col),
         F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction. Patterns are written in the Java-regex/RE2-common
+# subset (no lookarounds, no \p classes) so the DuckDB oracle matches
+# byte-for-byte; deny_terms cover organization-specific strings that
+# pattern matching can't know (the driver corpus is synthetic word
+# salad with no real PII, so the deny term is what gives the operator
+# non-trivial work there — the pattern machinery is identical either
+# way).
+# --------------------------------------------------------------------------
+PII_PATTERNS: list[str] = [
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",  # email
+    r"\+?[0-9][0-9()\- ]{7,}[0-9]",  # phone-ish digit run
+    r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",  # IPv4
+]
+
+REDACTION_TOKEN = "[PII]"
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    deny_terms: tuple[str, ...] = ("customer",),
+) -> DataFrame:
+    """Per-document PII scrub: (id, n_hits, clean_md5).
+
+    ``n_hits`` counts every pattern/deny-term occurrence BEFORE
+    redaction; ``clean_md5`` fingerprints the redacted text so an
+    oracle can verify the transformation without shipping the text.
+    All regexp_replace/extract_all — JVM codegen, linear scan.
+    """
+    clean = F.col(text_col)
+    hits = F.lit(0)
+    for pat in PII_PATTERNS:
+        hits = hits + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        clean = F.regexp_replace(clean, pat, REDACTION_TOKEN)
+    for term in deny_terms:
+        hits = hits + F.size(F.regexp_extract_all(F.col(text_col), F.lit(term), 0))
+        clean = F.regexp_replace(clean, term, REDACTION_TOKEN)
+    return df.select(
+        F.col(id_col),
+        hits.alias("n_hits"),
+        F.md5(F.encode(clean, "UTF-8")).alias("clean_md5"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``top_token_ratio``: share of the single most frequent token;
+    - ``dup_bigram_ratio``: 1 − distinct/total word bigrams.
+
+    High values of either flag boilerplate/degenerate text. Two
+    grouped aggregations joined on the doc id — no Python.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    tok_stats = (
+        toks.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    w = tokens(text_col)
+    idxs = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(idxs, lambda i: F.array_join(F.slice(w, i, 2), " "))
+        ).alias("g"),
+    )
+    gram_stats = grams.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("n_distinct_bigrams"),
+    )
+    return (
+        tok_stats.join(gram_stats, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens"),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
+                "top_token_ratio"
+            ),
+            F.round(
+                1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
+            ).alias("dup_bigram_ratio"),
+        )
+    )

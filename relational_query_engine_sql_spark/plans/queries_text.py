@@ -419,3 +419,101 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(in_sample, 1)).alias("n_sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-2 pipeline widening: PII redaction, benchmark decontamination,
+# repetition scoring. Register at priority 60 (next round's checked
+# prefix; locally oracle-verified like everything else).
+# --------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    from ..datapipe.textstats import PII_PATTERNS, REDACTION_TOKEN
+
+    terms = list(PII_PATTERNS) + ["customer"]
+    hits = " + ".join(
+        f"LEN(regexp_extract_all(text, '{p}'))" for p in terms
+    )
+    repl = "text"
+    for p in terms:
+        repl = f"regexp_replace({repl}, '{p}', '{REDACTION_TOKEN}', 'g')"
+    return (
+        f"SELECT doc_id, CAST({hits} AS INT) AS n_hits, "
+        f"md5({repl}) AS clean_md5 FROM documents"
+    )
+
+
+@query(
+    "text_pii_redact",
+    survey="beyond:pii-redaction",
+    priority=60,
+    oracle=_pii_oracle(),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.textstats import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_redact(docs)
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    survey="beyond:decontamination",
+    priority=60,
+    oracle=_SHINGLE_CTE
+    + """
+    , bench AS (
+        SELECT DISTINCT sh FROM sh WHERE id % 19 = 0
+    ),
+    train AS (
+        SELECT id, sh FROM sh WHERE id % 19 <> 0
+    )
+    SELECT train.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM train JOIN bench USING (sh)
+    GROUP BY train.id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import contamination
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return contamination(docs, bench_mod=19)
+
+
+@query(
+    "text_repetition_score",
+    survey="beyond:repetition-score",
+    priority=60,
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    toks AS (SELECT id, UNNEST(w) AS tok FROM words),
+    tc AS (SELECT id, tok, COUNT(*) AS c FROM toks GROUP BY id, tok),
+    ts AS (
+        SELECT id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c
+        FROM tc GROUP BY id
+    ),
+    bigr AS (
+        SELECT id, array_to_string(w[i:i+1], ' ') AS g
+        FROM (
+            SELECT id, w, UNNEST(generate_series(1, LEN(w) - 1)) AS i
+            FROM words
+        ) t
+    ),
+    gs AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS nd
+        FROM bigr GROUP BY id
+    )
+    SELECT ts.id AS doc_id, n_tokens,
+           ROUND(top_c * 1.0 / n_tokens, 6) AS top_token_ratio,
+           ROUND(1 - nd * 1.0 / n_bigrams, 6) AS dup_bigram_ratio
+    FROM ts JOIN gs ON ts.id = gs.id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.textstats import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
