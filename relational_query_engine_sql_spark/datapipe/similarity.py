@@ -307,16 +307,30 @@ def embedding_near_dups_lsh(
     sigs = _signlsh_bands(
         emb, n_bands, rows_per_band, seed, id_col, vec_col
     )
-    left = sigs.select(
-        F.col(id_col).alias("v1"), "band", "key"
+    # Bucket-grouped pair expansion instead of a sig⋈sig self-join: the
+    # signature pass (the dominant linear cost at scale) is a single
+    # plan branch computed ONCE, one shuffle on (band, key), and pairs
+    # fan out where they live via JVM array algebra. A hot bucket of m
+    # ids inherently yields m·(m−1)/2 candidates under any LSH
+    # formulation; here it also needs m ids resident per group, which
+    # is fine until m ~ 10^6 (far beyond any sane band width).
+    buckets = (
+        sigs.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
-    right = sigs.select(
-        F.col(id_col).alias("v2"), "band", "key"
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("v1"), y.alias("v2")),
+            ),
+        )
     )
     cand = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2")
+        buckets.select(F.explode(pairs_arr).alias("_p"))
+        .select(F.col("_p.v1").alias("v1"), F.col("_p.v2").alias("v2"))
         .dropDuplicates()
     )
     a = emb.select(
