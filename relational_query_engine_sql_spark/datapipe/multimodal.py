@@ -79,7 +79,11 @@ def media_catalog(media: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("payload")).alias("total_bytes"),
             F.avg("meta.width").alias("avg_width"),
-            F.round(F.sum("meta.duration_s"), 4).alias("total_duration_s"),
+            F.round(
+                F.sum(F.col("meta.duration_s").cast("decimal(27,6)")), 4
+            )
+            .cast("double")
+            .alias("total_duration_s"),
         )
     )
 

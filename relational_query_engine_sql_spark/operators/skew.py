@@ -37,10 +37,16 @@ def salted_count_sum(
     )
     partial_aggs = [F.count(F.lit(1)).alias("_pn")]
     if value_col is not None:
-        partial_aggs.append(F.sum(value_col).alias("_ps"))
+        # decimal partials: the two-stage sum stays exact and
+        # order-independent (bit-reproducible vs the SQL oracle).
+        partial_aggs.append(
+            F.sum(F.col(value_col).cast("decimal(27,6)")).alias("_ps")
+        )
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
 
     final_aggs: list[Column] = [F.sum("_pn").alias("n")]
     if value_col is not None:
-        final_aggs.append(F.round(F.sum("_ps"), 4).alias("total"))
+        final_aggs.append(
+            F.round(F.sum("_ps"), 4).cast("double").alias("total")
+        )
     return partial.groupBy(*keys).agg(*final_aggs)

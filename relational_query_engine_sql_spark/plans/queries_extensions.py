@@ -27,7 +27,8 @@ from .registry import query
     survey="ext:having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS spend
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6))), 2)
+                AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 30
@@ -39,7 +40,9 @@ def ext_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(27,6)")), 2)
+            .cast("double")
+            .alias("spend"),
         )
         .filter(F.col("n_orders") >= 30)
     )
@@ -130,7 +133,8 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     big_spenders AS (
         SELECT o_custkey AS c_custkey FROM orders
-        GROUP BY o_custkey HAVING SUM(o_totalprice) > 1000000
+        GROUP BY o_custkey
+        HAVING SUM(CAST(o_totalprice AS DECIMAL(27,6))) > 1000000
     )
     SELECT 'union' AS op, c_custkey FROM (
         SELECT c_custkey FROM building UNION SELECT c_custkey FROM big_spenders
@@ -153,7 +157,7 @@ def ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spenders = (
         orders.groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("s"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("s"))
         .filter(F.col("s") > 1_000_000)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
@@ -179,7 +183,8 @@ def ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS total
     FROM events
     GROUP BY event_type
     """,

@@ -44,7 +44,8 @@ from .registry import query
            COUNT(*) AS n,
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            AVG(width) AS avg_width,
-           ROUND(SUM(duration_s), 4) AS total_duration_s
+           CAST(ROUND(SUM(CAST(duration_s AS DECIMAL(27,6))), 4)
+                AS DOUBLE) AS total_duration_s
     FROM media
     GROUP BY media_type
     """,

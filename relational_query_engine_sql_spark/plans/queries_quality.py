@@ -27,7 +27,9 @@ from .registry import query
     survey="ext:gap-fill",
     oracle="""
     WITH daily AS (
-        SELECT user_id, CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS v
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+                   AS v
         FROM events
         GROUP BY user_id, CAST(ts AS DATE)
     ),
@@ -49,7 +51,11 @@ def w4_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
-    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
+        .cast("double")
+        .alias("v")
+    )
     return gap_fill(daily, key="user_id", time_col="d", value_col="v")
 
 

@@ -171,7 +171,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ..sources import spread
+
+    # spread(): the single-file local scan would run the signature pass
+    # on one core; no-op on an already-split production scan.
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
     return embedding_near_dups_lsh(emb, threshold=NEAR_DUP_THRESHOLD).select(
         F.col("v1"), F.col("v2"), F.col("cos")
     )

@@ -29,7 +29,8 @@ from .registry import query
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -98,7 +99,8 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT event_type) AS n_types,
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts,
-           ROUND(SUM(value), 4) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -110,7 +112,9 @@ def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -170,8 +174,10 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+               CAST(SUM(newsess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) + 1
+                    AS BIGINT) AS session_id
         FROM marked
     )
     SELECT user_id, session_id,

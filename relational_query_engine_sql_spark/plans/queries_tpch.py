@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .numeric import money_sum, sql_money_sum
 from .registry import query
 
 def _rev() -> F.Column:
@@ -33,7 +34,8 @@ def _rev() -> F.Column:
     survey="ext:tpch-q3",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -58,7 +60,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
 
@@ -68,7 +70,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q5",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -104,7 +107,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
     )
 
 
@@ -112,7 +115,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast_revenue",
     survey="ext:tpch-q6",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                        AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-01-01'
@@ -132,7 +136,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n"),
@@ -144,10 +148,10 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q12",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1997-01-01'
@@ -180,7 +184,8 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q10",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -207,7 +212,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
 
@@ -253,10 +258,13 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q14",
     oracle="""
     SELECT ROUND(
-               100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0 END)
-               / SUM(l_extendedprice * (1 - l_discount)), 4)
+               100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                     THEN CAST(l_extendedprice * (1 - l_discount)
+                                               AS DECIMAL(27,6))
+                                     ELSE CAST(0 AS DECIMAL(27,6)) END)
+                            AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(27,6))) AS DOUBLE), 4)
                AS promo_revenue_pct,
            COUNT(*) AS n
     FROM lineitem
@@ -278,9 +286,12 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
-                "promo_revenue_pct"
-            ),
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(27,6)")).cast("double")
+                / F.sum(rev.cast("decimal(27,6)")).cast("double"),
+                4,
+            ).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -357,7 +368,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q7",
     priority=60,
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(CAST(volume AS DECIMAL(27,6))), 2) AS DOUBLE)
+               AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
@@ -402,7 +415,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
     )
 
 
@@ -412,8 +425,11 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=60,
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                               THEN CAST(volume AS DECIMAL(27,6))
+                               ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(27,6))) AS DOUBLE), 6)
+               AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
                l_extendedprice * (1 - l_discount) AS volume,
@@ -461,8 +477,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", vol)
+                    .otherwise(0.0)
+                    .cast("decimal(27,6)")
+                ).cast("double")
+                / F.sum(vol.cast("decimal(27,6)")).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -474,7 +494,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q9",
     priority=60,
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(CAST(amount AS DECIMAL(27,6))), 2) AS DOUBLE)
+               AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
@@ -506,7 +528,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(money_sum(amount).alias("sum_profit"))
     )
 
 
@@ -546,7 +568,8 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(27,6))), 2) AS DOUBLE)
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01'
@@ -567,7 +590,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev()), 2).alias("total_revenue")
+        money_sum(_rev()).alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -618,7 +641,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q17",
     priority=60,
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
@@ -641,7 +665,14 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -650,7 +681,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q19",
     priority=60,
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -678,7 +710,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
     )
 
 
@@ -749,7 +781,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext:tpch-q22,J8",
     priority=60,
     oracle="""
-    SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2)
+    SELECT cntrycode, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(27,6))), 2) AS DOUBLE)
                AS totacctbal
     FROM (
         SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, c_acctbal
@@ -791,6 +823,6 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 10).cast("int").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )

@@ -67,7 +67,9 @@ def tumbling_aggregate(
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
