@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..sources import load_table
+from .numeric import money_sum
 from .registry import query
 
 
@@ -29,12 +30,18 @@ from .registry import query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
-           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,6))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(27,6))), 2) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
            COUNT(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
@@ -49,12 +56,21 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -73,10 +89,12 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                 AS n_rows,
            MIN(ts)                  AS first_ts,
            MAX(ts)                  AS last_ts,
-           ROUND(AVG(value), 6)     AS avg_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value,
            ROUND(MAX(value), 6)     AS max_value,
            ROUND(MIN(value), 6)     AS min_value,
-           ROUND(SUM(value), 4)     AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -87,10 +105,16 @@ def a1_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
         F.round(F.max("value"), 6).alias("max_value"),
         F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -367,10 +391,13 @@ def e11_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A7,E5",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * l_quantity), 2) AS order_value
+           CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity
+                               AS DECIMAL(27,6))), 2) AS DOUBLE)
+               AS order_value
     FROM lineitem
     GROUP BY l_orderkey
-    HAVING SUM(l_extendedprice * l_quantity) > 50000000
+    HAVING SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6)))
+           > 50000000
     """,
 )
 def a7_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,10 +405,17 @@ def a7_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("_raw"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(27,6)"
+                )
+            ).alias("_raw"),
         )
         .filter(F.col("_raw") > 50_000_000)
-        .select("l_orderkey", F.round("_raw", 2).alias("order_value"))
+        .select(
+            "l_orderkey",
+            F.round("_raw", 2).cast("double").alias("order_value"),
+        )
     )
 
 
@@ -394,7 +428,9 @@ def a7_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A8,E6",
     oracle="""
     SELECT l_partkey,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity
+                           AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 6)
                AS wavg_price
     FROM lineitem
     GROUP BY l_partkey
@@ -404,8 +440,12 @@ def a8_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_partkey").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
-            / F.sum("l_quantity"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(27,6)"
+                )
+            ).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double"),
             6,
         ).alias("wavg_price")
     )

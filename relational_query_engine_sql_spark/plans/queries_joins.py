@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 
 from ..operators.asof import latest_per_key
 from ..sources import load_table
+from .numeric import money_sum
 from .registry import query
 
 
@@ -32,7 +33,8 @@ from .registry import query
     oracle="""
     SELECT n.n_name AS nation, r.r_name AS region,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))), 2)
+                AS DOUBLE) AS total_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -52,7 +54,7 @@ def j1_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
         )
     )
 
@@ -173,7 +175,8 @@ def j8_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority AS priority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -192,8 +195,8 @@ def j6_fact_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
     )
@@ -250,7 +253,8 @@ def j7_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_customers,
-           ROUND(SUM(t.o_totalprice), 2) AS segment_value
+           CAST(ROUND(SUM(CAST(t.o_totalprice AS DECIMAL(27,6))), 2)
+                AS DOUBLE) AS segment_value
     FROM customer c
     JOIN (
         SELECT o_custkey, o_totalprice,
@@ -274,7 +278,7 @@ def j7_a7_market_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("segment_value"),
+            money_sum(F.col("o_totalprice")).alias("segment_value"),
         )
     )
 
@@ -373,7 +377,8 @@ def f8_analog_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority AS priority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(27,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -413,8 +418,8 @@ def j6_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert_no_shuffle_join(joined)
         return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
     finally:
