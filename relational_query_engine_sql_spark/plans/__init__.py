@@ -26,5 +26,6 @@ from . import queries_joins  # noqa: E402,F401
 from . import queries_window_stats  # noqa: E402,F401
 from . import queries_forecast  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_sources  # noqa: E402,F401
 
 __all__ = ["all_oracles", "all_queries", "get", "query"]

@@ -1,0 +1,75 @@
+"""Source/sink round-trip queries: the ingest paths under the oracle.
+
+Each query writes a driver table out through a sink (CSV, JSONL), reads
+it back through the schema-pinned ingest contract (explicit StructType,
+PERMISSIVE parse, quarantine side-channel — sources/csv_ingest.py,
+sources/jsonl.py), and returns the re-read rows. The oracle reads the
+original parquet directly, so a hash match proves the round-trip is
+lossless — types, nulls, and value formatting all survive.
+
+Scratch directories live under the system tmpdir (the returned frames
+read from them lazily). Registered at priority 60 (the next round's
+checked prefix).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..sources.jsonl import read_jsonl, write_jsonl
+from .registry import query
+
+
+@query(
+    "src_csv_roundtrip",
+    survey="src:csv",
+    priority=60,
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="rqe-csv-") + "/customer"
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema(cust.schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(out)
+    )
+    return back.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@query(
+    "src_jsonl_roundtrip",
+    survey="src:jsonl",
+    priority=60,
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="rqe-jsonl-") + "/documents"
+    write_jsonl(docs, out)
+    good, quarantine = read_jsonl(spark, out, docs.schema)
+    # a lossless round-trip quarantines nothing; surface a violation as
+    # an empty result rather than silently passing partial data through
+    ok = quarantine.isEmpty()
+    frame = good if ok else good.limit(0)
+    return frame.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    )
