@@ -277,11 +277,33 @@ def _signlsh_bands(
     )
 
 
+def lsh_params(
+    n: int, threshold: float, target_miss: float = 1e-4, bucket_size: int = 64
+) -> tuple[int, int]:
+    """Sign-LSH (rows_per_band, n_bands) sized to the table.
+
+    Bits per band grow with log2(n / bucket_size) so random-collision
+    candidate volume stays ~n·bucket_size/2 instead of n²/2^bits —
+    fixed bits go quadratic once buckets fill (measured in SCALE.md:
+    8 bits is linear to ~10k vectors, 51k wants 12-14). Bands are then
+    chosen so a true pair AT the threshold is missed with probability
+    < ``target_miss``: per-bit collision p = 1 − arccos(t)/π, band
+    match p^b, miss (1−p^b)^bands.
+    """
+    import math
+
+    b = max(8, math.ceil(math.log2(max(2, n) / bucket_size)))
+    p = 1 - math.acos(threshold) / math.pi
+    band_match = p**b
+    n_bands = max(8, math.ceil(math.log(target_miss) / math.log(1 - band_match)))
+    return b, n_bands
+
+
 def embedding_near_dups_lsh(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_bands: int = 16,
-    rows_per_band: int = 8,
+    n_bands: int | None = None,
+    rows_per_band: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -290,20 +312,29 @@ def embedding_near_dups_lsh(
 
     Candidate pairs come from sign-LSH band collisions (equi-joins on
     (band, key) — the all-pairs space never materializes), then each
-    candidate is verified with an exact JVM-side cosine. Recall is
-    probabilistic in the candidate step only: at cos = 0.95 a pair
-    collides in one 8-bit band with p ≈ 0.43, so 16 bands miss with
-    p ≈ 1.4e-4 (near-identical dups at cos ≥ 0.99 miss with p < 1e-8);
-    more bands buy recall linearly in cost. Verification is exact, so
-    precision is always 1.0 vs the brute-force baseline
-    (:func:`embedding_near_dups`), which pytest pins on planted
-    duplicates.
+    candidate is verified with an exact JVM-side cosine. Band geometry
+    auto-sizes to the table by default (:func:`lsh_params`): bits per
+    band grow with log2(n) so random-collision volume stays linear,
+    and the band count is chosen so a true pair AT the threshold is
+    missed with p < 1e-4 (near-identical dups miss far more rarely);
+    pass explicit ``rows_per_band``/``n_bands`` to pin a geometry.
+    Verification is exact, so precision is always 1.0 vs the
+    brute-force baseline (:func:`embedding_near_dups`), which pytest
+    pins on planted duplicates. Measured probe in SCALE.md: full
+    planted-dup recall with 0.15-0.5 ms/vector at 20k-51k vectors once
+    bands are sized; fixed 8-bit bands degrade to ~3 ms/vector at 51k.
 
     Scale shape: one linear signature pass (Arrow/BLAS), one
     self-equi-join on band keys, one distinct, two candidate-restricted
     joins to fetch vectors. Every shuffle is keyed; no crossJoin, no
     BNLJ.
     """
+    if rows_per_band is None or n_bands is None:
+        # one cheap count sizes the bands to the table (SCALE.md probe:
+        # fixed-width bands go quadratic once buckets fill).
+        auto_b, auto_nb = lsh_params(emb.count(), threshold)
+        rows_per_band = rows_per_band or auto_b
+        n_bands = n_bands or auto_nb
     sigs = _signlsh_bands(
         emb, n_bands, rows_per_band, seed, id_col, vec_col
     )
