@@ -26,7 +26,10 @@ from .registry import query
 
 @query(
     "src_csv_roundtrip",
-    survey="src:csv",
+    # S8: the reference's export sink (chart.js:33-58 renders query
+    # results out of the database); the engine analog is a tabular CSV
+    # export, verified lossless by the re-read.
+    survey="src:csv,S8",
     priority=60,
     oracle="""
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
