@@ -389,8 +389,10 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # between() matches the oracle's BETWEEN DATE ... DATE exactly:
+    # both bounds cast to midnight timestamps, both inclusive.
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between("1995-01-01", "1996-12-31 23:59:59")
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -454,7 +456,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59")
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
     )
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
@@ -825,4 +827,267 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 / Q11 / Q20 — the partsupp family. The driver testdata has no
+# partsupp table, so one is DERIVED deterministically from the fact
+# data: the distinct (l_partkey, l_suppkey) pairs that actually trade,
+# with availqty/supplycost computed by integer arithmetic on the keys.
+# Both engines derive it with the same closed form, so the oracle
+# comparison stays exact: integer ops are exact in both, and x/100.0 is
+# one IEEE division of an exact integer — bit-identical either side.
+# At 100 TB the derivation is one map + one distinct-shuffle over
+# lineitem's two key columns (column-pruned at the scan), after which
+# each query joins it like a normal dimension-ish table.
+# --------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey,
+               CAST(((l_partkey * 17 + l_suppkey * 31) % 9999) + 1
+                    AS INTEGER) AS ps_availqty,
+               CAST((l_partkey * 7 + l_suppkey * 11) % 100000 AS DOUBLE)
+                   / 100.0 AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 17 + F.col("l_suppkey") * 31) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        (
+            ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 11) % 100000)
+            .cast("double")
+            / 100.0
+        ).alias("ps_supplycost"),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    survey="ext:tpch-q2",
+    priority=60,
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eligible AS (
+        SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+        FROM eligible GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ps_supplycost AS supply_cost
+    FROM eligible
+    JOIN best ON eligible.ps_partkey = best.ps_partkey
+             AND ps_supplycost = min_cost
+    JOIN part ON p_partkey = eligible.ps_partkey
+    WHERE p_size < 26 AND p_type = 'LARGE'
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per part.
+
+    Decorrelated: the correlated MIN subquery becomes a per-part
+    groupBy over the region-restricted partsupp, joined back on
+    (partkey, cost) equality — cost equality is exact because both
+    sides carry the same derived double. supplier/nation/region are
+    broadcast dims; the only shuffles are partsupp's distinct and the
+    per-part min.
+    """
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    dims = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    eligible = ps.join(
+        F.broadcast(dims), ps.ps_suppkey == dims.s_suppkey
+    ).select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    best = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 26) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eligible.join(
+            best.withColumnRenamed("ps_partkey", "b_partkey"),
+            (F.col("ps_partkey") == F.col("b_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    survey="ext:tpch-q11",
+    priority=60,
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    gsupp AS (
+        SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13',
+                         'NATION_18', 'NATION_23')
+    ),
+    byp AS (
+        SELECT ps_partkey,
+               CAST(ROUND(SUM(CAST(val AS DECIMAL(27,6))), 2) AS DOUBLE)
+                   AS part_value
+        FROM gsupp GROUP BY ps_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) * 0.001
+                   AS threshold
+        FROM gsupp
+    )
+    SELECT ps_partkey, part_value FROM byp, tot
+    WHERE part_value > threshold
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value in a nation group
+    exceeds 0.1% of the total.
+
+    The nation-group partsupp is computed once and persisted into both
+    branches (per-part sum, global threshold); the threshold side is a
+    1-row broadcast. Sums run through decimal so both sides of the
+    strict > are exact — no summation-order flakiness at the cut line.
+    """
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_3", "NATION_8", "NATION_13", "NATION_18", "NATION_23"
+        )
+    )
+    dims = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    gsupp = (
+        ps.join(F.broadcast(dims), ps.ps_suppkey == dims.s_suppkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"),
+        )
+        .persist()
+    )
+    byp = gsupp.groupBy("ps_partkey").agg(
+        money_sum(F.col("val")).alias("part_value")
+    )
+    tot = gsupp.agg(
+        (
+            F.sum(F.col("val").cast("decimal(27,6)")).cast("double") * 0.001
+        ).alias("threshold")
+    )
+    return (
+        byp.join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@query(
+    "tpch_q20_excess_stock_suppliers",
+    survey="ext:tpch-q20",
+    priority=60,
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half_qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN partsupp ON ps_suppkey = s_suppkey
+    JOIN shipped  ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11',
+                     'NATION_16', 'NATION_21')
+      AND ps_availqty > half_qty
+      AND ps_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'large%'
+      )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding more than half a year's
+    shipments of 'large%' parts.
+
+    Decorrelated: per-(part, supp) 1996 shipment sums once, equi-joined
+    to partsupp — no correlated rescan. half_qty sums integral-valued
+    doubles, so the > comparison is exact in both engines. The part
+    name filter is a broadcast semi-join; supplier⋈nation broadcasts.
+    """
+    ps = _partsupp(spark, sf_dir)
+    large_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_6", "NATION_11", "NATION_16", "NATION_21"
+        )
+    )
+    dims = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    return (
+        ps.join(
+            F.broadcast(large_parts),
+            ps.ps_partkey == large_parts.p_partkey,
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .join(F.broadcast(dims), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
     )
