@@ -329,12 +329,22 @@ def embedding_near_dups_lsh(
     joins to fetch vectors. Every shuffle is keyed; no crossJoin, no
     BNLJ.
     """
-    if rows_per_band is None or n_bands is None:
+    if rows_per_band is None:
         # one cheap count sizes the bands to the table (SCALE.md probe:
         # fixed-width bands go quadratic once buckets fill).
-        auto_b, auto_nb = lsh_params(emb.count(), threshold)
-        rows_per_band = rows_per_band or auto_b
-        n_bands = n_bands or auto_nb
+        rows_per_band, auto_nb = lsh_params(emb.count(), threshold)
+        if n_bands is None:
+            n_bands = auto_nb
+    elif n_bands is None:
+        # the band count must be derived FROM the given band width —
+        # wider bands collide less per band, so they need more bands
+        # for the same miss probability.
+        import math
+
+        p = 1 - math.acos(threshold) / math.pi
+        n_bands = max(
+            8, math.ceil(math.log(1e-4) / math.log(1 - p**rows_per_band))
+        )
     sigs = _signlsh_bands(
         emb, n_bands, rows_per_band, seed, id_col, vec_col
     )

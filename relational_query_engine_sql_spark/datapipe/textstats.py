@@ -115,6 +115,17 @@ PII_PATTERNS: list[str] = [
 
 REDACTION_TOKEN = "[PII]"
 
+# metacharacters shared by Java regex and RE2 — escaping exactly these
+# keeps an escaped literal valid (and identical) in both engines.
+_REGEX_META = set("\\.^$*+?()[]{}|")
+
+
+def regex_literal(term: str) -> str:
+    """Escape a plain string so both Java regex and RE2 match it
+    literally (deny terms like "Acme Inc." or "C++" must not be
+    interpreted as patterns)."""
+    return "".join("\\" + c if c in _REGEX_META else c for c in term)
+
 
 def pii_redact(
     df: DataFrame,
@@ -135,8 +146,9 @@ def pii_redact(
         hits = hits + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
         clean = F.regexp_replace(clean, pat, REDACTION_TOKEN)
     for term in deny_terms:
-        hits = hits + F.size(F.regexp_extract_all(F.col(text_col), F.lit(term), 0))
-        clean = F.regexp_replace(clean, term, REDACTION_TOKEN)
+        lit = regex_literal(term)
+        hits = hits + F.size(F.regexp_extract_all(F.col(text_col), F.lit(lit), 0))
+        clean = F.regexp_replace(clean, lit, REDACTION_TOKEN)
     return df.select(
         F.col(id_col),
         hits.alias("n_hits"),

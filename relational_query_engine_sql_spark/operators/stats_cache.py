@@ -44,21 +44,19 @@ def cached_portfolio_statistics(
     and return it. On hit, return cached rows without computing —
     mirroring portfolio.js:329-346.
     """
-    probe = (
-        cache.read()
-        .filter(
-            (F.col("portfolio_id") == portfolio_id)
-            & (F.col("start_date") == F.lit(start_date).cast("date"))
-            & (F.col("end_date") == F.lit(end_date).cast("date"))
-        )
-        .select("symbol", "cov", "beta")
-        .persist()
-    )
-    # one scan of the cache table: count() materializes the persisted
-    # probe, and a hit returns the already-cached rows.
-    if probe.count() > 0:
-        return probe
-    probe.unpersist()
+    probe = cache.read().filter(
+        (F.col("portfolio_id") == portfolio_id)
+        & (F.col("start_date") == F.lit(start_date).cast("date"))
+        & (F.col("end_date") == F.lit(end_date).cast("date"))
+    ).select("symbol", "cov", "beta")
+    # One scan of the cache table per probe, nothing left persisted.
+    # Materializing through the driver is safe HERE because the result
+    # is one portfolio's per-symbol stats for one date range — the same
+    # bounded payload the reference returns over REST
+    # (portfolio.js:329-346) — never a table-sized set.
+    rows = probe.collect()
+    if rows:
+        return cache.spark.createDataFrame(rows, probe.schema)
 
     result = compute()
     rows = result.select(

@@ -133,9 +133,14 @@ def ledger_entries(trades: DataFrame, start_id: int = 1) -> DataFrame:
         F.col("symbol"),
         F.col("price").cast("string"),
     )
-    # per-portfolio dense rank: rows shuffle on portfolioid only.
+    # per-portfolio dense rank: rows shuffle on portfolioid only. The
+    # order key covers every trade attribute so ties are only between
+    # fully identical (interchangeable) rows — id↔amount pairing is
+    # deterministic across runs.
     w_local = F.row_number().over(
-        W.partitionBy("portfolioid").orderBy("ts", "symbol", "side", "shares")
+        W.partitionBy("portfolioid").orderBy(
+            "ts", "symbol", "side", "shares", "price"
+        )
     )
     # per-portfolio id offsets: cumulative counts over one row per
     # portfolio — broadcast-sized at any realistic portfolio count.

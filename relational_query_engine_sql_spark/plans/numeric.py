@@ -10,7 +10,12 @@ round identically), the decimal SUM is exact and order-independent,
 and rounding an exact decimal ties away from zero in both engines.
 The final cast back to double keeps result schemas engine-neutral.
 
-Used by every money/measure sum in the oracle-checked registry.
+Used by every money/measure sum in the oracle-checked registry's
+``plans/`` modules. The operator-layer copies of the idiom
+(``operators/skew.py``, ``streaming/events.py``,
+``datapipe/multimodal.py``) inline the same cast chain on purpose:
+importing from ``plans`` there would invert the package dependency
+direction (plans → operators, never the reverse).
 """
 
 from __future__ import annotations

@@ -112,9 +112,7 @@ def a1_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_value"),
         F.round(F.max("value"), 6).alias("max_value"),
         F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
-        .cast("double")
-        .alias("sum_value"),
+        money_sum(F.col("value"), 4).alias("sum_value"),
     )
 
 

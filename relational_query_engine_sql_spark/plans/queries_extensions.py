@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..sources import load_table
+from .numeric import money_sum
 from .registry import query
 
 
@@ -40,9 +41,7 @@ def ext_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(27,6)")), 2)
-            .cast("double")
-            .alias("spend"),
+            money_sum(F.col("o_totalprice")).alias("spend"),
         )
         .filter(F.col("n_orders") >= 30)
     )

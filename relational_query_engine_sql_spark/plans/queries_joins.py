@@ -387,11 +387,15 @@ def f8_analog_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j6_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re as _re
+    import hashlib
 
     from ..sources.bucketing import assert_no_shuffle_join, write_bucketed
 
-    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # table names key on a hash of the FULL source path so two datasets
+    # sharing a basename can never alias each other's bucketed copy;
+    # within-session reuse assumes the source directory is immutable
+    # (the driver testdata is read-only).
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
     if not spark.catalog.tableExists(lt) or not spark.catalog.tableExists(ot):
         li = load_table(spark, sf_dir, "lineitem").select(
@@ -402,25 +406,22 @@ def j6_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_bucketed(li, lt, ["l_orderkey"])
         write_bucketed(o, ot, ["o_orderkey"])
-    # disable auto-broadcast for this plan so the bucketed sort-merge
-    # path (the 100 TB shape, where neither fact side broadcasts) is
-    # what actually executes and gets asserted.
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        ofilt = spark.table(ot).filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        )
-        joined = spark.table(lt).join(
-            ofilt, F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        assert_no_shuffle_join(joined)
-        return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-            F.count(F.lit(1)).alias("n_items"),
-            money_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue"),
-        )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    ofilt = spark.table(ot).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    # a merge-join HINT (not a session conf) pins the bucketed
+    # sort-merge path — the 100 TB shape, where neither fact side
+    # broadcasts. The hint lives in the plan itself, so the asserted
+    # plan IS the plan the caller later executes, and concurrent
+    # queries in the session are untouched.
+    joined = spark.table(lt).hint("merge").join(
+        ofilt.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    assert_no_shuffle_join(joined)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+    )

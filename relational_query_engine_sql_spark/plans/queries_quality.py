@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.timeseries import gap_fill
 from ..sources import load_table
+from .numeric import money_sum
 from .registry import query
 
 
@@ -51,11 +52,7 @@ def w4_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
-    ).agg(
-        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
-        .cast("double")
-        .alias("v")
-    )
+    ).agg(money_sum(F.col("value"), 4).alias("v"))
     return gap_fill(daily, key="user_id", time_col="d", value_col="v")
 
 

@@ -19,6 +19,7 @@ from ..streaming.events import (
     sliding_counts,
     tumbling_aggregate,
 )
+from .numeric import money_sum
 from .registry import query
 
 
@@ -112,9 +113,7 @@ def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
-        .cast("double")
-        .alias("total_value"),
+        money_sum(F.col("value"), 4).alias("total_value"),
     )
 
 

@@ -427,15 +427,23 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix; locally oracle-verified like everything else).
 # --------------------------------------------------------------------------
 def _pii_oracle() -> str:
-    from ..datapipe.textstats import PII_PATTERNS, REDACTION_TOKEN
+    from ..datapipe.textstats import (
+        PII_PATTERNS,
+        REDACTION_TOKEN,
+        regex_literal,
+    )
 
-    terms = list(PII_PATTERNS) + ["customer"]
+    terms = list(PII_PATTERNS) + [regex_literal("customer")]
+
+    def q(s: str) -> str:  # SQL single-quote escape for the literal
+        return s.replace("'", "''")
+
     hits = " + ".join(
-        f"LEN(regexp_extract_all(text, '{p}'))" for p in terms
+        f"LEN(regexp_extract_all(text, '{q(p)}'))" for p in terms
     )
     repl = "text"
     for p in terms:
-        repl = f"regexp_replace({repl}, '{p}', '{REDACTION_TOKEN}', 'g')"
+        repl = f"regexp_replace({repl}, '{q(p)}', '{REDACTION_TOKEN}', 'g')"
     return (
         f"SELECT doc_id, CAST({hits} AS INT) AS n_hits, "
         f"md5({repl}) AS clean_md5 FROM documents"

@@ -43,23 +43,25 @@ def read_jsonl(
     and the raw text of lines that did not (schema mismatch or broken
     JSON). Nothing is silently dropped or nulled.
     """
+    # Parse via from_json over a text scan rather than the raw json
+    # reader: Spark refuses to query the corrupt-record column off a
+    # raw json file scan (SPARK-21610) unless the parse is cached, and
+    # a cache pinned inside a reader is a session-lifetime leak. A text
+    # scan has no such restriction — both branches re-scan the (cheap,
+    # splittable) text files and parse independently; nothing persists.
     full = T.StructType(
         schema.fields + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    raw = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        # Spark refuses to query the corrupt-record column off a raw
-        # file scan (SPARK-21610); the parse must materialize first.
-        # One cached parse serves both branches — at corpus scale a
-        # deployment sizes this with MEMORY_AND_DISK or splits the
-        # ingest into a staging write.
-        .cache()
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value", full, {"columnNameOfCorruptRecord": CORRUPT_COL}
+        ).alias("_s"),
     )
-    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    quarantine = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
+    good = parsed.filter(F.col(f"_s.{CORRUPT_COL}").isNull()).select(
+        *[F.col(f"_s.{f.name}").alias(f.name) for f in schema.fields]
     )
+    quarantine = parsed.filter(
+        F.col(f"_s.{CORRUPT_COL}").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
     return good, quarantine
