@@ -1,4 +1,6 @@
 from .asof import asof_join, latest_per_key
+from .graph import connected_components
+from .rangejoin import banded_range_join
 from .forecast import (
     classify_trend,
     forecast_horizon,
@@ -16,6 +18,8 @@ __all__ = [
     "ParquetTable",
     "apply_trades",
     "asof_join",
+    "banded_range_join",
+    "connected_components",
     "beta_vs_market",
     "cash_deltas",
     "classify_trend",

@@ -1,0 +1,100 @@
+"""Distributed connected components over an edge DataFrame.
+
+Why this exists: near-duplicate detection (MinHash-LSH, SimHash,
+n-gram Jaccard — ``datapipe/dedup.py``) emits PAIRS, but a dedup
+pipeline must act on CLUSTERS: if A~B and B~C, all three are one
+duplicate group even when A and C never co-occur in a bucket. The
+transitive-closure step is what lets a 100 TB corpus keep exactly one
+canonical document per group. The reference has no analog (its dedup
+surface is row-level UNIQUE constraints); this is part of the
+training-data-pipeline extension surface.
+
+Algorithm: iterative min-label propagation expressed entirely as
+DataFrame ops — each round every node adopts the smallest label among
+itself and its neighbors, until a fixpoint. Converges in O(diameter)
+rounds; duplicate clusters are short-diameter (near-cliques), so 3-5
+rounds is typical. Each round is one shuffle-join (edges ⋈ labels on
+the source id) plus one groupBy-min — both plain hash exchanges on the
+node id, no driver-side graph state, no collect().
+
+At 100 TB: label state is one row per distinct node (bounded by the
+candidate-pair population, far smaller than the corpus); the per-round
+cost is two exchanges of that state. For adversarial long-chain graphs
+the large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) halves the round count;
+min-label propagation is chosen here because dedup graphs are
+clique-ish and the per-round plan is simpler (and AQE-friendly). Each
+round ends in ``localCheckpoint`` to cut lineage — on a real cluster
+prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so
+label state survives executor loss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node with the minimum node id reachable from it.
+
+    ``edges`` is an undirected edge list (self-loops and duplicates
+    tolerated). Returns ``(node, label)`` — one row per node that
+    appears in any edge; ``label`` is the smallest node id in its
+    component, a deterministic canonical representative.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # Symmetrize once so one join per round propagates both directions.
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Labels only ever decrease, so the fixpoint test is a strict
+        # inequality count — a cheap aggregate over the label state,
+        # not a full-result comparison.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels

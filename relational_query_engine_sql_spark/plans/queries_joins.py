@@ -425,3 +425,140 @@ def j6_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# J9 (beyond) — general as-of join: for each purchase event, the most
+# recent 'view' event by the same user at or before the purchase
+# timestamp. The reference's closest shape is the per-key
+# latest-price loop (J7); a true as-of join is its generalization to a
+# left table of arbitrary probe times. operators/asof.py implements it
+# as union + one window (single shuffle on user_id) — no range
+# explosion, no BNLJ, no pandas; the oracle replays it with an
+# inequality join + row_number, which is only feasible oracle-side.
+# --------------------------------------------------------------------------
+@query(
+    "j9_asof_join_purchase_view",
+    survey="beyond:asof-join,J7",
+    priority=60,
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, MAX_BY(value, event_id) AS value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT p.event_id, v.value AS vv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id ORDER BY v.ts DESC
+               ) AS rn
+        FROM p JOIN v
+          ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           p.value AS purchase_value,
+           r.vv AS last_view_value
+    FROM p
+    LEFT JOIN (SELECT event_id, vv FROM ranked WHERE rn = 1) r
+      USING (event_id)
+    """,
+)
+def j9_asof_join_purchase_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # Dedupe the right side to one row per (user_id, ts) — max
+    # event_id wins — so the window fill inside asof_join is
+    # order-deterministic even if timestamps ever collide.
+    views = latest_per_key(
+        ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        keys=["user_id", "ts"],
+        order_col="event_id",
+    ).drop("event_id")
+    return asof_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="ts"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("value_r").alias("last_view_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J10 (beyond) — banded range join: events ⋈ time windows with NO
+# equi-key. Windows = the 20 busiest hours, widened to 2h (so they
+# overlap and an event can land in two). A naive range join is a
+# BroadcastNestedLoopJoin — quadratic; operators/rangejoin.py bands
+# time so it becomes a hash equi-join on the band id with the exact
+# range predicate as a residual. The empty-window-safe aggregate
+# left-joins the inner result back to the window table.
+# --------------------------------------------------------------------------
+@query(
+    "j10_range_join_busy_windows",
+    survey="beyond:range-join",
+    priority=60,
+    oracle="""
+    WITH hours AS (
+        SELECT date_trunc('hour', ts) AS w_start, COUNT(*) AS c
+        FROM events GROUP BY 1
+        ORDER BY c DESC, w_start LIMIT 20
+    ),
+    wins AS (
+        SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end FROM hours
+    )
+    SELECT w.w_start,
+           COUNT(e.event_id) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(27,6))), 2)
+                AS DOUBLE) AS sum_value
+    FROM wins w
+    LEFT JOIN events e
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.w_start
+    """,
+)
+def j10_range_join_busy_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.rangejoin import banded_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("w_start")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wins = (
+        hours.orderBy(F.desc("c"), F.asc("w_start"))
+        .limit(20)
+        .select(
+            "w_start",
+            (F.col("w_start") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+    )
+    joined = banded_range_join(
+        ev.select("event_id", "ts", "value"),
+        wins,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        band_seconds=7200,
+    )
+    agg = joined.groupBy("w_start").agg(
+        F.count("event_id").alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+    return wins.select("w_start").join(agg, "w_start", "left").select(
+        "w_start",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "sum_value",
+    )

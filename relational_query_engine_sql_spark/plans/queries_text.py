@@ -525,3 +525,105 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_metrics(docs)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster assignment: near-dup PAIRS → transitive CLUSTERS.
+# The canonical doc per cluster is the minimum doc_id (deterministic);
+# singleton docs are their own cluster. The Spark side is iterative
+# min-label propagation (operators/graph.py) — pure DataFrame rounds,
+# no driver-side graph; the oracle replays the same closure with a
+# recursive CTE over the identical Jaccard edge set.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cluster_components",
+    survey="beyond:dedup-clusters",
+    priority=60,
+    oracle=_SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + f"""
+    , common AS (
+        SELECT a.id AS d1, b.id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT d1, d2
+        FROM common
+        JOIN counts n1 ON common.d1 = n1.id
+        JOIN counts n2 ON common.d2 = n2.id
+        WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    cc AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(cc.label, d.doc_id) AS cluster_id,
+           (COALESCE(cc.label, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    sh = shingles(docs)
+    pairs = jaccard_pairs(sh, JACCARD_THRESHOLD)
+    cc = connected_components(pairs, "d1", "d2")
+    return docs.join(
+        cc, docs["doc_id"] == cc["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("cluster_id"),
+        (F.coalesce("label", "doc_id") == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window token chunking (datapipe/chunking.py) — the
+# document→training-window explode every pretraining/RAG pipeline
+# runs. Pure narrow transformations; the oracle mirrors the window
+# arithmetic with generate_series + array slicing.
+# --------------------------------------------------------------------------
+@query(
+    "text_chunk_windows",
+    survey="beyond:chunking",
+    priority=60,
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, w,
+               UNNEST(generate_series(0, LEN(w) - 1, 40)) AS s
+        FROM words
+    ),
+    kept AS (
+        SELECT doc_id, w, s,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY s
+               ) - 1 AS INT) AS chunk_id
+        FROM starts
+        WHERE s = 0 OR LEN(w) - s > 10
+    )
+    SELECT doc_id, chunk_id,
+           CAST(LEAST(50, LEN(w) - s) AS INT) AS n_tokens,
+           array_to_string(w[s + 1:s + 50], ' ') AS chunk_text
+    FROM kept
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=50, overlap=10)

@@ -1,0 +1,152 @@
+"""Unit tests for the round-2 additions: connected components,
+banded range join, and sliding-window chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from relational_query_engine_sql_spark.datapipe.chunking import chunk_documents
+from relational_query_engine_sql_spark.operators.graph import connected_components
+from relational_query_engine_sql_spark.operators.rangejoin import banded_range_join
+
+
+# -- connected components ---------------------------------------------------
+
+
+def test_cc_two_components_and_chain(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # clique 10-11-12, plus a duplicate + self-loop edge that must be
+    # tolerated.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (2, 1), (7, 7)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+    }
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40  # diameter 39 — must still converge via min-label rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    rows = connected_components(edges, max_iter=64).collect()
+    assert {r["label"] for r in rows} == {0}
+    assert len(rows) == n + 1
+
+
+# -- banded range join ------------------------------------------------------
+
+
+def _naive_range_join(points, intervals, pt, st, en):
+    return intervals.join(
+        points, (points[pt] >= intervals[st]) & (points[pt] < intervals[en])
+    )
+
+
+def test_banded_range_join_matches_naive(spark):
+    points = spark.createDataFrame(
+        [(i, f"2024-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 0), (0, 59), (1, 0), (2, 30), (5, 45), (23, 59)]
+        )],
+        "pid long, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "2024-01-01 01:00:00"),  # [0,1)
+            ("2024-01-01 00:30:00", "2024-01-01 02:31:00"),  # overlaps
+            ("2024-01-01 10:00:00", "2024-01-01 11:00:00"),  # empty
+        ],
+        "s string, e string",
+    ).select(
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    for band in (60, 3600, 86400):  # narrow, matched, wide
+        got = sorted(
+            (r["w_start"], r["pid"])
+            for r in banded_range_join(
+                points, intervals, "ts", "w_start", "w_end", band
+            ).collect()
+        )
+        want = sorted(
+            (r["w_start"], r["pid"])
+            for r in _naive_range_join(
+                points, intervals, "ts", "w_start", "w_end"
+            ).collect()
+        )
+        assert got == want, band
+    # boundary semantics: start inclusive, end exclusive
+    pairs = {
+        (str(r["w_start"]), r["pid"])
+        for r in banded_range_join(
+            points, intervals, "ts", "w_start", "w_end", 3600
+        ).collect()
+    }
+    assert ("2024-01-01 00:00:00", 0) in pairs  # ts == start kept
+    assert ("2024-01-01 00:00:00", 2) not in pairs  # ts == end dropped
+
+
+def test_banded_range_join_is_hash_join_not_bnlj(spark):
+    points = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(
+            mins=F.col("id").cast("int")
+        )).alias("ts"),
+    )
+    intervals = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "2024-01-01 00:40:00")], "s string, e string"
+    ).select(
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    plan = banded_range_join(
+        points, intervals, "ts", "w_start", "w_end", 600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# -- chunking ---------------------------------------------------------------
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunking_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(120))
+    out = chunk_documents(
+        _mkdocs(spark, [words]), size=50, overlap=10
+    ).collect()
+    # starts 0, 40, 80 → 3 chunks; last has 40 tokens
+    assert [(r["chunk_id"], r["n_tokens"]) for r in sorted(
+        out, key=lambda r: r["chunk_id"]
+    )] == [(0, 50), (1, 50), (2, 40)]
+    by_id = {r["chunk_id"]: r["chunk_text"].split(" ") for r in out}
+    assert by_id[0] == [f"w{i}" for i in range(50)]
+    assert by_id[1][:10] == [f"w{i}" for i in range(40, 50)]  # overlap kept
+
+
+def test_chunking_short_doc_single_window(spark):
+    out = chunk_documents(_mkdocs(spark, ["a b c"]), size=50, overlap=10).collect()
+    assert len(out) == 1
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["chunk_text"] == "a b c"
+
+
+def test_chunking_suppresses_suffix_only_tail(spark):
+    # 45 tokens, size 50 step 40: start 40 would add a 5-token chunk
+    # fully inside [0,50) coverage with only 5 <= overlap new... rule:
+    # kept only if n - start > overlap (45 - 40 = 5 <= 10 → dropped).
+    words = " ".join(f"w{i}" for i in range(45))
+    out = chunk_documents(_mkdocs(spark, [words]), size=50, overlap=10).collect()
+    assert len(out) == 1
