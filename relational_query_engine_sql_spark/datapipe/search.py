@@ -1,0 +1,146 @@
+"""Inverted-index keyword retrieval (BM25) over the documents table.
+
+A training-data pipeline needs keyword search for corpus triage
+(find documents about X, audit what a dedup pass removed, seed
+retrieval evaluation sets). The classic engine for that is an
+inverted index + BM25 ranking; on Spark both are plain DataFrames:
+
+- postings: explode tokens → groupBy (term, doc) count — one shuffle
+  keyed by (term, doc), the distributed build of the inverted index.
+  At 100 TB the posting table is the corpus token multiset, stored
+  partitioned by term; skewed stopword terms are bounded here by
+  filtering to the query's terms BEFORE the tf aggregation, so a
+  scoring run only ever shuffles postings for the handful of terms in
+  the query.
+- document length + corpus stats: a second aggregate over the token
+  stream; ``avgdl`` and ``N`` are scalars carried via a broadcast
+  cross-join (no driver round-trip inside the plan).
+- score: Robertson/Lucene BM25 —
+  idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+  tf_norm = tf·(k1+1)/(tf + k1·(1-b + b·dl/avgdl)) —
+  all JVM expressions, whole-stage codegen.
+
+Ranking determinism: the top-k window orders by the ROUNDED score
+(6 dp) with doc_id as tiebreak, so equal-scoring duplicates rank
+stably and an independent engine (the DuckDB oracle) reproduces the
+exact row set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def tokens_long(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, term) token stream — lowercased whitespace tokens, the
+    same tokenizer the quality metrics use."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25.
+
+    Output: (doc_id, score, rnk) for the k best-scoring documents
+    that match at least one query term.
+    """
+    toks = tokens_long(docs, id_col, text_col)
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (K1 + 1))
+                / (
+                    F.col("tf")
+                    + K1
+                    * (1 - B + B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    # Distributed partial top-k (TakeOrderedAndProject) first; the
+    # global rank window then runs over only the k survivors, so no
+    # full-result single-partition exchange exists in the plan.
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc")).limit(k)
+    w = W.orderBy(F.col("score").desc(), F.col("doc"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("doc").alias(id_col), "score", "rnk"
+    )
+
+
+def bm25_oracle_sql(query_terms: list[str], k: int = 10) -> str:
+    """DuckDB twin of :func:`bm25_topk` on the ``documents`` view."""
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc, term, COUNT(*) AS tf
+        FROM toks WHERE term IN ({inlist})
+        GROUP BY doc, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc,
+               ROUND(SUM(
+                   LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * ({K1} + 1))
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl ON dl.doc = tf.doc
+        CROSS JOIN stats s
+        GROUP BY tf.doc
+    ),
+    ranked AS (
+        SELECT doc AS doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT
+               ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, score, rnk FROM ranked WHERE rnk <= {k}
+    """

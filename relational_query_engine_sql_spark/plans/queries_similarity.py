@@ -179,3 +179,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_lsh(emb, threshold=NEAR_DUP_THRESHOLD).select(
         F.col("v1"), F.col("v2"), F.col("cos")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF index training: Lloyd's k-means (datapipe/kmeans.py), the
+# iterative trainer behind ann_ivf_topk's buckets. Registered
+# rows-only: cluster means are floating-point reductions whose exact
+# values are partition-order-dependent, so there is no bit-stable SQL
+# twin — the hard guarantees (determinism of the seed set, inertia
+# monotonicity, bucket coverage) are pinned in tests/test_kmeans.py.
+# The registered shape returns per-cluster population + mean squared
+# distance, the balance profile an IVF deployment monitors.
+# --------------------------------------------------------------------------
+@query(
+    "ann_kmeans_train",
+    survey="beyond:kmeans-train",
+    priority=90,
+)
+def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.kmeans import train_kmeans
+    from ..sources import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    assigned = train_kmeans(emb, k=10, iters=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist"), 6).alias("mean_sqdist"),
+        )
+        .orderBy("cluster")
+    )

@@ -627,3 +627,31 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, size=50, overlap=10)
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval (datapipe/search.py): inverted-index
+# postings, corpus stats, Robertson idf — corpus triage search over
+# the documents table. Deterministic ranking: rounded score then
+# doc_id; the oracle reproduces the exact top-k row set.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _bm25_oracle() -> str:
+    from ..datapipe.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=15)
+
+
+@query(
+    "search_bm25_topk",
+    survey="beyond:bm25-search",
+    priority=60,
+    oracle=_bm25_oracle(),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.search import bm25_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return bm25_topk(docs, _BM25_TERMS, k=15)
