@@ -57,3 +57,32 @@ def gap_fill(
         .withColumn("filled", F.last(value_col, ignorenulls=True).over(w))
         .select(key, time_col, "filled")
     )
+
+
+def downsample_ohlc(
+    events: DataFrame,
+    key: str,
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """OHLC downsampling: per (key, time bucket) — open = value at the
+    earliest tick, close = at the latest, high/low = extremes.
+
+    One shuffle on (key, bucket); open/close use ``min_by``/``max_by``
+    over a struct of (time, tiebreak) so simultaneous ticks resolve
+    deterministically. This is the map-side-combinable formulation —
+    no window, no sort — so at 100 TB it is a plain partial-aggregate
+    tree, the cheapest possible shape for bar-building over a tick
+    firehose.
+    """
+    b = F.date_trunc(bucket, F.col(time_col)).alias("bucket")
+    order = F.struct(F.col(time_col), F.col(tiebreak))
+    return events.groupBy(F.col(key), b).agg(
+        F.min_by(value_col, order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, order).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

@@ -190,3 +190,32 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return sessionize_batch(ev, gap_minutes=30)
+
+
+# --------------------------------------------------------------------------
+# Streaming ingest-dedup (streaming/events.py:dedup_stream): in stream
+# mode ``dropDuplicatesWithinWatermark`` bounds the seen-key state to
+# the watermark horizon; the batch equivalent replays a doubled ingest
+# (every event delivered twice — the at-least-once failure mode) and
+# pins that dedup restores exactly the original per-type counts.
+# --------------------------------------------------------------------------
+@query(
+    "stream_dedup_ingest",
+    survey="streaming:ingest-dedup",
+    priority=60,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    return (
+        dedup_stream(doubled)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

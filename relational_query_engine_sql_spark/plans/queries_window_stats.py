@@ -275,3 +275,38 @@ def stats_cached_cov_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     args = (cache, 1, "2024-01-01", "2024-12-31", compute)
     cached_portfolio_statistics(*args)  # miss → compute + upsert
     return cached_portfolio_statistics(*args)  # hit → served from cache
+
+
+# --------------------------------------------------------------------------
+# W6 (beyond) — OHLC bar-building: per (user, day) open/high/low/close
+# over event values (operators/timeseries.py:downsample_ohlc). The
+# map-side-combinable agg formulation — min_by/max_by on (ts,
+# event_id) structs — not a window: no per-key sort, partial
+# aggregation applies, the cheapest shape for tick→bar at scale.
+# --------------------------------------------------------------------------
+@query(
+    "w6_ohlc_daily",
+    survey="beyond:ohlc-downsample",
+    priority=60,
+    oracle="""
+    SELECT user_id,
+           date_trunc('day', ts) AS bucket,
+           -- DuckDB's min_by/max_by take no struct key; a zero-padded
+           -- (epoch_us, event_id) string orders identically to the
+           -- Spark side's struct(ts, event_id).
+           MIN_BY(value, printf('%020d%020d', epoch_us(ts), event_id))
+               AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX_BY(value, printf('%020d%020d', epoch_us(ts), event_id))
+               AS close,
+           COUNT(*) AS n_ticks
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def w6_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import downsample_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    return downsample_ohlc(ev, key="user_id")
