@@ -49,6 +49,13 @@ HEADLINE = [
     "u2_apply_trades",
     "mm_decode_real",
     "s7_cascade_delete",
+    # round 2 continued: graph/retrieval/time-series additions
+    "dedup_cluster_components",
+    "search_bm25_topk",
+    "j9_asof_join_purchase_view",
+    "j10_range_join_busy_windows",
+    "w6_ohlc_daily",
+    "text_chunk_windows",
 ]
 
 
