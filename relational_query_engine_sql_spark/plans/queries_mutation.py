@@ -279,3 +279,87 @@ def u2_apply_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avgprice",
         F.col("rejected").cast("int").alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance: an hourly events rollup
+# kept current by merging only the delta window through the real
+# upsert write path (S5 machinery), never recomputing history. The
+# accumulators are DECIMAL — addition is exact and associative, so
+# base ⊕ delta is bit-identical to the full recompute the oracle
+# runs; doubles would drift here (round(a)+round(b) ≠ round(a+b)).
+# The cutoff deliberately lands mid-hour so delta buckets genuinely
+# MERGE into existing rows, not just append.
+#
+# At 100 TB this is the rollup-refresh contract: per refresh, work =
+# O(delta) + an upsert keyed on (event_type, bucket); on Delta/Iceberg
+# the same frame feeds MERGE INTO and only touched partitions rewrite.
+# --------------------------------------------------------------------------
+_MV_CUTOFF = "2024-01-25 12:30:00"
+
+
+@query(
+    "mv_incremental_rollup",
+    survey="beyond:incremental-mv,S5,A1",
+    priority=60,
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_dec"),
+        )
+
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+    base = rollup(ev.filter(F.col("ts") < cutoff))
+    root = _tf.mkdtemp(prefix="rqe-mv-rollup-")
+    mv = ParquetTable(
+        spark, f"{root}/events_hourly", base.schema,
+        ["event_type", "bucket"],
+    )
+    mv.init(base)
+
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))
+    prior = mv.read().select(
+        "event_type", "bucket",
+        F.col("n_events").alias("_n0"),
+        F.col("sum_dec").alias("_s0"),
+    )
+    merged = (
+        delta.join(prior, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            (F.coalesce("_n0", F.lit(0)) + F.col("n_events")).alias(
+                "n_events"
+            ),
+            (
+                F.coalesce(
+                    "_s0", F.lit(0).cast(base.schema["sum_dec"].dataType)
+                )
+                + F.col("sum_dec")
+            ).alias("sum_dec"),
+        )
+    )
+    mv.upsert(merged)
+    return mv.read().select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.round("sum_dec", 2).cast("double").alias("sum_value"),
+    )
