@@ -150,3 +150,156 @@ def test_chunking_suppresses_suffix_only_tail(spark):
     words = " ".join(f"w{i}" for i in range(45))
     out = chunk_documents(_mkdocs(spark, [words]), size=50, overlap=10).collect()
     assert len(out) == 1
+
+
+# -- property-based invariants ----------------------------------------------
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_matches_union_find(spark, edges):
+    from relational_query_engine_sql_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(df, max_iter=64).collect()
+    }
+    nodes = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
+    want = set(_uf_components([e for e in edges if e[0] != e[1]], nodes).items())
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=30
+    ),
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=1, max_value=2000),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    band=st.sampled_from([60, 600, 3600]),
+)
+def test_range_join_matches_naive_property(spark, pts, spans, band):
+    from pyspark.sql import functions as F
+
+    from relational_query_engine_sql_spark.operators.rangejoin import (
+        banded_range_join,
+    )
+
+    base = "2024-03-01 00:00:00"
+    points = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(pts)], "pid long, off long"
+    ).select(
+        "pid",
+        (F.lit(base).cast("timestamp") + F.make_interval(
+            secs=F.col("off").cast("double")
+        )).alias("ts"),
+    )
+    intervals = spark.createDataFrame(
+        spans, "s long, d long"
+    ).select(
+        (F.lit(base).cast("timestamp") + F.make_interval(
+            secs=F.col("s").cast("double")
+        )).alias("w_start"),
+        (F.lit(base).cast("timestamp") + F.make_interval(
+            secs=(F.col("s") + F.col("d")).cast("double")
+        )).alias("w_end"),
+    )
+    got = sorted(
+        (str(r["w_start"]), r["pid"])
+        for r in banded_range_join(
+            points, intervals, "ts", "w_start", "w_end", band
+        ).collect()
+    )
+    want = sorted(
+        (str(r["w_start"]), r["pid"])
+        for r in intervals.join(
+            points,
+            (points["ts"] >= intervals["w_start"])
+            & (points["ts"] < intervals["w_end"]),
+        ).collect()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_words=st.integers(min_value=1, max_value=200),
+    size=st.integers(min_value=2, max_value=60),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_reconstructs_document(spark, n_words, size, overlap_frac):
+    from relational_query_engine_sql_spark.datapipe.chunking import (
+        chunk_documents,
+    )
+
+    overlap = min(int(size * overlap_frac), size - 1)
+    step = size - overlap
+    words = [f"w{i}" for i in range(n_words)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, size=size, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stitching each chunk's post-overlap suffix onto the first chunk
+    # reproduces the document exactly — no token lost or duplicated.
+    rebuilt = rows[0]["chunk_text"].split(" ")
+    for r in rows[1:]:
+        toks = r["chunk_text"].split(" ")
+        start = r["chunk_id"] * step
+        rebuilt = rebuilt[: start] + toks
+    assert rebuilt == words
+    # every chunk except the last is exactly `size` tokens
+    for r in rows[:-1]:
+        assert r["n_tokens"] == size
