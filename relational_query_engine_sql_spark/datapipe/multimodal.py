@@ -133,19 +133,21 @@ def _fake_decode(payload: bytes) -> tuple[int, float]:
 
 
 # --------------------------------------------------------------------------
-# Real pure-Python codecs: BMP (struct header walk) and WAV (stdlib
-# wave module). These need no PIL/librosa/ffmpeg — they are the
-# non-fake decode path; formats beyond BMP/WAV still gate on the codec
-# stack.
+# Real pure-Python codecs: BMP (struct header walk), PNG (zlib
+# inflate + scanline unfiltering), and WAV (stdlib wave module). These
+# need no PIL/librosa/ffmpeg — they are the non-fake decode path;
+# formats beyond BMP/PNG/WAV still gate on the codec stack.
 # --------------------------------------------------------------------------
 
 
 def sniff_codec(payload: bytes) -> str | None:
-    """Magic-byte container sniff: 'bmp' | 'wav' | None (opaque)."""
+    """Magic-byte container sniff: 'bmp' | 'wav' | 'png' | None."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -186,6 +188,114 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
         total += sum(row)
     n_pixels = width * height
     mean = _trunc6(total / (n_pixels * 3)) if n_pixels else 0.0
+    return width, height, n_pixels, mean
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, value: int) -> bytes:
+    """Minimal valid 8-bit grayscale PNG filled with one byte value —
+    stdlib only (zlib deflate + crc32)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes([value % 256]) * width for _ in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth)."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = line
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """Parse a PNG (8-bit grayscale or truecolor, no interlace):
+    (width, height, n_pixels, mean_channel_byte). Real chunk walk +
+    zlib inflate + scanline unfiltering — not a metadata shortcut."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bpp = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            if ctype == 0:
+                bpp = 1
+            elif ctype == 2:
+                bpp = 3
+            else:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None or bpp is None:
+        raise ValueError("PNG missing IHDR")
+    pixels = _png_unfilter(zlib.decompress(idat), width, height, bpp)
+    n_pixels = width * height
+    mean = _trunc6(sum(pixels) / (n_pixels * bpp)) if n_pixels else 0.0
     return width, height, n_pixels, mean
 
 
@@ -245,13 +355,16 @@ def decode_media_codec(media: DataFrame) -> DataFrame:
                 if codec == "bmp":
                     w, h, n, mean = _decode_bmp(p)
                     rows.append((doc_id, "bmp", w, h, None, n, mean))
+                elif codec == "png":
+                    w, h, n, mean = _decode_png(p)
+                    rows.append((doc_id, "png", w, h, None, n, mean))
                 elif codec == "wav":
                     rate, n, mean = _decode_wav(p)
                     rows.append((doc_id, "wav", None, None, rate, n, mean))
                 else:
                     raise NotImplementedError(
-                        "payload is neither BMP nor WAV; other formats "
-                        "need the PIL/librosa/ffmpeg codec stack"
+                        "payload is neither BMP, PNG, nor WAV; other "
+                        "formats need the PIL/librosa/ffmpeg codec stack"
                     )
             yield pd.DataFrame(
                 rows,

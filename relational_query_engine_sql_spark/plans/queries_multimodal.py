@@ -107,23 +107,32 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=46,
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS codec,
-           CASE WHEN doc_id % 2 = 0
-                THEN CAST(doc_id % 16 + 1 AS INT) END AS width,
-           CASE WHEN doc_id % 2 = 0
-                THEN CAST(doc_id % 9 + 1 AS INT) END AS height,
-           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                ELSE 'png' END AS codec,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 16 + 1 AS INT)
+                WHEN doc_id % 3 = 2 THEN CAST(doc_id % 13 + 1 AS INT)
+           END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 9 + 1 AS INT)
+                WHEN doc_id % 3 = 2 THEN CAST(doc_id % 7 + 1 AS INT)
+           END AS height,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INT) END
                AS sample_rate,
-           CASE WHEN doc_id % 2 = 0
-                THEN CAST((doc_id % 16 + 1) * (doc_id % 9 + 1) AS BIGINT)
-                ELSE CAST(doc_id % 240 + 1 AS BIGINT) END AS n_samples,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256
-                     ELSE doc_id % 128 END AS DOUBLE) AS mean_val
+           CASE doc_id % 3
+                WHEN 0 THEN CAST((doc_id % 16 + 1) * (doc_id % 9 + 1)
+                                 AS BIGINT)
+                WHEN 1 THEN CAST(doc_id % 240 + 1 AS BIGINT)
+                ELSE CAST((doc_id % 13 + 1) * (doc_id % 7 + 1) AS BIGINT)
+           END AS n_samples,
+           CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 256
+                     WHEN 1 THEN doc_id % 128
+                     ELSE doc_id % 200 END AS DOUBLE) AS mean_val
     FROM documents
     """,
 )
 def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
+
+    from ..datapipe.multimodal import encode_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -132,12 +141,16 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                if d % 2 == 0:
+                if d % 3 == 0:
                     payloads.append(
                         encode_bmp(d % 16 + 1, d % 9 + 1, d % 256)
                     )
-                else:
+                elif d % 3 == 1:
                     payloads.append(encode_wav(d % 240 + 1, 8000, d % 128))
+                else:
+                    payloads.append(
+                        encode_png(d % 13 + 1, d % 7 + 1, d % 200)
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(make_payloads, schema="doc_id long, payload binary")

@@ -142,3 +142,86 @@ def test_decode_media_codec_rejects_opaque(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|BMP"):
         decode_media_codec(media).collect()
+
+
+def test_png_roundtrip():
+    from relational_query_engine_sql_spark.datapipe.multimodal import (
+        _decode_png,
+        encode_png,
+        sniff_codec,
+    )
+
+    payload = encode_png(9, 4, 123)
+    assert sniff_codec(payload) == "png"
+    w, h, n, mean = _decode_png(payload)
+    assert (w, h, n) == (9, 4, 36)
+    assert mean == 123.0
+
+
+def test_png_unfilters_all_filter_types():
+    """Hand-filter a known RGB image with Sub/Up/Average/Paeth rows and
+    check the decoder's unfiltering recovers the exact pixel mean."""
+    import struct
+    import zlib
+
+    from relational_query_engine_sql_spark.datapipe.multimodal import (
+        _decode_png,
+        _png_chunk,
+    )
+
+    width, height, bpp = 5, 4, 3
+    stride = width * bpp
+    img = [
+        bytes((r * 37 + i * 11) % 256 for i in range(stride))
+        for r in range(height)
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = b""
+    prev = bytes(stride)
+    for r, (ftype) in enumerate([1, 2, 3, 4]):
+        line = img[r]
+        if ftype == 1:
+            f = bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:
+            f = bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:
+            f = bytes(
+                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            f = bytes(
+                (
+                    line[i]
+                    - paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        raw += bytes([ftype]) + f
+        prev = line
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, n, mean = _decode_png(payload)
+    assert (w, h, n) == (width, height, width * height)
+    want = sum(sum(row) for row in img) / (width * height * bpp)
+    assert abs(mean - want) < 1e-6
