@@ -548,3 +548,38 @@ def ext_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w_full).alias("last_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+# join each other instead of silently dropping — the semantics that
+# distinguish a dimension backfill join from an inner equi-join.
+# Catalyst plans eqNullSafe as a hash join (key coalesced into the
+# hash), so the null bucket shuffles like any other key; if NULLs are
+# the skew majority, salt them (ext_salted_agg shows the machinery).
+# --------------------------------------------------------------------------
+@query(
+    "ext_null_safe_join",
+    survey="ext:null-safe-join,E4",
+    priority=60,
+    oracle="""
+    WITH l AS (SELECT NULLIF(o_custkey % 10, 0) AS k FROM orders),
+    r AS (SELECT DISTINCT NULLIF(c_custkey % 10, 0) AS k FROM customer)
+    SELECT l.k AS bucket, COUNT(*) AS n_orders
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def ext_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("NULLIF(o_custkey % 10, 0)").alias("k")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.expr("NULLIF(c_custkey % 10, 0)").alias("k"))
+        .distinct()
+    )
+    joined = o.join(F.broadcast(c), o["k"].eqNullSafe(c["k"]), "inner")
+    return joined.groupBy(o["k"].alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
