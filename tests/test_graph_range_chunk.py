@@ -154,7 +154,6 @@ def test_chunking_suppresses_suffix_only_tail(spark):
 
 # -- property-based invariants ----------------------------------------------
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
