@@ -134,6 +134,32 @@ class ParquetTable:
     def delete_keys(self, keys_df: DataFrame) -> None:
         self._swap_in(self.read().join(keys_df, self.keys, "left_anti"))
 
+    # -- maintenance --------------------------------------------------------
+
+    def file_count(self) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(self.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def compact(self, target_files: int) -> None:
+        """Small-files compaction: rewrite the table into
+        ``target_files`` parquet files (content-identical, same atomic
+        swap as every other write).
+
+        Streaming ingest and frequent upserts fragment a table into
+        many small files; at 100 TB the scan's task count — and the
+        NameNode/object-store listing cost — tracks file count, not
+        byte count, so periodic compaction is a first-class
+        maintenance op (Delta OPTIMIZE / Iceberg rewrite_data_files).
+        ``repartition`` gives evenly-sized output files; a real
+        deployment sizes target_files from bytes/maxPartitionBytes
+        and compacts per partition, not the whole table.
+        """
+        self._swap_in(self.read().repartition(target_files))
+
 
 # --------------------------------------------------------------------------
 # S7 cascade — FK ON DELETE CASCADE as explicit multi-table deletes.

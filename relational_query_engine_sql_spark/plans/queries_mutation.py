@@ -363,3 +363,39 @@ def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_dec", 2).cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction (ParquetTable.compact): fragment the events
+# clone into 64 splinter files (a streaming-ingest afternoon), compact
+# to 4, and return the content aggregate — the oracle proves the
+# rewrite changed layout, not data. tests/test_mutation.py pins the
+# file-count drop itself.
+# --------------------------------------------------------------------------
+@query(
+    "maintenance_compaction",
+    survey="beyond:compaction,S1",
+    priority=60,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _tf.mkdtemp(prefix="rqe-compact-")
+    t = ParquetTable(spark, f"{root}/events", ev.schema, ["event_id"])
+    t.init(ev.repartition(64))
+    t.compact(4)
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")), 2
+        ).cast("double").alias("sum_value"),
+    )

@@ -225,3 +225,19 @@ def test_stats_cache_probe_or_compute(spark, tmp_path):
     cached_portfolio_statistics(cache, 1, "2018-01-01", "2019-01-01", compute)
     assert calls["n"] == 2
     assert cache.read().count() == 2
+
+
+def test_compaction_shrinks_files_preserves_content(spark, sf_oracle):
+    import tempfile
+
+    from relational_query_engine_sql_spark.sources import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    root = tempfile.mkdtemp(prefix="rqe-compact-test-")
+    t = ParquetTable(spark, f"{root}/events", ev.schema, ["event_id"])
+    t.init(ev.repartition(64))
+    before = t.file_count()
+    total_before = t.read().count()
+    t.compact(4)
+    assert t.file_count() <= 4 < before
+    assert t.read().count() == total_before
