@@ -219,3 +219,37 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# --------------------------------------------------------------------------
+# Left-outer interval attribution: unattributed purchases survive with
+# null click columns. In stream mode the null-match row only emits
+# once the click watermark has passed the purchase's join window —
+# state-provable absence; tests/test_streaming.py drives that across
+# real micro-batches. Batch mode pins the row semantics here.
+# --------------------------------------------------------------------------
+@query(
+    "stream_join_attribution_outer",
+    survey="streaming:interval-join-outer",
+    priority=60,
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           p.value
+    FROM events p
+    LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_join_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_click_attribution(ev, how="left_outer")

@@ -198,16 +198,25 @@ def purchase_click_attribution(
     events: DataFrame,
     max_gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Interval join: each purchase matched to the same user's clicks
     in the preceding ``max_gap``.
 
-    On streams this is a stream-stream inner join — both sides carry
+    On streams this is a stream-stream join — both sides carry
     watermarks and the join condition bounds event time on both sides,
     which is exactly what lets Spark expire join state (an unbounded
     stream-stream join would buffer forever). On batch frames the same
     condition plans as a hash join on user_id with the time range as a
     post-filter — never a nested-loop join.
+
+    ``how='left_outer'`` keeps UNATTRIBUTED purchases (null click
+    columns) — in stream mode Spark holds each purchase until the
+    click-side watermark passes its join window and only then emits
+    the null-match row, so "no click arrived" is a statement the
+    engine can prove, not a race. That deferred emission is the
+    semantic difference from the inner join, and why the outer form
+    needs BOTH the watermark and the time-bound condition.
     """
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id"),
@@ -228,7 +237,7 @@ def purchase_click_attribution(
         & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}"))
         & (clicks.click_ts <= purchases.purchase_ts)
     )
-    return purchases.join(clicks, cond, "inner").select(
+    return purchases.join(clicks, cond, how).select(
         purchases.user_id,
         "purchase_id",
         "click_id",

@@ -103,3 +103,77 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
     # final watermark is 10:15 (12:15 − 2h): hours 10+ never finalize
     assert set(got) <= set(range(0, 10)), got
     assert len(got) >= 8, got
+
+
+def test_outer_join_emits_null_match_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unattributed purchase must
+    emit with null click columns — but only after the click-side
+    watermark passes its join window. Driven across real micro-batch
+    boundaries via sequential availableNow passes over a shared
+    checkpoint."""
+    from relational_query_engine_sql_spark.streaming.events import (
+        purchase_click_attribution,
+    )
+
+    src = tmp_path / "attr_src"
+    os.makedirs(src)
+    out = str(tmp_path / "attr_sink")
+    ck = str(tmp_path / "attr_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(_SCHEMA).parquet(str(src))
+        joined = purchase_click_attribution(
+            stream, max_gap="1 hour", watermark="1 hour", how="left_outer"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    d = "2024-01-01"
+    # batch 1: user 2 has click→purchase (match); user 1 purchase only.
+    _write_file(
+        str(src / "b1.parquet"),
+        [
+            (1, f"{d} 01:00:00", 1, "purchase", 10.0, "{}"),
+            (2, f"{d} 00:30:00", 2, "click", 0.0, "{}"),
+            (3, f"{d} 01:00:00", 2, "purchase", 20.0, "{}"),
+        ],
+    )
+    run_once()
+    # batches 2-3 advance the watermark past user 1's join window.
+    # CRITICAL: this is a self-join of one source split by filters, so
+    # the global watermark is the MIN across both branch watermark
+    # operators — each branch only advances on events it actually
+    # sees, so later batches must contain BOTH clicks and purchases
+    # (a click-only batch leaves the purchase branch at its old
+    # watermark and the null row never emits).
+    _write_file(
+        str(src / "b2.parquet"),
+        [
+            (4, f"{d} 05:00:00", 99, "click", 0.0, "{}"),
+            (5, f"{d} 05:00:00", 98, "purchase", 1.0, "{}"),
+        ],
+    )
+    run_once()
+    _write_file(
+        str(src / "b3.parquet"),
+        [
+            (6, f"{d} 07:00:00", 99, "click", 0.0, "{}"),
+            (7, f"{d} 07:00:00", 98, "purchase", 1.0, "{}"),
+        ],
+    )
+    run_once()
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (3, 2) in got  # attributed purchase
+    assert (1, None) in got  # provable absence, emitted post-watermark
