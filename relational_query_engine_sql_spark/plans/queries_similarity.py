@@ -210,3 +210,56 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization (datapipe/similarity.py:
+# quantize_embeddings) — the shuffle-bytes lever for embedding
+# pipelines. The registered shape folds each quantized vector to
+# (scale, sum_q, max_abs_q): integer aggregates are order-independent,
+# so the comparison is bit-strict, and max_abs_q <= 127 pins the
+# range contract.
+# --------------------------------------------------------------------------
+@query(
+    "emb_quantize_int8",
+    survey="beyond:embedding-quantize",
+    priority=60,
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           CAST(len(v) AS INT) AS n_dims,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE list_sum(list_transform(
+                         v, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)))
+           END AS BIGINT) AS sum_q,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE list_max(list_transform(
+                         v, x -> abs(CAST(FLOOR(x / scale + 0.5) AS BIGINT))))
+           END AS BIGINT) AS max_abs_q
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import quantize_embeddings
+    from ..sources import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.size("qvec").alias("n_dims"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_q"),
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias(
+            "max_abs_q"
+        ),
+    )
