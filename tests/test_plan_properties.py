@@ -102,3 +102,32 @@ def test_ledger_id_window_is_partitioned(spark):
         F.min("transactionid").alias("lo"), F.max("transactionid").alias("hi")
     ).collect()[0]
     assert ids == n and agg["lo"] == 1 and agg["hi"] == n
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_oracle):
+    """Runtime filtering: a selective dimension filter should inject a
+    bloom-filter semi-filter into the fact scan side (Catalyst
+    InjectRuntimeFilter). Locally the probe side is far below the
+    default 10GB applicationSideScanSizeThreshold, so the test drops
+    that threshold to 0 on an isolated session — at cluster scale the
+    default config triggers this on its own; what's pinned here is
+    that our join shapes are ELIGIBLE (equi-join + selective creation
+    side), not the threshold."""
+    from pyspark.sql import functions as F
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = ns.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    o = ns.read.parquet(f"{sf_oracle}/orders.parquet").filter(
+        F.col("o_totalprice") > 450000
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
