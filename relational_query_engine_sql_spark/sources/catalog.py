@@ -23,16 +23,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column pruning, and min/max row-group skipping from Catalyst — the
     Spark analogs of the reference's b-tree indexes (SURVEY.md §4).
 
-    The events table carries TIMESTAMP(NANOS) which Spark rejects;
-    we read nanos as long and truncate to microseconds (identical to
-    DuckDB's ns→µs cast — values are post-1970 so floor == trunc).
+    The events table's ``ts`` physical type has varied across driver
+    data generations: TIMESTAMP(NANOS) (Spark reads only as long via
+    ``nanosAsLong``; truncate ns→µs exactly like DuckDB's cast — values
+    are post-1970 so floor == trunc) or TIMESTAMP(MICROS) without
+    timezone (reads as TIMESTAMP_NTZ). Normalize both to the session
+    TimestampType (UTC session ⇒ value-identical) so every downstream
+    plan sees one stable schema.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

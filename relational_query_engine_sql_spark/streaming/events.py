@@ -26,18 +26,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events physical schema: ts is TIMESTAMP(NANOS) in the parquet file,
-# readable only as long (see sources.catalog.load_table).
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The events parquet's ``ts`` physical type has varied across
+    driver data generations — TIMESTAMP(NANOS) (readable only as long
+    via ``nanosAsLong``) or TIMESTAMP(MICROS) (reads as
+    TIMESTAMP_NTZ). File-source streaming needs an explicit schema, so
+    sniff the footer with a batch read (metadata-only, no scan)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,12 +40,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     each file is one micro-batch; production swaps in Kafka without
     touching the transforms)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = _events_raw_schema(spark, sf_dir)
     df = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def tumbling_aggregate(
