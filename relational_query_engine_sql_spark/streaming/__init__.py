@@ -8,7 +8,9 @@ from .events import (
     sessionized_stream,
     sliding_counts,
     stateful_running_totals,
+    stateful_user_stats_tws,
     tumbling_aggregate,
+    user_stats_batch,
 )
 
 __all__ = [
@@ -21,5 +23,7 @@ __all__ = [
     "sessionized_stream",
     "sliding_counts",
     "stateful_running_totals",
+    "stateful_user_stats_tws",
     "tumbling_aggregate",
+    "user_stats_batch",
 ]

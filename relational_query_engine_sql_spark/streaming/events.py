@@ -278,3 +278,96 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor API to
+# applyInPandasWithState — typed per-key state handles (Value/List/Map
+# state, optional TTL, event-time timers) backed by the RocksDB state
+# store. We express the same per-user running statistics through it,
+# extended with Welford m2 so the operator also emits a running stddev
+# (a streaming z-score/anomaly primitive the flat (total, n) tuple
+# state of the older API can't carry incrementally).
+# --------------------------------------------------------------------------
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("stddev", T.DoubleType()),
+    ]
+)
+
+
+def _make_user_stats_processor():
+    """Build the StatefulProcessor class lazily so importing this
+    module never requires the streaming-only API."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStatsProcessor(StatefulProcessor):
+        """Per-user running (n, total, mean, m2) via Welford's online
+        update. ValueState keeps one fixed-width row per user — state
+        size is O(distinct users), independent of event volume, and
+        shards across executors by the grouping key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "user_stats", "n long, total double, m2 double, mean double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                n, total, m2, mean = self._state.get()
+            else:
+                n, total, m2, mean = 0, 0.0, 0.0, 0.0
+            for pdf in rows:
+                for v in pdf["value"].astype(float):
+                    n += 1
+                    total += v
+                    delta = v - mean
+                    mean += delta / n
+                    m2 += delta * (v - mean)
+            self._state.update((n, total, m2, mean))
+            std = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n": [n],
+                    "total": [round(total, 4)],
+                    "mean": [round(mean, 4)],
+                    "stddev": [round(std, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas running per-user stats (count, sum,
+    mean, sample stddev). Streaming-only API; requires the RocksDB
+    state store provider (tests set it on the session)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_user_stats_processor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def user_stats_batch(events: DataFrame) -> DataFrame:
+    """Batch oracle for the transformWithState operator: the final
+    per-user state equals a plain aggregate (Welford's recurrence
+    telescopes to the closed-form mean/variance)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        F.round(F.avg("value"), 4).alias("mean"),
+        F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 4).alias(
+            "stddev"
+        ),
+    )
