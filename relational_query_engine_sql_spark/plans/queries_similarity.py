@@ -155,28 +155,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at oracle scale); pytest additionally pins the LSH path against the
 # brute-force Spark baseline on planted near-duplicates
 # (tests/test_ann_paths.py).
+#
+# The driver table has no organic pairs at the 0.95 threshold, so the
+# query runs over a derived corpus: embeddings UNION a positively
+# scaled clone of the first N_PLANTED vectors (vec_id + PLANT_OFFSET,
+# x → 1.001·x). Positive scaling leaves cosine at exactly 1.0 AND
+# leaves every sign-LSH bit unchanged (sign(w·1.001x) = sign(w·x)), so
+# the planted pairs are found with probability 1 and the oracle row is
+# guaranteed non-vacuous (>= N_PLANTED pairs) — round-2 verdict item
+# #2. Both engines build the derived corpus from the same expression.
 # --------------------------------------------------------------------------
+N_PLANTED = 8
+PLANT_OFFSET = 1_000_000
+
 @query(
     "dedup_embedding_cosine",
     survey="beyond:dedup-embedding",
     oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(v, x -> x * 1.001)
+        FROM base WHERE vec_id < {N_PLANTED}
+    )
     SELECT a.vec_id AS v1, b.vec_id AS v2,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6)
-          >= {NEAR_DUP_THRESHOLD}
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM corpus a
+    JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {NEAR_DUP_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import as_double
     from ..sources import spread
 
     # spread(): the single-file local scan would run the signature pass
     # on one core; no-op on an already-split production scan.
     emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    return embedding_near_dups_lsh(emb, threshold=NEAR_DUP_THRESHOLD).select(
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    planted = base.filter(F.col("vec_id") < N_PLANTED).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(planted)
+    return embedding_near_dups_lsh(corpus, threshold=NEAR_DUP_THRESHOLD).select(
         F.col("v1"), F.col("v2"), F.col("cos")
     )
 
