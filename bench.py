@@ -12,6 +12,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -63,22 +64,70 @@ REGRESSION_FACTOR = 1.5
 REGRESSION_FLOOR_SEC = 0.5  # ignore sub-noise-floor deltas
 
 
-def _prior_bench(here: str, sf: str) -> dict | None:
-    """Latest BENCH_r{N}.json from a prior round at the same sf."""
-    rounds = []
+def _bench_round_files(here: str) -> list[tuple[int, str]]:
+    """(round, path) for BENCH_r{N}.json files that are PRIOR rounds.
+
+    Round 2 bug: taking the latest file on disk can match the *current*
+    round's own artifact (the driver may write BENCH_r{N}.json in an
+    earlier attempt of the same round), so a real regression compares
+    against itself and never fires. Prior rounds are exactly the bench
+    files committed at HEAD — the driver only commits a round's bench
+    in its end-of-round snapshot — so consult git first; the working
+    tree is only a fallback when git itself is unavailable, with the
+    highest round dropped when SPARK_GRAFT_ROUND says it is ours.
+    """
+    try:
+        tracked = subprocess.run(
+            ["git", "-C", here, "ls-tree", "-r", "--name-only", "HEAD"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.split()
+        names = [n for n in tracked if re.fullmatch(r"BENCH_r\d+\.json", n)]
+        cur = os.environ.get("SPARK_GRAFT_ROUND")
+        out = []
+        for n in names:
+            rnd = int(re.search(r"(\d+)", n).group(1))
+            if cur and rnd >= int(cur):
+                continue  # committed same/future round — not a prior
+            out.append((rnd, os.path.join(here, n)))
+        return out
+    except (subprocess.SubprocessError, OSError, ValueError):
+        pass
+    out = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            rounds.append((int(m.group(1)), p))
-    for _, path in sorted(rounds, reverse=True):
+            out.append((int(m.group(1)), p))
+    cur = os.environ.get("SPARK_GRAFT_ROUND")
+    if cur and cur.isdigit():
+        out = [(r, p) for r, p in out if r < int(cur)]
+    elif out:
+        # no round hint: drop the highest round present — it may be the
+        # current round's own earlier attempt. Comparing against an
+        # older round is safe; comparing against ourselves is the bug.
+        top = max(r for r, _ in out)
+        out = [(r, p) for r, p in out if r < top]
+    return out
+
+
+def _prior_bench(here: str, sf: str) -> tuple[dict | None, int | None]:
+    """Highest prior-round BENCH_r{N}.json at the same sf.
+
+    The driver's artifact WRAPS bench.py's JSON line under a "parsed"
+    key ({n, rc, cpus, sf, tail, parsed}) — round 2's detector read
+    prior["queries"] off the wrapper, found nothing, and silently
+    never fired. Unwrap before use.
+    """
+    for rnd, path in sorted(_bench_round_files(here), reverse=True):
         try:
             with open(path) as f:
                 prior = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        if str(prior.get("sf")) == sf:
-            return prior
-    return None
+        if isinstance(prior.get("parsed"), dict):
+            prior = {**prior, **prior["parsed"]}
+        if str(prior.get("sf")) == sf and isinstance(prior.get("queries"), dict):
+            return prior, rnd
+    return None, None
 
 
 def _regressions(timings: dict[str, float], prior: dict) -> dict[str, str]:
@@ -119,11 +168,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     regressions: dict[str, str] = {}
-    prior = _prior_bench(os.path.dirname(os.path.abspath(__file__)), sf)
+    prior, prior_round = _prior_bench(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
     if prior:
         regressions = _regressions(timings, prior)
         for name, delta in regressions.items():
             print(f"REGRESSION {name}: {delta}", file=sys.stderr)
+    else:
+        # fail loud: a silent missing-prior is how round 2's 2.2×
+        # drift went unflagged.
+        print(f"REGRESSION-CHECK SKIPPED: no prior-round bench at sf={sf}",
+              file=sys.stderr)
     print(
         json.dumps(
             {
@@ -133,7 +189,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"failures": failures} if failures else {}),
-                **({"regressions": regressions} if regressions else {}),
+                # always present so every BENCH_r{N}.json shows whether
+                # the round-over-round check ran and what it saw.
+                "regressions": regressions,
+                "regression_baseline_round": prior_round,
             }
         )
     )
