@@ -278,22 +278,32 @@ def _signlsh_bands(
 
 
 def lsh_params(
-    n: int, threshold: float, target_miss: float = 1e-4, bucket_size: int = 64
+    n: int, threshold: float, target_miss: float = 1e-4, cand_per_vec: float = 4.0
 ) -> tuple[int, int]:
     """Sign-LSH (rows_per_band, n_bands) sized to the table.
 
-    Bits per band grow with log2(n / bucket_size) so random-collision
-    candidate volume stays ~n·bucket_size/2 instead of n²/2^bits —
-    fixed bits go quadratic once buckets fill (measured in SCALE.md:
-    8 bits is linear to ~10k vectors, 51k wants 12-14). Bands are then
-    chosen so a true pair AT the threshold is missed with probability
-    < ``target_miss``: per-bit collision p = 1 − arccos(t)/π, band
-    match p^b, miss (1−p^b)^bands.
+    Expected random (unrelated-pair) candidates across ALL bands is
+    (n²/2)·n_bands/2^b, and the band count needed for a miss
+    probability < ``target_miss`` at the threshold is itself a
+    function of b (n_bands ≈ ln(1/miss)/p^b, per-bit collision
+    p = 1 − arccos(t)/π). Solving random_candidates ≤ cand_per_vec·n
+    for b gives (2p)^b ≥ n·ln(1/miss)/(2·cand_per_vec) — each extra
+    bit cuts random candidates by 2p (~1.8×) while costing only 1/p
+    (~1.11×) more bands, so bits grow with log_{2p}(n) and the
+    candidate set stays LINEAR in n by construction. (The round-2
+    formula targeted a fixed per-bucket occupancy and ignored the
+    band multiplier: at n=2008/t=0.95 it picked 8×17 → 148k random
+    candidates, 7% of all-pairs; this one picks 14×37 → ~4.5k.
+    Measured in SCALE.md.) Bands then pin the at-threshold miss:
+    miss = (1−p^b)^n_bands < target_miss; near-identical dups
+    (p→1) are missed far more rarely.
     """
     import math
 
-    b = max(8, math.ceil(math.log2(max(2, n) / bucket_size)))
     p = 1 - math.acos(threshold) / math.pi
+    need = max(2.0, n * math.log(1 / target_miss) / (2 * cand_per_vec))
+    b = math.ceil(math.log(need) / math.log(2 * p))
+    b = min(max(b, 8), 32)  # int64 band keys; 8-bit floor for tiny n
     band_match = p**b
     n_bands = max(8, math.ceil(math.log(target_miss) / math.log(1 - band_match)))
     return b, n_bands
@@ -307,6 +317,7 @@ def embedding_near_dups_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-duplicates — the 100 TB path.
 
@@ -330,9 +341,13 @@ def embedding_near_dups_lsh(
     BNLJ.
     """
     if rows_per_band is None:
-        # one cheap count sizes the bands to the table (SCALE.md probe:
-        # fixed-width bands go quadratic once buckets fill).
-        rows_per_band, auto_nb = lsh_params(emb.count(), threshold)
+        # size the bands to the table (SCALE.md probe: fixed-width
+        # bands go quadratic once buckets fill). ``n`` lets the caller
+        # supply the row count from catalog/footer statistics so no
+        # sizing job runs; the count() is the fallback.
+        rows_per_band, auto_nb = lsh_params(
+            emb.count() if n is None else n, threshold
+        )
         if n_bands is None:
             n_bands = auto_nb
     elif n_bands is None:

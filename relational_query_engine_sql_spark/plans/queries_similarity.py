@@ -191,22 +191,29 @@ PLANT_OFFSET = 1_000_000
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.similarity import as_double
-    from ..sources import spread
+    from ..sources import spread, table_rows
 
-    # spread(): the single-file local scan would run the signature pass
-    # on one core; no-op on an already-split production scan.
-    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    base = emb.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
     planted = base.filter(F.col("vec_id") < N_PLANTED).select(
         (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias(
             "embedding"
         ),
     )
-    corpus = base.unionByName(planted)
-    return embedding_near_dups_lsh(corpus, threshold=NEAR_DUP_THRESHOLD).select(
-        F.col("v1"), F.col("v2"), F.col("cos")
-    )
+    # spread ONCE, after the union — the single-file local scan would
+    # otherwise run the signature pass on one core (no-op on an
+    # already-split production scan), and spreading each branch would
+    # double the Python task count. Band geometry sizes itself from
+    # footer statistics so no count() job runs.
+    corpus = spread(base.unionByName(planted), spark)
+    n = table_rows(sf_dir, "embeddings")
+    return embedding_near_dups_lsh(
+        corpus,
+        threshold=NEAR_DUP_THRESHOLD,
+        n=None if n is None else n + N_PLANTED,
+    ).select(F.col("v1"), F.col("v2"), F.col("cos"))
 
 
 # --------------------------------------------------------------------------

@@ -1,4 +1,4 @@
-from .catalog import load_table, load_tables, register_views, spread
+from .catalog import load_table, load_tables, register_views, spread, table_rows
 from .csv_ingest import (
     clean_ohlcv,
     corrupt_rows,
@@ -17,4 +17,5 @@ __all__ = [
     "register_views",
     "spread",
     "symbol_registry",
+    "table_rows",
 ]

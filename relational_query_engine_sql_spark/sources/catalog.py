@@ -46,6 +46,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet footer metadata — no Spark job.
+
+    This is the statistic a production catalog (Delta/Iceberg/Hive
+    stats) hands every planner for free; algorithms that size
+    themselves to the table (LSH band geometry, sample fractions)
+    should consume it instead of running a count() pass over the data.
+    Returns None when the path isn't locally readable (caller falls
+    back to a count job).
+    """
+    import glob as _glob
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        files = [path] if os.path.isfile(path) else sorted(
+            _glob.glob(f"{path}/*.parquet")
+        )
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Widen an under-partitioned scan to the cluster's parallelism.
 
