@@ -17,6 +17,7 @@ from relational_query_engine_sql_spark.operators.stats_cache import (
 )
 from relational_query_engine_sql_spark.operators.trading import (
     apply_trades,
+    apply_trades_closed_form,
     cash_deltas,
     ledger_entries,
     parse_ledger_symbol,
@@ -180,6 +181,101 @@ def test_new_position_from_first_buy(spark):
     out = apply_trades(holdings, trades).collect()[0]
     assert out.shares == 10
     assert out.avgprice == pytest.approx(250.0)
+
+
+def test_closed_form_matches_fold_on_path_independent_batch(spark):
+    """The set-based recompute must equal the sequential fold whenever
+    the precondition holds (all BUYs precede SELLs per position, no
+    overdraws) — including held positions, new positions, untouched
+    holdings, and fully closed positions."""
+    holdings = spark.createDataFrame(
+        [(1, "AAPL", 100, 50.0), (1, "MSFT", 10, 90.0), (3, "NVDA", 7, 400.0)],
+        "portfolioid int, symbol string, shares int, avgprice double",
+    )
+    trades = _trades(
+        spark,
+        [
+            (1, "AAPL", "BUY", 100, 70.0),   # held position, buy
+            (1, "AAPL", "SELL", 40, 66.0),   # then covered sell
+            (1, "MSFT", "SELL", 10, 95.0),   # full close
+            (2, "TSLA", "BUY", 5, 200.0),    # new position
+            (2, "TSLA", "BUY", 5, 300.0),
+            # 3/NVDA: holding untouched by any trade
+        ],
+    )
+    fold = {
+        (r.portfolioid, r.symbol): r
+        for r in apply_trades(holdings, trades).collect()
+    }
+    closed = {
+        (r.portfolioid, r.symbol): r
+        for r in apply_trades_closed_form(holdings, trades).collect()
+    }
+    assert fold.keys() == closed.keys()
+    for k, f in fold.items():
+        c = closed[k]
+        assert (f.shares, f.rejected) == (c.shares, c.rejected), k
+        if f.avgprice is None:
+            assert c.avgprice is None, k
+        else:
+            assert c.avgprice == pytest.approx(f.avgprice, abs=1e-4), k
+
+
+def test_closed_form_rejects_path_dependent_batch(spark):
+    holdings = spark.createDataFrame(
+        [(1, "AAPL", 100, 50.0)],
+        "portfolioid int, symbol string, shares int, avgprice double",
+    )
+    # BUY after SELL — avg becomes path-dependent; must refuse.
+    trades = _trades(
+        spark,
+        [(1, "AAPL", "SELL", 40, 66.0), (1, "AAPL", "BUY", 10, 70.0)],
+    )
+    with pytest.raises(ValueError, match="path-independent"):
+        apply_trades_closed_form(holdings, trades).collect()
+    # overdrawn sell (would be rejected by the fold) must also refuse.
+    over = _trades(spark, [(1, "AAPL", "SELL", 999, 66.0)])
+    with pytest.raises(ValueError, match="path-independent"):
+        apply_trades_closed_form(holdings, over).collect()
+
+
+def test_closed_form_matches_fold_on_u2_derived_batch(spark):
+    """Pin equality on the registered u2 trade batch (sf0.001): the
+    derived data places every SELL 5000 days after the last BUY, so
+    the closed form must reproduce the fold exactly."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    base = li.select(
+        (F.col("l_suppkey") % 100).cast("int").alias("portfolioid"),
+        F.concat(F.lit("S"), (F.col("l_partkey") % 25).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("l_quantity").cast("int").alias("shares"),
+        (F.col("l_partkey") % 25 * 3 + 7).cast("double").alias("price"),
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        F.col("l_orderkey").alias("_ok"),
+    )
+    buys = base.select(
+        "portfolioid", "symbol", F.lit("BUY").alias("side"), "shares",
+        "price", "ts",
+    )
+    sells = base.filter(F.col("_ok") % 7 == 0).select(
+        "portfolioid", "symbol", F.lit("SELL").alias("side"),
+        F.lit(1).alias("shares"), "price",
+        (F.col("ts") + F.expr("INTERVAL 5000 DAYS")).alias("ts"),
+    )
+    holdings = spark.createDataFrame(
+        [], "portfolioid int, symbol string, shares int, avgprice double"
+    )
+    trades = buys.unionByName(sells)
+    fold = {
+        (r.portfolioid, r.symbol): (r.shares, r.avgprice, r.rejected)
+        for r in apply_trades(holdings, trades).collect()
+    }
+    closed = {
+        (r.portfolioid, r.symbol): (r.shares, r.avgprice, r.rejected)
+        for r in apply_trades_closed_form(holdings, trades).collect()
+    }
+    assert fold == closed
 
 
 def test_ledger_and_cash_and_regex_roundtrip(spark):
