@@ -141,14 +141,32 @@ def _fake_decode(payload: bytes) -> tuple[int, float]:
 
 
 def sniff_codec(payload: bytes) -> str | None:
-    """Magic-byte container sniff: 'bmp' | 'wav' | 'png' | None."""
+    """Magic-byte container sniff: 'bmp' | 'wav' | 'png' | 'jpeg' |
+    None."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
+
+
+def _decode_jpeg_pil(payload: bytes) -> tuple[int, int, int, float]:
+    """JPEG via PIL when the codec stack is present (optional-dependency
+    probe): (width, height, n_pixels, mean luminance byte) — the same
+    shape the stdlib codecs report. Callers gate on ``_HAS_CODECS``."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    w, h = img.size
+    data = list(img.getdata())
+    n = w * h
+    return w, h, n, _trunc6(sum(data) / n) if n else 0.0
 
 
 def encode_bmp(width: int, height: int, value: int) -> bytes:
@@ -361,10 +379,15 @@ def decode_media_codec(media: DataFrame) -> DataFrame:
                 elif codec == "wav":
                     rate, n, mean = _decode_wav(p)
                     rows.append((doc_id, "wav", None, None, rate, n, mean))
+                elif codec == "jpeg" and _HAS_CODECS:
+                    w, h, n, mean = _decode_jpeg_pil(p)
+                    rows.append((doc_id, "jpeg", w, h, None, n, mean))
                 else:
                     raise NotImplementedError(
-                        "payload is neither BMP, PNG, nor WAV; other "
-                        "formats need the PIL/librosa/ffmpeg codec stack"
+                        "payload needs the PIL/librosa/ffmpeg codec "
+                        "stack (absent here); BMP/PNG/WAV decode with "
+                        "the stdlib codecs, JPEG additionally when PIL "
+                        "is importable"
                     )
             yield pd.DataFrame(
                 rows,

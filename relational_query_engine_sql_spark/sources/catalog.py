@@ -36,6 +36,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        # The NTZ→TimestampType normalization below is value-identical
+        # ONLY under a UTC session timezone; on any other session the
+        # cast re-interprets wall-clock values and every timestamp
+        # silently shifts by the local offset. Enforce the invariant
+        # instead of assuming it (sessions built by get_spark set UTC).
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"events timestamps require spark.sql.session.timeZone="
+                f"UTC (session has {tz!r}); build the session with "
+                "session.get_spark or set the conf before loading"
+            )
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):

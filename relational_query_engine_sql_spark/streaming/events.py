@@ -331,13 +331,28 @@ def _make_user_stats_processor():
                     m2 += delta * (v - mean)
             self._state.update((n, total, m2, mean))
             std = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
+
+            # HALF_UP on the double's shortest decimal repr — exactly
+            # what Spark's F.round does (BigDecimal.valueOf(double)),
+            # where Python's round() is half-even: values landing on a
+            # 4th-decimal midpoint would diverge from the batch oracle.
+            def r4(v: float) -> float:
+                import decimal
+
+                return float(
+                    decimal.Decimal(repr(v)).quantize(
+                        decimal.Decimal("0.0001"),
+                        rounding=decimal.ROUND_HALF_UP,
+                    )
+                )
+
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "n": [n],
-                    "total": [round(total, 4)],
-                    "mean": [round(mean, 4)],
-                    "stddev": [round(std, 4)],
+                    "total": [r4(total)],
+                    "mean": [r4(mean)],
+                    "stddev": [r4(std)],
                 }
             )
 
@@ -349,8 +364,15 @@ def _make_user_stats_processor():
 
 def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
     """transformWithStateInPandas running per-user stats (count, sum,
-    mean, sample stddev). Streaming-only API; requires the RocksDB
-    state store provider (tests set it on the session)."""
+    mean, sample stddev). Streaming-only API with two runtime
+    requirements this module cannot supply by itself:
+    ``spark.sql.streaming.stateStore.providerClass`` must be the
+    RocksDBStateStoreProvider (the default HDFS provider fails at query
+    start), and the Python ``protobuf`` package must be importable (the
+    TWS state server runs a separate driver worker that speaks
+    protobuf). tests/test_streaming.py sets the provider and pins the
+    final state to :func:`user_stats_batch`, skipping only where
+    protobuf is absent from the container."""
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_make_user_stats_processor(),
         outputStructType=_TWS_OUT_SCHEMA,

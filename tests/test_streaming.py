@@ -143,6 +143,72 @@ def test_stream_to_table_ingestion_effectively_once(spark, sf_small, tmp_path):
     assert table.read().count() == want
 
 
+def test_transform_with_state_user_stats(spark, sf_small):
+    """transformWithStateInPandas (Welford per-user stats) requires the
+    RocksDB state store provider; final emitted state per user must
+    equal the closed-form batch aggregate.
+
+    The TWS state server speaks protobuf from a separate Python driver
+    worker — in containers without the protobuf package the worker
+    crashes at init, so the differential check is gated on the import
+    (it runs wherever the API itself can)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server requires protobuf",
+    )
+    from relational_query_engine_sql_spark.streaming import (
+        stateful_user_stats_tws,
+        user_stats_batch,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_small)
+        _run_stream(
+            stateful_user_stats_tws(stream), "tws_stats_out", mode="update"
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    got = {
+        r.user_id: (r.n, r.total, r.mean, r.stddev)
+        for r in spark.sql(
+            # update mode emits a row per micro-batch; keep the final
+            # (largest n) state per user.
+            """
+            SELECT user_id, n, total, mean, stddev FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY n DESC) AS rk
+                FROM tws_stats_out
+            ) WHERE rk = 1
+            """
+        ).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        r.user_id: (r.n, r.total, r.mean, r.stddev)
+        for r in user_stats_batch(ev).collect()
+    }
+    assert len(want) > 10
+    assert got.keys() == want.keys()
+    for u, (n, total, mean, std) in want.items():
+        gn, gt, gm, gs = got[u]
+        assert gn == n, u
+        # Welford accumulates in a different order than the batch sum;
+        # compare to the oracle within one ulp of the 4-dp rounding.
+        assert abs(gt - total) <= 1e-4, u
+        assert abs(gm - mean) <= 1e-4, u
+        assert abs(gs - std) <= 1e-4, u
+
+
 def test_stateful_running_totals(spark, sf_small):
     stream = read_events_stream(spark, sf_small)
     _run_stream(stateful_running_totals(stream), "totals_out", mode="update")
