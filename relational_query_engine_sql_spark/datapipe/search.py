@@ -144,3 +144,85 @@ def bm25_oracle_sql(query_terms: list[str], k: int = 10) -> str:
     )
     SELECT doc_id, score, rnk FROM ranked WHERE rnk <= {k}
     """
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document under TF-IDF.
+
+    The corpus-triage twin of BM25: instead of scoring documents for a
+    query, score terms for a document (keyword extraction / topic
+    fingerprinting for mixture audits). Plan shape at 100 TB:
+
+    - tf: one shuffle keyed (doc, term) with map-side combine — the
+      same distributed postings build BM25 uses;
+    - df: aggregate of tf keyed by term (postings are already unique
+      per (doc, term), so COUNT(*) is document frequency);
+    - n_docs: scalar via broadcast cross-join, no driver round-trip;
+    - ranking: window partitioned by doc over the per-doc term list —
+      the shuffle is keyed by doc and each partition holds only that
+      doc's distinct terms.
+
+    Ranking determinism: scores are rounded to 6 dp BEFORE the window
+    orders on them (term asc tiebreak), so a sub-rounding ulp
+    difference between engines' ln() cannot reorder the top-k.
+    """
+    toks = tokens_long(docs, id_col, text_col).filter(F.col("term") != "")
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("doc").alias(id_col), "term", "score", "rnk")
+    )
+
+
+def tfidf_oracle_sql(k: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_topk_terms` on the ``documents``
+    view (same tokenizer, same rounded-before-rank determinism)."""
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc, tf.term,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df),
+                     6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc AS doc_id, term, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc ORDER BY score DESC, term
+               ) AS INT) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= {k}
+    """

@@ -65,22 +65,24 @@ ROUND3_PREFIX = [
     "tpch_q20_excess_stock_suppliers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
-    # -- §2 family representatives (16) --
+    # -- round-3 additions (9): new operators needing their first row --
+    "dedup_semantic_clusters",  # LSH pairs → CC → representative
+    "search_tfidf_terms",  # TF-IDF keyword extraction
+    "sample_temperature_mix",  # training-mixture temperature sampling
+    "dq_skew_profile",  # pre-shuffle key-skew diagnostics
+    "ext_unpivot",  # wide→long melt
+    "ext_lateral_explode",  # posexplode with ordinality
+    "ext_correlated_scalar",  # correlated scalar subquery (SQL API)
+    "src_orc_roundtrip",  # ORC sink/source
+    "src_partitioned_pruning",  # hive-partitioned write + pruned read
+    # -- §2 family representatives (7): insurance so a rotation bug
+    # can never silently un-check a core family --
     "a1_pricing_summary",  # A: grouped multi-aggregate
     "j1_join_dims",  # J: inner equi-join
-    "w2_returns_panel",  # W: partitioned LAG
-    "s2_point_lookup",  # S read path
-    "s5_upsert",  # S write path
-    "f2_date_between",  # F: range predicate
-    "o4_topk_then_asc",  # O: order/limit
-    "e10_forecast_horizon",  # E: expressions
-    "u1_linreg_fit",  # U: linreg/trend
+    "s5_upsert",  # S: write path
     "u2_apply_trades",  # U: sequential fold write path
     "dedup_minhash_lsh",  # pipeline: near-dup (perf-watched this round)
     "dedup_embedding_cosine",  # pipeline: now non-vacuous (planted dups)
-    "ann_ivf_topk",  # pipeline: ANN scale path
-    "text_quality_metrics",  # pipeline: text stats
-    "mm_decode_real",  # pipeline: multimodal decode
     "stream_tumbling_hourly",  # streaming: watermark window
 ]
 set_rotation(ROUND3_PREFIX)

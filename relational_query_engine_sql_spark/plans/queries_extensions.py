@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..sources import load_table
-from .numeric import money_sum
+from .numeric import money_sum, sql_money_sum
 from .registry import query
 
 
@@ -583,3 +583,105 @@ def ext_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(o["k"].alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / melt: wide metric columns to long (metric, value) rows —
+# the shape feature stores and plotting layers consume. Spark's
+# ``DataFrame.unpivot`` expands columns row-wise inside the scan
+# projection (no shuffle beyond the feeding aggregate); DuckDB's
+# UNPIVOT is the SQL twin. Measures use the decimal-quantized sum
+# idiom (plans/numeric.py) so the melted doubles hash identically.
+# --------------------------------------------------------------------------
+@query(
+    "ext_unpivot",
+    survey="ext:unpivot",
+    priority=60,
+    oracle=f"""
+    WITH agg AS (
+        SELECT l_returnflag,
+               {sql_money_sum('l_quantity')} AS sum_qty,
+               {sql_money_sum('l_extendedprice')} AS sum_price,
+               {sql_money_sum('l_discount', 4)} AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM agg UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        money_sum(F.col("l_discount"), 4).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "val",
+    )
+
+
+# --------------------------------------------------------------------------
+# Lateral explode with ordinality: one row per (doc, token, position).
+# ``posexplode`` runs inside the scan stage (Generate node, no
+# shuffle); position is emitted 1-based to match DuckDB's
+# generate_subscripts. The tokenizer is the shared BM25/quality
+# whitespace split so every text operator agrees on token identity.
+# --------------------------------------------------------------------------
+@query(
+    "ext_lateral_explode",
+    survey="ext:lateral-explode",
+    priority=60,
+    oracle=r"""
+    SELECT doc_id,
+           UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term,
+           generate_subscripts(
+               string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+)
+def ext_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos0", "term"),
+    )
+    return toks.select(
+        "doc_id", "term", (F.col("pos0") + 1).alias("pos")
+    )
+
+
+# Shared text: the Spark SQL API runs the IDENTICAL string the oracle
+# runs — a correlated scalar subquery Catalyst de-correlates into an
+# aggregate + join (no per-row re-execution; the 100 TB-safe rewrite).
+# MAX is exact over doubles, so membership is deterministic across
+# engines; orders with no lineitem compare NULL and drop on both sides.
+_SQL_CORRELATED_SCALAR = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (
+    SELECT MAX(l.l_extendedprice) FROM lineitem l
+    WHERE l.l_orderkey = orders.o_orderkey
+)
+"""
+
+
+@query(
+    "ext_correlated_scalar",
+    survey="ext:correlated-subquery,J5",
+    priority=60,
+    oracle=_SQL_CORRELATED_SCALAR,
+)
+def ext_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_SQL_CORRELATED_SCALAR)

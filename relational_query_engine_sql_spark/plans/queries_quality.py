@@ -134,3 +134,128 @@ def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(check(ev, "events.value_not_null", F.col("value").isNull()))
     )
+
+
+# --------------------------------------------------------------------------
+# Key-skew profile: the pre-shuffle diagnostic a 100 TB join/agg plan
+# runs BEFORE choosing a strategy (salt? AQE skew split? broadcast?).
+# Shape: per-key counts (one map-side-combined shuffle on the key) →
+# count-of-counts histogram (second tiny aggregate over distinct count
+# values) → exact percentiles read off the histogram's running sum, so
+# no single-partition global sort over keys exists — the classic exact-
+# percentile trap at scale. Every output is integer arithmetic or a
+# single correctly-rounded double op (⌊100·max·n/total⌋), so both
+# engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "dq_skew_profile",
+    survey="ext:skew-profile",
+    priority=60,
+    oracle="""
+    WITH per_key AS (
+        SELECT l_orderkey AS k, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (
+        SELECT cnt, COUNT(*) AS freq FROM per_key GROUP BY cnt
+    ),
+    cum AS (
+        SELECT cnt, freq,
+               SUM(freq) OVER (ORDER BY cnt
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               MAX(cnt) AS max_cnt
+        FROM per_key
+    ),
+    pct AS (
+        SELECT MIN(CASE WHEN cum >= (n_keys + 1) // 2 THEN cnt END)
+                   AS p50_cnt,
+               MIN(CASE WHEN cum >= (9 * n_keys + 9) // 10 THEN cnt END)
+                   AS p90_cnt,
+               MIN(CASE WHEN cum >= (99 * n_keys + 99) // 100 THEN cnt END)
+                   AS p99_cnt
+        FROM cum CROSS JOIN tot
+    ),
+    top AS (
+        SELECT MIN(k) AS top_key FROM per_key
+        WHERE cnt = (SELECT max_cnt FROM tot)
+    )
+    SELECT n_keys, total_rows, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+           CAST(FLOOR(100.0 * max_cnt * n_keys / total_rows) AS BIGINT)
+               AS skew_x100,
+           top_key
+    FROM tot CROSS JOIN pct CROSS JOIN top
+    """,
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    cum = hist.select(
+        "cnt",
+        F.sum("freq")
+        .over(W.orderBy("cnt").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    # integer ceil positions — ⌈p·n⌉ as (p_num·n + p_den-1+…)//p_den so
+    # both engines stay integral end-to-end
+    cum_t = cum.crossJoin(F.broadcast(tot))
+    pct = cum_t.agg(
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.floor((F.col("n_keys") + 1) / 2).cast("long"),
+                F.col("cnt"),
+            )
+        ).alias("p50_cnt"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.floor((9 * F.col("n_keys") + 9) / 10).cast("long"),
+                F.col("cnt"),
+            )
+        ).alias("p90_cnt"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.floor((99 * F.col("n_keys") + 99) / 100).cast("long"),
+                F.col("cnt"),
+            )
+        ).alias("p99_cnt"),
+    )
+    top = (
+        per_key.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .agg(F.min("k").alias("top_key"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pct))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p90_cnt",
+            "p99_cnt",
+            F.floor(
+                100.0
+                * F.col("max_cnt")
+                * F.col("n_keys")
+                / F.col("total_rows")
+            )
+            .cast("long")
+            .alias("skew_x100"),
+            "top_key",
+        )
+    )

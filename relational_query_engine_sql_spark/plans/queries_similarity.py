@@ -168,11 +168,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANTED = 8
 PLANT_OFFSET = 1_000_000
 
-@query(
-    "dedup_embedding_cosine",
-    survey="beyond:dedup-embedding",
-    oracle=f"""
-    WITH base AS (
+# SQL twin of the derived corpus, shared by the pair query and the
+# clustering query so both oracles see the identical planted set.
+_CORPUS_SQL = f"""
+    base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     corpus AS (
@@ -182,14 +181,12 @@ PLANT_OFFSET = 1_000_000
                list_transform(v, x -> x * 1.001)
         FROM base WHERE vec_id < {N_PLANTED}
     )
-    SELECT a.vec_id AS v1, b.vec_id AS v2,
-           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-    FROM corpus a
-    JOIN corpus b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {NEAR_DUP_THRESHOLD}
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _planted_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the planted derived corpus via the
+    sign-LSH banded path (the canonical scale-shaped plan)."""
     from ..datapipe.similarity import as_double
     from ..sources import spread, table_rows
 
@@ -213,7 +210,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus,
         threshold=NEAR_DUP_THRESHOLD,
         n=None if n is None else n + N_PLANTED,
-    ).select(F.col("v1"), F.col("v2"), F.col("cos"))
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    survey="beyond:dedup-embedding",
+    oracle=f"""
+    WITH {_CORPUS_SQL}
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM corpus a
+    JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _planted_near_dups(spark, sf_dir).select(
+        F.col("v1"), F.col("v2"), F.col("cos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup end-to-end: LSH candidate pairs → exact-cosine verify
+# → connected components → canonical representative per cluster. This
+# is the full "keep one of each near-duplicate group" pipeline a
+# training corpus runs before sampling: candidate generation never
+# materializes the all-pairs space (banded equi-joins), clustering is
+# O(diameter) keyed joins (operators/graph.py), and the representative
+# is the deterministic min-id label CC already produces. The oracle
+# recomputes the same pair set exactly (all-pairs is fine at oracle
+# scale) and resolves components with a recursive CTE — near-dup
+# clusters are tiny cliques, so transitive closure stays bounded.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_semantic_clusters",
+    survey="beyond:semantic-dedup,beyond:dedup-clusters",
+    priority=60,
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM corpus a
+        JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6)
+              >= {NEAR_DUP_THRESHOLD}
+    ),
+    edges AS (
+        SELECT v1 AS a, v2 AS b FROM pairs
+        UNION
+        SELECT v2, v1 FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, b AS peer FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer
+    )
+    SELECT node, LEAST(node, MIN(peer)) AS label
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = _planted_near_dups(spark, sf_dir).select("v1", "v2")
+    return connected_components(pairs, src="v1", dst="v2")
 
 
 # --------------------------------------------------------------------------

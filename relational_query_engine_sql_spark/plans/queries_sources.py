@@ -52,6 +52,63 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_orc_roundtrip",
+    survey="src:orc",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip.
+
+    ORC is Spark's second first-class columnar format (native reader
+    with predicate pushdown + column pruning, same as parquet); at
+    100 TB the ingest side of a pipeline frequently lands as ORC from
+    Hive-era producers. The oracle reads the original parquet, so the
+    hash match proves the format conversion is lossless.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="rqe-orc-") + "/supplier"
+    sup.write.mode("overwrite").orc(out)
+    back = spark.read.schema(sup.schema).orc(out)
+    return back.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@query(
+    "src_partitioned_pruning",
+    survey="src:partitioned-parquet,F5",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write + partition-pruned read.
+
+    The 100 TB layout lever: writing the fact table partitioned on its
+    hot filter column turns a full scan into a directory prune — the
+    filtered read below touches only 2 of 5 partition directories
+    (tests/test_sources.py pins ``PartitionFilters`` in the physical
+    plan and that no data filter remains). The oracle reads the
+    original table with the same predicate, proving the partitioned
+    round-trip loses nothing.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="rqe-part-") + "/orders"
+    orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
     "src_jsonl_roundtrip",
     survey="src:jsonl",
     priority=60,

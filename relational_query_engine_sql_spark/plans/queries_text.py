@@ -655,3 +655,87 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return bm25_topk(docs, _BM25_TERMS, k=15)
+
+
+def _tfidf_oracle() -> str:
+    from ..datapipe.search import tfidf_oracle_sql
+
+    return tfidf_oracle_sql(k=3)
+
+
+@query(
+    "search_tfidf_terms",
+    survey="beyond:tfidf-keywords",
+    priority=60,
+    oracle=_tfidf_oracle(),
+)
+def search_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document — the
+    per-document fingerprint used for mixture audits and topic
+    clustering (datapipe/search.py documents the 100 TB plan shape)."""
+    from ..datapipe.search import tfidf_topk_terms
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return tfidf_topk_terms(docs, k=3)
+
+
+# --------------------------------------------------------------------------
+# Temperature-weighted mixture sampling: rebalance a multi-domain
+# corpus toward smaller domains (the standard LLM training-mixture
+# move). The quota is sublinear in domain size — min(n_d,
+# 10·⌊√n_d⌋) — so dominant domains are capped while small ones keep
+# every row. Everything is integer-or-exactly-rounded arithmetic
+# (√ of an integer is correctly rounded per IEEE, ⌊·⌋ after it is
+# deterministic), so both engines compute identical quotas; member
+# selection ranks md5(doc_id) inside each domain — the same
+# deterministic-hash idiom as sample_stable — so the chosen rows are a
+# pure function of the data. Plan shape: tiny per-domain quota frame
+# broadcast back onto a window ranked within source — one shuffle
+# keyed by domain.
+# --------------------------------------------------------------------------
+@query(
+    "sample_temperature_mix",
+    survey="beyond:mixture-sample",
+    priority=60,
+    oracle="""
+    WITH quota AS (
+        SELECT source,
+               LEAST(COUNT(*),
+                     CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+                     * 10) AS q
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.rnk AS INT) AS rnk
+    FROM ranked r JOIN quota USING (source)
+    WHERE r.rnk <= quota.q
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    quota = docs.groupBy("source").agg(
+        F.least(
+            F.count(F.lit(1)),
+            F.floor(F.sqrt(F.count(F.lit(1)).cast("double"))) * 10,
+        ).alias("q")
+    )
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rnk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rnk") <= F.col("q"))
+        .select("doc_id", "source", "rnk")
+    )

@@ -1,0 +1,122 @@
+"""Round-3 operator properties: partitioned-layout pruning, semantic
+dedup clustering, TF-IDF ranking, temperature-mix quotas, skew
+profile invariants, unpivot shape, and the correlated-subquery
+decorrelation pin. Value-level cross-engine equality is covered by the
+oracle registry (tools/driver_sim.py); these tests pin the properties
+the oracle can't see — physical plan shape and semantic invariants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from relational_query_engine_sql_spark import plans
+from relational_query_engine_sql_spark.plans.queries_similarity import (
+    N_PLANTED,
+    PLANT_OFFSET,
+)
+from relational_query_engine_sql_spark.sources import load_table
+
+
+def _executed_plan(spark, sf, name: str) -> str:
+    return (
+        plans.get(name)
+        .fn(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_partitioned_read_prunes_directories(spark, sf_small):
+    """The partitioned round-trip's filtered read must prune at the
+    directory level: PartitionFilters carries the predicate and the
+    scan's data-filter list does not re-apply it row-wise."""
+    plan = _executed_plan(spark, sf_small, "src_partitioned_pruning")
+    assert "PartitionFilters: [" in plan
+    part_filters = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "o_orderpriority" in part_filters
+    # the partition predicate must NOT degrade into a post-scan Filter
+    # on the partition column (directory pruning already proved it)
+    data_filters = (
+        plan.split("PushedFilters:", 1)[1].split("]", 1)[0]
+        if "PushedFilters:" in plan
+        else ""
+    )
+    assert "o_orderpriority" not in data_filters
+
+
+def test_semantic_clusters_label_planted_pairs(spark, sf_small):
+    """Every planted clone must land in its source vector's cluster
+    with the source id (the smaller) as the canonical label."""
+    out = plans.get("dedup_semantic_clusters").fn(spark, sf_small)
+    labels = {r["node"]: r["label"] for r in out.collect()}
+    for vid in range(N_PLANTED):
+        assert labels.get(vid + PLANT_OFFSET) == vid
+        assert labels.get(vid) == vid
+
+
+def test_tfidf_ranking_is_dense_and_descending(spark, sf_small):
+    out = plans.get("search_tfidf_terms").fn(spark, sf_small)
+    rows = out.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, terms in by_doc.items():
+        terms.sort(key=lambda r: r["rnk"])
+        assert [t["rnk"] for t in terms] == list(range(1, len(terms) + 1))
+        scores = [t["score"] for t in terms]
+        assert scores == sorted(scores, reverse=True), doc
+        assert len(terms) <= 3
+
+
+def test_temperature_mix_quota_is_sublinear(spark, sf_small):
+    """Per-domain sample counts must equal min(n_d, 10·⌊√n_d⌋) — the
+    whole point of temperature sampling is that dominant domains get
+    capped while small domains keep everything."""
+    import math
+
+    docs = load_table(spark, sf_small, "documents")
+    n_by_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out = plans.get("sample_temperature_mix").fn(spark, sf_small)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in n_by_source.items():
+        assert got.get(src, 0) == min(n, 10 * math.floor(math.sqrt(n))), src
+
+
+def test_skew_profile_invariants(spark, sf_small):
+    row = plans.get("dq_skew_profile").fn(spark, sf_small).collect()
+    assert len(row) == 1
+    r = row[0]
+    li = load_table(spark, sf_small, "lineitem")
+    assert r["total_rows"] == li.count()
+    assert r["n_keys"] == li.select("l_orderkey").distinct().count()
+    assert 1 <= r["p50_cnt"] <= r["p90_cnt"] <= r["p99_cnt"] <= r["max_cnt"]
+    # skew_x100 = 100·max/avg ≥ 100 by construction
+    assert r["skew_x100"] >= 100
+
+
+def test_unpivot_emits_one_row_per_metric(spark, sf_small):
+    out = plans.get("ext_unpivot").fn(spark, sf_small)
+    counts = {
+        r["l_returnflag"]: r["n"]
+        for r in out.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts and all(n == 3 for n in counts.values())
+
+
+def test_correlated_scalar_decorrelates_to_join(spark, sf_oracle):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join — per-outer-row re-execution (or a nested-loop
+    join) would be the 100 TB killer."""
+    plan = _executed_plan(spark, sf_oracle, "ext_correlated_scalar")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan or "join" in plan
