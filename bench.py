@@ -57,6 +57,11 @@ HEADLINE = [
     "j10_range_join_busy_windows",
     "w6_ohlc_daily",
     "text_chunk_windows",
+    # round 3 additions
+    "dedup_semantic_clusters",
+    "search_tfidf_terms",
+    "sample_temperature_mix",
+    "dq_skew_profile",
 ]
 
 
@@ -152,19 +157,33 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT.
     plans.get("a1_pricing_summary").fn(spark, sf_dir).count()
+    # warm the Python worker pool too: the first Arrow-batched stage
+    # otherwise pays ~10 s of 32-way worker fork/import that belongs
+    # to the session, not to whichever Pandas-UDF query runs first.
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in HEADLINE:
         q = plans.get(name)
+        print(f"BENCH start {name}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             # count() materializes every row through the full plan
             # without collecting results to the driver.
             q.fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"BENCH done  {name} {timings[name]}s",
+                file=sys.stderr,
+                flush=True,
+            )
         except Exception as ex:  # one bad query must not lose the run
             failures[name] = f"{type(ex).__name__}: {ex}"[:200]
+            print(f"BENCH FAIL {name}: {failures[name]}",
+                  file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     regressions: dict[str, str] = {}

@@ -76,14 +76,107 @@ def _fold_position(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def apply_trades(holdings: DataFrame, trades: DataFrame) -> DataFrame:
+def apply_trades(
+    holdings: DataFrame, trades: DataFrame, route: bool = True
+) -> DataFrame:
     """Apply a trade batch to positions.
 
     ``holdings``: (portfolioid, symbol, shares, avgprice[, ...]).
     ``trades``: (portfolioid, symbol, side BUY|SELL, shares, price, ts).
     Returns the new position table (portfolioid, symbol, shares,
     avgprice, rejected) — rows with shares == 0 are closed positions.
+
+    With ``route=True`` (default) each position is routed adaptively:
+    positions whose batch is provably price-path-independent — every
+    BUY strictly precedes every SELL (ties route to the fold) and
+    cumulative sells never overdraw, so no rejection can occur —
+    collapse to the closed-form JVM aggregate; only genuinely
+    stateful positions cross the Arrow boundary into the sequential
+    Python fold. The routing predicate is computed by the SAME keyed
+    aggregate the closed form needs, so qualifying positions cost two
+    aggregates and a join, all map-side combinable. At 100 TB this is
+    the difference between "every trade row flows through Python" and
+    "Python sees only the pathological positions" (typically none:
+    batch imports and end-of-day files are sorted). The fold and the
+    closed form are pinned equal on qualifying batches in
+    tests/test_mutation.py.
     """
+    if not route:
+        return _apply_trades_fold(holdings, trades)
+    t = trades.select(
+        "portfolioid",
+        "symbol",
+        F.col("shares").cast("int").alias("sh"),
+        F.col("price").cast("double").alias("p"),
+        "side",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    agg = t.groupBy("portfolioid", "symbol").agg(
+        F.sum(F.when(F.col("side") == "BUY", F.col("sh")).otherwise(0)).alias(
+            "_buy_sh"
+        ),
+        F.sum(
+            F.when(F.col("side") == "BUY", F.col("sh") * F.col("p")).otherwise(
+                0.0
+            )
+        ).alias("_buy_cost"),
+        F.sum(F.when(F.col("side") != "BUY", F.col("sh")).otherwise(0)).alias(
+            "_sell_sh"
+        ),
+        F.max(F.when(F.col("side") == "BUY", F.col("ts"))).alias("_max_buy"),
+        F.min(F.when(F.col("side") != "BUY", F.col("ts"))).alias("_min_sell"),
+    )
+    h = holdings.select(
+        "portfolioid",
+        "symbol",
+        F.col("shares").cast("int").alias("_h_sh"),
+        F.col("avgprice").cast("double").alias("_h_avg"),
+    )
+    pos = agg.join(h, ["portfolioid", "symbol"], "full_outer").select(
+        "portfolioid",
+        "symbol",
+        F.coalesce("_buy_sh", F.lit(0)).alias("_buy_sh"),
+        F.coalesce("_buy_cost", F.lit(0.0)).alias("_buy_cost"),
+        F.coalesce("_sell_sh", F.lit(0)).alias("_sell_sh"),
+        "_max_buy",
+        "_min_sell",
+        F.coalesce("_h_sh", F.lit(0)).alias("_h_sh"),
+        F.coalesce("_h_avg", F.lit(0.0)).alias("_h_avg"),
+    )
+    # NULL-safe qualification: positions with no sells (or no buys)
+    # trivially have no BUY-after-SELL interleaving.
+    interleaved = (
+        F.col("_min_sell").isNotNull()
+        & F.col("_max_buy").isNotNull()
+        & (F.col("_max_buy") >= F.col("_min_sell"))
+    )
+    overdrawn = F.col("_h_sh") + F.col("_buy_sh") < F.col("_sell_sh")
+    stateful = interleaved | overdrawn
+    ok = pos.filter(~stateful)
+    total_in = F.col("_h_sh") + F.col("_buy_sh")
+    shares = total_in - F.col("_sell_sh")
+    avg = (
+        F.col("_h_sh") * F.col("_h_avg") + F.col("_buy_cost")
+    ) / total_in
+    closed = ok.select(
+        "portfolioid",
+        "symbol",
+        shares.cast("int").alias("shares"),
+        F.when(shares == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(avg, 4))
+        .alias("avgprice"),
+        F.lit(0).alias("rejected"),
+    )
+    bad_keys = pos.filter(stateful).select("portfolioid", "symbol")
+    folded = _apply_trades_fold(
+        holdings.join(bad_keys, ["portfolioid", "symbol"], "left_semi"),
+        trades.join(bad_keys, ["portfolioid", "symbol"], "left_semi"),
+    )
+    return closed.unionByName(folded)
+
+
+def _apply_trades_fold(holdings: DataFrame, trades: DataFrame) -> DataFrame:
+    """The general sequential path: one Python fold per position."""
     h = holdings.select(
         "portfolioid",
         "symbol",

@@ -1,0 +1,81 @@
+"""Sketch queries: portable Count-Min heavy-hitter estimates and the
+K-minimum-values distinct sketch (datapipe/sketches.py). Both are
+deterministic md5-derived sketches, so unlike engine-private HLL
+(``ext_approx_distinct``, rows-only) they carry full value-hash
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datapipe.sketches import cms_build, cms_estimate, kmv_sketch
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    survey="beyond:sketch-count-min",
+    priority=60,
+    oracle="""
+    WITH keys AS (
+        SELECT l_partkey AS k, md5(CAST(l_partkey AS VARCHAR)) AS h,
+               COUNT(*) AS exact_cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r(i) AS (SELECT * FROM (VALUES (0), (1), (2), (3))),
+    cells AS (
+        SELECT r.i, substr(kk.h, 1 + 2*r.i, 2) AS bucket,
+               CAST(SUM(kk.exact_cnt) AS BIGINT) AS cnt
+        FROM keys kk CROSS JOIN r
+        GROUP BY r.i, substr(kk.h, 1 + 2*r.i, 2)
+    ),
+    est AS (
+        SELECT kk.k, kk.exact_cnt, MIN(c.cnt) AS cms_est
+        FROM keys kk
+        JOIN cells c ON c.bucket = substr(kk.h, 1 + 2*c.i, 2)
+        GROUP BY kk.k, kk.exact_cnt
+    )
+    SELECT k, exact_cnt, cms_est
+    FROM est ORDER BY exact_cnt DESC, k LIMIT 10
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 part keys with their Count-Min estimates beside
+    the truth — the audit view of sketch quality. The sketch itself
+    shuffles ≤1 024 cells however large lineitem is."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_partkey")
+    exact = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    est = cms_estimate(exact.select("k"), sketch, "k")
+    return (
+        exact.join(est, "k")
+        .orderBy(F.col("exact_cnt").desc(), "k")
+        .limit(10)
+        .select("k", "exact_cnt", "cms_est")
+    )
+
+
+@query(
+    "sketch_kmv_distinct",
+    survey="beyond:sketch-kmv",
+    priority=60,
+    oracle="""
+    SELECT h FROM (
+        SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+        FROM lineitem
+    ) ORDER BY h LIMIT 64
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct sketch of l_partkey: 64 smallest key digests.
+    The sketch rows ARE the state a distributed distinct-estimator
+    ships between sites; tests/test_sketches.py pins the estimate's
+    accuracy and that merging partition-local sketches reproduces the
+    global one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_sketch(li, "l_partkey", k=64)

@@ -92,7 +92,7 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB layout lever: writing the fact table partitioned on its
     hot filter column turns a full scan into a directory prune — the
     filtered read below touches only 2 of 5 partition directories
-    (tests/test_sources.py pins ``PartitionFilters`` in the physical
+    (tests/test_round3_ops.py pins ``PartitionFilters`` in the physical
     plan and that no data filter remains). The oracle reads the
     original table with the same predicate, proving the partitioned
     round-trip loses nothing.

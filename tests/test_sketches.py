@@ -1,0 +1,79 @@
+"""Sketch guarantees the oracle can't express: CMS never
+under-counts and stays within the classical error bound; the KMV
+estimate lands near truth; KMV merges distributively (the property
+that makes it a sketch rather than a sample)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from relational_query_engine_sql_spark.datapipe.sketches import (
+    CMS_WIDTH,
+    cms_build,
+    cms_estimate,
+    kmv_estimate,
+    kmv_sketch,
+)
+from relational_query_engine_sql_spark.sources import load_table
+
+
+def test_cms_never_undercounts_and_bounds_error(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    n_total = li.count()
+    sketch = cms_build(li, "l_partkey")
+    exact = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    both = exact.join(
+        cms_estimate(exact.select("k"), sketch, "k"), "k"
+    ).collect()
+    assert both
+    overshoots = []
+    for r in both:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        overshoots.append(r["cms_est"] - r["exact_cnt"])
+    # classical bound: overshoot < e·N/w with prob 1-(1/2)^4 per key;
+    # assert the MEDIAN respects it comfortably (loose, deterministic)
+    overshoots.sort()
+    assert overshoots[len(overshoots) // 2] <= 2.72 * n_total / CMS_WIDTH
+
+    # sketch size is bounded by construction
+    assert sketch.count() <= 4 * CMS_WIDTH
+
+
+def test_cms_sketch_is_mergeable(spark, sf_small):
+    """CMS cells sum across disjoint splits: sketch(A∪B) =
+    cellwise sketch(A)+sketch(B). That's what lets each executor
+    build partials map-side."""
+    li = load_table(spark, sf_small, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        cms_build(a, "l_partkey")
+        .unionByName(cms_build(b, "l_partkey"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(li, "l_partkey")
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0
+
+
+def test_kmv_estimate_accuracy(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    truth = li.select("l_partkey").distinct().count()
+    hashes = [r["h"] for r in kmv_sketch(li, "l_partkey", k=64).collect()]
+    est = kmv_estimate(hashes, k=64)
+    # standard error ≈ 1/√(k-2) ≈ 12.7%; allow 3σ
+    assert abs(est - truth) / truth < 0.40, (est, truth)
+
+
+def test_kmv_merges_distributively(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    ka = [r["h"] for r in kmv_sketch(a, "l_partkey", k=64).collect()]
+    kb = [r["h"] for r in kmv_sketch(b, "l_partkey", k=64).collect()]
+    merged = sorted(set(ka) | set(kb))[:64]
+    whole = [r["h"] for r in kmv_sketch(li, "l_partkey", k=64).collect()]
+    assert merged == whole
