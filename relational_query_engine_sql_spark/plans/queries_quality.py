@@ -259,3 +259,53 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_key",
         )
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import norm_expr, zvalue_sql
+
+    return f"""
+    WITH src AS (
+        SELECT o_custkey AS x, o_orderkey AS y FROM orders
+    ),
+    st AS (
+        SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+               MIN(y) AS ymin, MAX(y) AS ymax
+        FROM src
+    ),
+    normed AS (
+        SELECT x, y,
+               {norm_expr('x', 'xmin', 'xmax')} AS xn,
+               {norm_expr('y', 'ymin', 'ymax')} AS yn
+        FROM src CROSS JOIN st
+    ),
+    zed AS (SELECT x, y, ({zvalue_sql('xn', 'yn')}) AS z FROM normed)
+    SELECT (z >> 10) AS page, COUNT(*) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM zed GROUP BY (z >> 10)
+    """
+
+
+# --------------------------------------------------------------------------
+# Z-order layout audit (operators/layout.py): min/max-normalize two
+# filter keys onto an 8-bit grid (integer arithmetic only),
+# Morton-interleave them, page rows by z-prefix (quadtree cells), and
+# report each page's bounding box in BOTH dimensions — the row-group
+# statistics a z-ordered write hands to scan pruning. The Spark
+# column expressions and the oracle SQL are rendered from the same
+# generators, so the formulas cannot drift between engines.
+# --------------------------------------------------------------------------
+@query(
+    "maintenance_zorder_layout",
+    survey="beyond:zorder-layout",
+    priority=60,
+    oracle=_zorder_oracle(),
+)
+def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_page_profile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("x"), F.col("o_orderkey").alias("y")
+    )
+    return zorder_page_profile(o, "x", "y")
