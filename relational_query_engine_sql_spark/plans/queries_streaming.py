@@ -253,3 +253,34 @@ def stream_join_attribution_outer(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return purchase_click_attribution(ev, how="left_outer")
+
+
+@query(
+    "stream_trending_topk",
+    survey="streaming:trending-topk",
+    priority=60,
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rnk FROM (
+        SELECT window_start, event_type, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type
+               ) AS INT) AS rnk
+        FROM counts
+    ) t WHERE rnk <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour trending event types (top-3 by count, name tiebreak).
+    The streaming form keeps only watermark-bounded per-window type
+    counts as state; ranking happens once windows close
+    (streaming/events.py:trending_topk)."""
+    from ..streaming.events import trending_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return trending_topk(ev, window="1 hour", k=3)

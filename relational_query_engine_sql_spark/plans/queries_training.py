@@ -1,0 +1,151 @@
+"""Training-set assembly operators: leakage-safe splits and negative
+sampling — the last mile between a cleaned corpus and a training run.
+
+- ``split_leakage_safe``: hash-based train/val/test assignment that
+  routes every NEAR-DUP CLUSTER (not every doc) to one split. Naive
+  per-doc hashing leaks: two near-duplicates land in train and test
+  and the eval set is contaminated. Here docs first get their
+  connected-component cluster id (same Jaccard edge set as
+  ``dedup_cluster_components``), and the split decision hashes the
+  CLUSTER id, so duplicates move together. Plan: the CC label frame
+  (keyed joins, O(diameter) rounds) + one projection — no extra
+  shuffle beyond what clustering already does.
+
+- ``sample_negative_pairs``: deterministic random negatives for
+  contrastive training. Docs are hash-bucketed (md5 prefix) and
+  paired with their successors in hash order — hash order is
+  uncorrelated with content, so the successor is a uniformly random
+  other doc, yet the pairing is a pure function of the corpus (fully
+  reproducible, oracle-checkable). One window shuffle keyed by
+  bucket; every LEAD offset rides the same sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table, spread
+from .queries_text import _SHINGLE_CTE, JACCARD_THRESHOLD
+from .registry import query
+
+# 16 hex values: 12/2/2 → 75% train, 12.5% val, 12.5% test
+_SPLIT_CASE = """CASE
+        WHEN SUBSTR(md5(CAST(cluster_id AS STRING)), 1, 1)
+             IN ('c', 'd') THEN 'val'
+        WHEN SUBSTR(md5(CAST(cluster_id AS STRING)), 1, 1)
+             IN ('e', 'f') THEN 'test'
+        ELSE 'train' END"""
+
+_CC_CTE = (
+    _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + f"""
+    , common AS (
+        SELECT a.id AS d1, b.id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT d1, d2
+        FROM common
+        JOIN counts n1 ON common.d1 = n1.id
+        JOIN counts n2 ON common.d2 = n2.id
+        WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    cc AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node),
+    clustered AS (
+        SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    )
+"""
+)
+
+
+@query(
+    "split_leakage_safe",
+    survey="beyond:train-split",
+    priority=60,
+    oracle=_CC_CTE
+    + f"""
+    SELECT doc_id, cluster_id, {_SPLIT_CASE} AS split
+    FROM clustered
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import jaccard_pairs, shingles
+    from ..operators.graph import connected_components
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    sh = shingles(docs)
+    cc = connected_components(
+        jaccard_pairs(sh, JACCARD_THRESHOLD), "d1", "d2"
+    )
+    clustered = docs.join(
+        cc, docs["doc_id"] == cc["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    return clustered.withColumn("split", F.expr(_SPLIT_CASE))
+
+
+N_NEGATIVES = 2
+
+
+@query(
+    "sample_negative_pairs",
+    survey="beyond:negative-sampling",
+    priority=60,
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    leads AS (
+        SELECT doc_id, bucket,
+               LEAD(doc_id, 1) OVER w AS n1,
+               LEAD(doc_id, 2) OVER w AS n2
+        FROM ranked
+        WINDOW w AS (PARTITION BY bucket ORDER BY h, doc_id)
+    )
+    SELECT doc_id, neg_id, j FROM (
+        SELECT doc_id, n1 AS neg_id, 1 AS j FROM leads
+        UNION ALL
+        SELECT doc_id, n2, 2 FROM leads
+    ) WHERE neg_id IS NOT NULL
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    ranked = docs.select(
+        "doc_id",
+        F.substring(h, 1, 2).alias("bucket"),
+        h.alias("h"),
+    )
+    w = W.partitionBy("bucket").orderBy("h", "doc_id")
+    leads = ranked.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    out = leads.select(
+        "doc_id", F.col("n1").alias("neg_id"), F.lit(1).alias("j")
+    ).unionByName(
+        leads.select(
+            "doc_id", F.col("n2").alias("neg_id"), F.lit(2).alias("j")
+        )
+    )
+    return out.filter(F.col("neg_id").isNotNull())

@@ -393,3 +393,39 @@ def user_stats_batch(events: DataFrame) -> DataFrame:
             "stddev"
         ),
     )
+
+
+def trending_topk(
+    events: DataFrame,
+    window: str = "1 hour",
+    k: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Top-k event types per tumbling window — the "trending now"
+    board. Works on streams and batch frames alike: on a stream the
+    windowed counts are the watermark-bounded stateful stage and the
+    rank runs in the sink's foreachBatch (ranking needs the window
+    CLOSED, which is exactly what the watermark guarantees); in batch
+    the two stages compose directly. The rank window partitions by
+    the time window, so state per partition is one window's type
+    counts — bounded by event-type cardinality, not event volume.
+    """
+    from pyspark.sql import Window as W
+
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    counts = (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    if events.isStreaming:
+        return counts  # rank in the sink once windows close
+    rank_w = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+    )

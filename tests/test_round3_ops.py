@@ -180,3 +180,35 @@ def test_zvalue_sql_and_column_agree(spark):
         F.expr(zvalue_sql("x", "y")).alias("b"),
     )
     assert got.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_small):
+    out = plans.get("split_leakage_safe").fn(spark, sf_small)
+    # every cluster maps to exactly one split — the leakage guarantee
+    multi = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+    # all three splits exist and cover every doc
+    docs = load_table(spark, sf_small, "documents")
+    assert out.count() == docs.count()
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+
+
+def test_negative_pairs_are_valid_and_deterministic(spark, sf_small):
+    q = plans.get("sample_negative_pairs")
+    a = q.fn(spark, sf_small)
+    assert a.filter(F.col("doc_id") == F.col("neg_id")).count() == 0
+    # j in {1, 2} and at most 2 negatives per doc
+    assert a.filter(~F.col("j").isin(1, 2)).count() == 0
+    over = (
+        a.groupBy("doc_id").count().filter(F.col("count") > 2).count()
+    )
+    assert over == 0
+    # pure function of the corpus: two runs agree exactly
+    b = q.fn(spark, sf_small)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

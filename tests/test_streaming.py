@@ -237,3 +237,32 @@ def test_stateful_running_totals(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_trending_topk_stream_matches_batch(spark, sf_small):
+    """The streaming form emits watermark-bounded windowed counts;
+    ranking them once the stream drains must reproduce the batch
+    trending board exactly (rank-in-sink pattern)."""
+    from pyspark.sql import Window as W
+
+    from relational_query_engine_sql_spark.streaming.events import (
+        trending_topk,
+    )
+
+    stream = read_events_stream(spark, sf_small)
+    _run_stream(trending_topk(stream), "trending_counts")
+    counts = spark.sql("SELECT * FROM trending_counts")
+    rank_w = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    got = (
+        counts.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    )
+    batch = trending_topk(load_table(spark, sf_small, "events")).collect()
+    key = lambda r: (r.window_start, r.rnk)
+    assert sorted(
+        [(r.window_start, r.rnk, r.event_type, r.n) for r in got]
+    ) == sorted([(r.window_start, r.rnk, r.event_type, r.n) for r in batch])
+    assert len(batch) > 10
