@@ -72,6 +72,11 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nlabel"))
         )
+        # Labels only ever decrease, so the fixpoint test is a strict
+        # inequality carried as a flag INSIDE the label frame: the
+        # checkpoint materializes it for free and the convergence
+        # check is then a scan of the checkpointed state — no extra
+        # old-vs-new join job per round.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -79,20 +84,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        # Labels only ever decrease, so the fixpoint test is a strict
-        # inequality count — a cheap aggregate over the label state,
-        # not a full-result comparison.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
 
