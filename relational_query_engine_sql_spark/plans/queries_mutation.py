@@ -399,3 +399,35 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")), 2
         ).cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# S10 — snapshot time travel (VersionedParquetTable): clone supplier,
+# run a real upsert that rewrites every balance, then time-travel back
+# to version 0. The oracle is the UNTOUCHED supplier view — a hash
+# match proves the pre-mutation snapshot survived the write byte-for-
+# byte (Delta/Iceberg VERSION AS OF semantics on plain parquet).
+# tests/test_mutation.py additionally pins the current version's
+# post-state, the version chain, and vacuum retention.
+# --------------------------------------------------------------------------
+@query(
+    "s10_time_travel",
+    survey="beyond:time-travel,S5",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def s10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutation import VersionedParquetTable
+
+    src = load_table(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="rqe-timetravel-")
+    t = VersionedParquetTable(
+        spark, f"{root}/supplier", src.schema, ["s_suppkey"]
+    )
+    t.init(src)
+    t.upsert(src.withColumn("s_acctbal", F.col("s_acctbal") + 100.0))
+    return t.read(version=0).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

@@ -739,3 +739,53 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= F.col("q"))
         .select("doc_id", "source", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate-line detection (C4-style): sentences that recur across
+# many distinct documents are navigation chrome / license headers /
+# cookie banners — removed line-wise, not document-wise. Shape: one
+# explode (scan-stage Generate), one distinct on (doc, line), one
+# count-distinct aggregate keyed by line — the line dictionary is the
+# only shuffled state, and the ≥K filter keeps the result to the
+# boilerplate tail. Dedup across repeated occurrences WITHIN a doc
+# happens before counting, so a doc repeating its own footer 50 times
+# still counts once.
+# --------------------------------------------------------------------------
+BOILERPLATE_MIN_DOCS = 3
+BOILERPLATE_MIN_CHARS = 20
+
+
+@query(
+    "text_boilerplate_lines",
+    survey="beyond:boilerplate-lines",
+    priority=60,
+    oracle=rf"""
+    WITH lines AS (
+        SELECT DISTINCT doc_id,
+               lower(trim(UNNEST(string_split_regex(text, '\.\s+')))) AS line
+        FROM documents
+    )
+    SELECT line, COUNT(*) AS n_docs
+    FROM lines
+    WHERE LENGTH(line) >= {BOILERPLATE_MIN_CHARS}
+    GROUP BY line
+    HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\.\s+")).alias("raw"),
+        )
+        .select("doc_id", F.lower(F.trim(F.col("raw"))).alias("line"))
+        .filter(F.length("line") >= BOILERPLATE_MIN_CHARS)
+        .distinct()
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )

@@ -21,6 +21,7 @@ from ..operators.statistics import (
     market_returns,
 )
 from ..sources import load_table
+from .numeric import money_sum
 from .registry import query
 
 # Shared oracle CTE: daily close panel + LAG returns on events.
@@ -310,3 +311,62 @@ def w6_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return downsample_ohlc(ev, key="user_id")
+
+
+# --------------------------------------------------------------------------
+# W7 — exponentially weighted moving average per user over the daily
+# value series. EWMA is a sequential recurrence (ewma_t = αx_t +
+# (1-α)·ewma_{t-1}), which naive implementations push into Python; here
+# it stays JVM-side as a per-key array fold: sort-collect the bounded
+# daily series per user, then F.aggregate left-folds it inside codegen.
+# DuckDB's list_reduce is the exact twin (same init = first element,
+# same left-to-right float ops), so the doubles match bit-for-bit
+# before the final ROUND. State per key is the day count, not event
+# volume — the shuffle moves the daily aggregate only.
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "w7_ewma_value",
+    survey="ext:ewma",
+    priority=60,
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+                   AS v
+        FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+        SELECT user_id, list(v ORDER BY d) AS vals
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id, CAST(LEN(vals) AS INT) AS n_days,
+           ROUND(list_reduce(CAST(vals AS DOUBLE[]),
+                             (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                                         + CAST(0.7 AS DOUBLE) * acc),
+                 6) AS ewma
+    FROM arrs
+    """,
+)
+def w7_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        money_sum(F.col("value"), 4).alias("v")
+    )
+    arrs = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "v"))).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda r: r["v"])
+    ewma = F.aggregate(
+        F.expr("slice(transform(s, r -> r.v), 2, size(s) - 1)"),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x
+        + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return arrs.select(
+        "user_id",
+        F.size("s").alias("n_days"),
+        F.round(ewma, 6).alias("ewma"),
+    )

@@ -337,3 +337,35 @@ def test_compaction_shrinks_files_preserves_content(spark, sf_oracle):
     t.compact(4)
     assert t.file_count() <= 4 < before
     assert t.read().count() == total_before
+
+
+def test_versioned_table_time_travel_and_vacuum(spark, sf_small, tmp_path):
+    from relational_query_engine_sql_spark.operators.mutation import (
+        VersionedParquetTable,
+    )
+    from relational_query_engine_sql_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    src = load_table(spark, sf_small, "supplier")
+    t = VersionedParquetTable(
+        spark, str(tmp_path / "sup"), src.schema, ["s_suppkey"]
+    )
+    t.init(src)
+    assert t.versions() == [0]
+    t.upsert(src.withColumn("s_acctbal", F.col("s_acctbal") + 100.0))
+    t.delete(F.col("s_suppkey") == 1)
+    assert t.versions() == [0, 1, 2]
+    # v0 is the pristine clone; v1 reflects the upsert; v2 the delete
+    assert t.read(version=0).exceptAll(src).count() == 0
+    n = src.count()
+    assert t.read(version=1).count() == n
+    got = t.read(version=1).filter("s_suppkey = 1").select("s_acctbal")
+    want = src.filter("s_suppkey = 1").select(
+        (F.col("s_acctbal") + 100.0).alias("s_acctbal")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert t.read().count() == n - 1  # latest
+    # retention: vacuum keeps the newest two snapshots
+    assert t.vacuum(keep_last=2) == [0]
+    assert t.versions() == [1, 2]
+    assert t.read(version=2).count() == n - 1
