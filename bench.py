@@ -62,6 +62,11 @@ HEADLINE = [
     "search_tfidf_terms",
     "sample_temperature_mix",
     "dq_skew_profile",
+    "sketch_cms_heavy_hitters",
+    "maintenance_zorder_layout",
+    "split_leakage_safe",
+    "w7_ewma_value",
+    "s10_time_travel",
 ]
 
 

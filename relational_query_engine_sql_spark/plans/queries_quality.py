@@ -309,3 +309,50 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("x"), F.col("o_orderkey").alias("y")
     )
     return zorder_page_profile(o, "x", "y")
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style column statistics: per-column null count + exact NDV
+# + total rows, the inputs a cost-based optimizer (and AQE's runtime
+# re-planning) feeds on. One scan computes every column's aggregates
+# in a single pass (multi-aggregate projection, map-side combined);
+# the long output shape matches catalog stats tables. Exact NDV is
+# the oracle-checkable choice here; the KMV/HLL sketches
+# (queries_sketches.py, ext_approx_distinct) are the bounded-memory
+# path the same surface would use at 100 TB.
+# --------------------------------------------------------------------------
+_ANALYZE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+@query(
+    "maintenance_analyze_stats",
+    survey="beyond:analyze-stats",
+    priority=60,
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct
+    FROM orders"""
+        for c in _ANALYZE_COLS
+    ),
+)
+def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = None
+    for c in _ANALYZE_COLS:
+        row = o.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias("n_nulls"),
+            F.countDistinct(F.col(c)).alias("n_distinct"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
