@@ -562,3 +562,61 @@ def j10_range_join_busy_windows(
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         "sum_value",
     )
+
+
+# --------------------------------------------------------------------------
+# J11 — blocked fuzzy-match join (entity resolution). Naive fuzzy
+# matching is an all-pairs edit-distance scan; the standard fix is
+# BLOCKING: hash candidates into cheap equality buckets (here the
+# name's final token — the head noun) and verify the expensive metric
+# only inside blocks, turning O(n²) global pairs into Σ O(block²)
+# with block size bounded by the blocking key's selectivity. The same
+# shape scales to 100 TB as a plain equi-join on the block key;
+# levenshtein is an identical integer metric in both engines, so the
+# verification filter carries a full value-hash oracle.
+# --------------------------------------------------------------------------
+FUZZY_MAX_DIST = 3
+
+
+@query(
+    "j11_fuzzy_name_match",
+    survey="beyond:fuzzy-match,J4",
+    priority=60,
+    oracle=f"""
+    WITH names AS (
+        SELECT DISTINCT p_name,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a
+    JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def j11_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn(
+            "block", F.element_at(F.split(F.col("p_name"), " "), -1)
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias(
+                "dist"
+            ),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )

@@ -188,3 +188,39 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("feature").alias("bucket", "n_bytes")
     )
+
+
+@query(
+    "mm_resize_images",
+    survey="beyond:multimodal-resize",
+    priority=60,
+    oracle="""
+    SELECT doc_id,
+           'image' AS media_type,
+           64 AS width,
+           64 AS height,
+           GREATEST(1, CAST(FLOOR(
+               octet_length(encode(text)) *
+               LEAST(1.0, 4096.0 / ((doc_id % 16 * 64 + 64)
+                                    * (doc_id % 9 * 64 + 64)))
+           ) AS BIGINT)) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image resize plumbing (stub: proportional byte
+    truncation — datapipe/multimodal.py:resize_images documents the
+    real-codec swap point). The oracle recomputes the truncated
+    payload length from the deterministic media synthesis, so the
+    batch shape, scale arithmetic, and schema are all hash-checked."""
+    from ..datapipe.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_media(docs), 64, 64)
+    return resized.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.octet_length("payload").alias("n_bytes"),
+    )
