@@ -395,7 +395,7 @@ def e11_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_orderkey
     HAVING SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6)))
-           > 50000000
+           > 15000000
     """,
 )
 def a7_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +409,9 @@ def a7_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("_raw"),
         )
-        .filter(F.col("_raw") > 50_000_000)
+        # > 15M keeps the result non-empty at every driver SF (20 rows
+        # @ sf0.001, 203 @ sf0.01) so the hash check can discriminate.
+        .filter(F.col("_raw") > 15_000_000)
         .select(
             "l_orderkey",
             F.round("_raw", 2).cast("double").alias("order_value"),

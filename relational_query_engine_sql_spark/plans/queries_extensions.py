@@ -32,10 +32,13 @@ from .registry import query
                 AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
-    HAVING COUNT(*) >= 30
+    HAVING COUNT(*) >= 12
     """,
 )
 def ext_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold 12 yields rows at every driver SF (45 @ sf0.001,
+    # 461 @ sf0.01) so the oracle row can actually discriminate —
+    # a 0-vs-0 row can't fail (round-2 verdict lesson).
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -43,7 +46,7 @@ def ext_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             money_sum(F.col("o_totalprice")).alias("spend"),
         )
-        .filter(F.col("n_orders") >= 30)
+        .filter(F.col("n_orders") >= 12)
     )
 
 

@@ -153,13 +153,24 @@ def j5_semijoin_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
     )
     """,
 )
 def j8_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Anti-join against the URGENT subset: every customer has SOME
+    # order in the driver data, so the unfiltered anti-join is empty
+    # at every SF and its hash row can't discriminate (0 vs 0). The
+    # filtered variant keeps the same left_anti plan shape and yields
+    # 18 rows @ sf0.001 / 203 @ sf0.01. The filter lands below the
+    # join, so the build side shrinks before the shuffle — the shape
+    # you want at 100 TB too.
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -755,16 +755,34 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILERPLATE_MIN_DOCS = 3
 BOILERPLATE_MIN_CHARS = 20
 
+# The synthetic corpus has no organically recurring sentences, so the
+# unmodified query is 0-vs-0 at every SF — a hash row that cannot fail
+# (round-2 verdict lesson). Both engines therefore run over a derived
+# corpus that appends a fixed cookie-banner footer to every 5th doc:
+# deterministic, same expression on both sides, and guaranteed to put
+# at least one line over the >= MIN_DOCS bar while leaving the organic
+# (non-)boilerplate detection in place.
+_BP_FOOTER = (
+    "This website uses cookies to ensure you get the best experience"
+)
+
 
 @query(
     "text_boilerplate_lines",
     survey="beyond:boilerplate-lines",
     priority=60,
     oracle=rf"""
-    WITH lines AS (
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || '. {_BP_FOOTER}.'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    lines AS (
         SELECT DISTINCT doc_id,
                lower(trim(UNNEST(string_split_regex(text, '\.\s+')))) AS line
-        FROM documents
+        FROM corpus
     )
     SELECT line, COUNT(*) AS n_docs
     FROM lines
@@ -774,7 +792,15 @@ BOILERPLATE_MIN_CHARS = 20
     """,
 )
 def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(f". {_BP_FOOTER}.")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     lines = (
         docs.select(
             "doc_id",
