@@ -173,6 +173,13 @@ def main() -> None:
     failures: dict[str, str] = {}
     for name in HEADLINE:
         q = plans.get(name)
+        # Leftover cache blocks from OTHER queries are cross-talk, not
+        # plan cost: a query that persists a panel pollutes heap for
+        # every query after it, and by query ~30 the accumulated
+        # blocks turn into GC pauses billed to whichever query runs
+        # next. Caches a query builds for itself inside fn() still
+        # count — this only clears between queries.
+        spark.catalog.clearCache()
         print(f"BENCH start {name}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:

@@ -52,6 +52,14 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # Materialize the edge set ONCE before symmetrizing: the union
+        # below references e twice, and without a lineage cut each
+        # branch re-evaluates the (often expensive) upstream candidate
+        # generator — for LSH near-dup edges that re-runs the whole
+        # signature+banding pipeline per branch. The checkpoint pins
+        # the edge list to executor storage so every round's join
+        # reads edges, not the generator DAG.
+        .localCheckpoint(eager=True)
     )
     # Symmetrize once so one join per round propagates both directions.
     sym = e.unionByName(

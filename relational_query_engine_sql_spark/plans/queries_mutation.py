@@ -431,3 +431,61 @@ def s10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(version=0).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+# --------------------------------------------------------------------------
+# Full MERGE with mixed actions (Delta-style MERGE INTO; the superset
+# of the reference's ON CONFLICT upsert + keyed delete spread across
+# lists.js:483-491 / stocks.js:187-189): one source batch carries
+# updates (flag U), deletes (flag D) and brand-new rows, and a single
+# keyed full-outer join applies all three. The update additionally
+# has a target-side condition (only BUILDING customers move) —
+# MERGE's WHEN MATCHED AND <cond> form.
+# --------------------------------------------------------------------------
+@query(
+    "s11_merge_mixed",
+    survey="S4,S5,S7,ext:merge",
+    priority=60,
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 AND c_mktsegment = 'BUILDING'
+                THEN ROUND(c_acctbal + 1000, 2) ELSE c_acctbal END
+               AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 3
+    UNION ALL
+    SELECT 90001, 'Customer#MERGE1', CAST(0 AS INTEGER), 111.25, 'BUILDING'
+    UNION ALL
+    SELECT 90002, 'Customer#MERGE2', CAST(1 AS INTEGER), 222.5, 'MACHINERY'
+    """,
+)
+def s11_merge_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _clone(spark, sf_dir, "customer", ["c_custkey"])
+    cust = load_table(spark, sf_dir, "customer")
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("U").alias("flag"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    dele = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey", F.lit("D").alias("flag"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    new = spark.createDataFrame(
+        [
+            (90001, "I", "Customer#MERGE1", 0, 111.25, "BUILDING"),
+            (90002, "I", "Customer#MERGE2", 1, 222.5, "MACHINERY"),
+        ],
+        schema=upd.schema,
+    )
+    source = upd.unionByName(dele).unionByName(new)
+    t.merge(
+        source,
+        update_assign={
+            "c_acctbal": F.round(F.col("c_acctbal") + 1000, 2)
+        },
+        update_cond=(F.col("_s_flag") == "U")
+        & (F.col("c_mktsegment") == "BUILDING"),
+        delete_cond=F.col("_s_flag") == "D",
+    )
+    return t.read()

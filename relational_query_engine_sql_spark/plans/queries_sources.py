@@ -133,3 +133,43 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
     )
+
+
+@query(
+    "src_schema_evolution",
+    survey="src:schema-evolution",
+    priority=60,
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS INTEGER) AS n_priority
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 900, n_name, n_regionkey,
+           n_regionkey * 10 AS n_priority
+    FROM nation
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip: a second producer starts writing an
+    extra column into an existing parquet dataset and readers must see
+    the union schema with NULL backfill for old files — the standard
+    additive-column evolution every long-lived 100 TB dataset goes
+    through. The write lands the v2 batch as additional files in the
+    same directory; the read uses ``mergeSchema`` so footer schemas
+    union instead of first-file-wins. The oracle states the same
+    post-state declaratively (old rows NULL, new rows populated).
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="rqe-evolve-") + "/nation"
+    nat.write.mode("overwrite").parquet(out)
+    v2 = nat.select(
+        (F.col("n_nationkey") + 900).alias("n_nationkey"),
+        "n_name",
+        "n_regionkey",
+        (F.col("n_regionkey") * 10).alias("n_priority"),
+    )
+    v2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    return back.select(
+        "n_nationkey", "n_name", "n_regionkey", "n_priority"
+    )

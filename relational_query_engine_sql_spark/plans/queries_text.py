@@ -815,3 +815,55 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# Word-distribution entropy: a perplexity proxy for corpus quality —
+# low-entropy docs are repetitive/templated, high-entropy docs are
+# keyboard-mash. Shape: one explode to (doc, word) counts, one groupBy
+# back to the doc — both map-side combinable; the entropy itself is
+# a JVM expression over (count, total). Rounded to 4 decimals on both
+# sides so per-engine summation order can't flip the hash.
+# --------------------------------------------------------------------------
+@query(
+    "text_word_entropy",
+    survey="beyond:word-entropy",
+    priority=60,
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+            FROM documents
+        ) t
+        GROUP BY doc_id, w
+    ),
+    tot AS (
+        SELECT doc_id, SUM(c) AS n FROM words GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           ROUND(-SUM((c * 1.0 / n) * LOG2(c * 1.0 / n)), 4) AS entropy
+    FROM words w JOIN tot USING (doc_id)
+    GROUP BY w.doc_id
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = words.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        words.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
+    )

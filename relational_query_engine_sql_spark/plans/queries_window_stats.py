@@ -370,3 +370,60 @@ def w7_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").alias("n_days"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# W8 — running COUNT(DISTINCT) via the first-occurrence rewrite.
+# Spark (and most engines) reject DISTINCT aggregates over running
+# window frames; the scalable rewrite marks each (user, event_type)'s
+# first occurrence with a per-pair row_number, then running-sums the
+# 0/1 flag — two window passes, both keyed by user, no distinct state.
+# The oracle uses the IDENTICAL formulation so the semantics are
+# pinned engine-neutrally.
+# --------------------------------------------------------------------------
+@query(
+    "w8_running_distinct_types",
+    survey="W8,ext:window-distinct",
+    priority=60,
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1
+               THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_distinct_types
+    FROM flagged
+    """,
+)
+def w8_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w_first = W.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_run).alias("n_distinct_types"),
+    )

@@ -61,12 +61,14 @@ def get_spark(
     )
     # Local mode puts driver AND all executor threads in one JVM —
     # Spark's 1g default heap GC-thrashes under a 32-thread shuffle and
-    # OOMs on shingle-scale intermediates. 8g is conservative for the
-    # target hosts; override with $SPARK_DRIVER_MEMORY. (Only effective
-    # for the process that CREATES the JVM — set before first
-    # getOrCreate.)
+    # OOMs on shingle-scale intermediates. The target hosts have
+    # 128 GiB; 24g keeps long multi-query sessions (bench, driver
+    # correctness pass) out of GC pressure as cached panels and
+    # localCheckpoint blocks accumulate. Override with
+    # $SPARK_DRIVER_MEMORY. (Only effective for the process that
+    # CREATES the JVM — set before first getOrCreate.)
     builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

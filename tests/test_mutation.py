@@ -369,3 +369,49 @@ def test_versioned_table_time_travel_and_vacuum(spark, sf_small, tmp_path):
     assert t.vacuum(keep_last=2) == [0]
     assert t.versions() == [1, 2]
     assert t.read(version=2).count() == n - 1
+
+
+def test_merge_mixed_actions(spark, tmp_path):
+    """MERGE in one pass: matched+D deletes, matched+U updates (only
+    when the extra target-side condition holds), unmatched source rows
+    insert, untouched target rows survive unchanged."""
+    tbl = ParquetTable(
+        spark,
+        str(tmp_path / "m.parquet"),
+        T.StructType(
+            [
+                T.StructField("k", T.IntegerType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("seg", T.StringType()),
+            ]
+        ),
+        keys=["k"],
+    )
+    tbl.init(
+        spark.createDataFrame(
+            [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "A"), (4, 40.0, "B")],
+            "k int, v double, seg string",
+        )
+    )
+    source = spark.createDataFrame(
+        [
+            (1, "U", 0.0, ""),   # matched, seg A -> updated
+            (2, "U", 0.0, ""),   # matched, seg B -> update_cond false, kept
+            (3, "D", 0.0, ""),   # matched -> deleted
+            (9, "I", 99.0, "C"), # unmatched -> inserted
+        ],
+        "k int, flag string, v double, seg string",
+    )
+    tbl.merge(
+        source,
+        update_assign={"v": F.col("v") + 5},
+        update_cond=(F.col("_s_flag") == "U") & (F.col("seg") == "A"),
+        delete_cond=F.col("_s_flag") == "D",
+    )
+    got = {r["k"]: (r["v"], r["seg"]) for r in tbl.read().collect()}
+    assert got == {
+        1: (15.0, "A"),   # updated
+        2: (20.0, "B"),   # matched but condition false
+        4: (40.0, "B"),   # untouched
+        9: (99.0, "C"),   # inserted
+    }
