@@ -67,6 +67,16 @@ HEADLINE = [
     "split_leakage_safe",
     "w7_ewma_value",
     "s10_time_travel",
+    # round 3 continued: recursion/graph/anomaly/packing/merge/cdc
+    "sql_recursive_hierarchy",
+    "graph_triangle_count",
+    "ts_anomaly_zscore",
+    "pack_context_windows",
+    "text_ngram_topk",
+    "text_word_entropy",
+    "w8_running_distinct_types",
+    "s11_merge_mixed",
+    "cdc_snapshot_diff",
 ]
 
 
@@ -168,6 +178,22 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # Per-query codegen warmup at the smallest SF: whole-stage codegen
+    # compiles per plan shape, and measured-cold runs are 2-8x slower
+    # than warm for the codegen-heavy queries (minhash measured 10.2s
+    # cold vs 2.4s warm at sf0.1 with zero plan change). One tiny-SF
+    # pass JIT-compiles every headline plan for pennies so the timed
+    # loop below measures the plan, not the compiler.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
+    )
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                plans.get(name).fn(spark, warm_dir).count()
+            except Exception:
+                pass  # the timed loop will surface real failures
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

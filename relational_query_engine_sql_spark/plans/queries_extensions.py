@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..sources import load_table
-from .numeric import money_sum, sql_money_sum
+from .numeric import DEC, money_sum, sql_money_sum
 from .registry import query
 
 
@@ -688,3 +688,121 @@ def ext_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(_SQL_CORRELATED_SCALAR)
+
+
+# --------------------------------------------------------------------------
+# FILTER-clause aggregates: per-group conditional aggregation without
+# self-joins — one scan emits every conditional sum/count. Spark has
+# no FILTER syntax in the DataFrame API; the rewrite is
+# sum(when(cond, x)) / count(when(cond, 1)), identical semantics.
+# Still a single map-side-combinable aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "ext_filtered_agg",
+    survey="ext:filtered-agg",
+    priority=60,
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+               AS n_recent,
+           {sql_money_sum("o_totalprice")} AS spend_total,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                    FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+                2) AS DOUBLE) AS spend_recent
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    recent = F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(recent, 1)).alias("n_recent"),
+        money_sum(F.col("o_totalprice")).alias("spend_total"),
+        F.round(
+            F.sum(F.when(recent, F.col("o_totalprice").cast(DEC))), 2
+        )
+        .cast("double")
+        .alias("spend_recent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff: given two versions of a keyed table, emit the
+# insert/update/delete change set — the lakehouse primitive behind
+# incremental downstream refresh (Delta CDF / Iceberg changelog,
+# recomputed here from plain snapshots). One keyed full-outer join;
+# change detection compares an md5 row fingerprint, so wide rows
+# diff on one 16-byte hash instead of N column comparisons. The v1
+# snapshot is derived deterministically from the driver table
+# (updates on key%11, deletes on key%13, two planted inserts) and
+# the oracle states the same change set declaratively.
+# --------------------------------------------------------------------------
+@query(
+    "cdc_snapshot_diff",
+    survey="beyond:cdc-diff",
+    priority=60,
+    oracle="""
+    SELECT c_custkey, 'D' AS action FROM customer
+    WHERE c_custkey % 13 = 0
+    UNION ALL
+    SELECT c_custkey, 'U' AS action FROM customer
+    WHERE c_custkey % 11 = 0 AND c_custkey % 13 <> 0
+    UNION ALL
+    SELECT 95001, 'I'
+    UNION ALL
+    SELECT 95002, 'I'
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v0 = load_table(spark, sf_dir, "customer")
+    v1 = (
+        v0.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(
+                F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 50
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (95001, "Customer#CDC1", 0, 1.0, "BUILDING"),
+                    (95002, "Customer#CDC2", 1, 2.0, "MACHINERY"),
+                ],
+                v0.schema,
+            )
+        )
+    )
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            "c_custkey",
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.col(c).cast("string") for c in df.columns],
+                )
+            ).alias("h"),
+        )
+
+    a = fp(v0).withColumnRenamed("h", "h0")
+    b = fp(v1).withColumnRenamed("h", "h1")
+    j = a.join(b, "c_custkey", "full_outer")
+    return (
+        j.select(
+            "c_custkey",
+            F.when(F.col("h0").isNull(), "I")
+            .when(F.col("h1").isNull(), "D")
+            .when(F.col("h0") != F.col("h1"), "U")
+            .alias("action"),
+        )
+        .filter(F.col("action").isNotNull())
+    )
