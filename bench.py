@@ -77,6 +77,10 @@ HEADLINE = [
     "w8_running_distinct_types",
     "s11_merge_mixed",
     "cdc_snapshot_diff",
+    "dedup_ngram_containment",
+    "j13_asof_tolerance",
+    "dq_freshness_lag",
+    "feat_winsorize",
 ]
 
 

@@ -275,3 +275,32 @@ def contamination(
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def containment_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """N-gram CONTAINMENT: |A∩B| / min(|A|,|B|) — catches a document
+    embedded inside a larger one (quotes, concatenations, page wraps),
+    which Jaccard misses because the union term dilutes asymmetric
+    overlap. Same shuffle shape as :func:`jaccard_pairs` (shingle
+    self-join, then one keyed aggregate); at scale the candidate set
+    would come from LSH exactly as the Jaccard path does.
+    Output: (d1, d2, containment) with containment >= threshold.
+    """
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("d1"), "sh")
+    b = sh.select(F.col("id").alias("d2"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = counts.select(F.col("id").alias("d1"), F.col("n").alias("n1"))
+    n2 = counts.select(F.col("id").alias("d2"), F.col("n").alias("n2"))
+    cont = F.col("c") / F.least("n1", "n2")
+    return (
+        common.join(n1, "d1")
+        .join(n2, "d2")
+        .filter(cont >= threshold)
+        .select("d1", "d2", cont.alias("containment"))
+    )

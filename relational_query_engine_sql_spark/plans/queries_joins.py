@@ -631,3 +631,75 @@ def j11_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
     )
+
+
+# --------------------------------------------------------------------------
+# J13 (beyond) — as-of join with tolerance: the J9 as-of match, but a
+# match older than MAX_STALENESS is discarded (NULL fill), the way a
+# feature-store point-in-time join bounds feature staleness. Because
+# the as-of match is the LATEST right row at-or-before the probe
+# time, "latest match within the window" and "discard stale latest
+# match" are the same set — so the tolerance is one post-filter on
+# the carried match timestamp, not a different join. Plan unchanged:
+# one union + one window shuffle on user_id.
+# --------------------------------------------------------------------------
+@query(
+    "j13_asof_tolerance",
+    survey="beyond:asof-tolerance,J7",
+    priority=60,
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, MAX_BY(value, event_id) AS value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT p.event_id, v.value AS vv, v.ts AS vts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id ORDER BY v.ts DESC
+               ) AS rn
+        FROM p JOIN v
+          ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT p.event_id, p.user_id,
+           p.value AS purchase_value,
+           CASE WHEN r.vts >= p.ts - INTERVAL 1 HOUR THEN r.vv END
+               AS fresh_view_value
+    FROM p
+    LEFT JOIN (SELECT event_id, vv, vts FROM ranked WHERE rn = 1) r
+      USING (event_id)
+    """,
+)
+def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join, latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        latest_per_key(
+            ev.filter(F.col("event_type") == "view").select(
+                "event_id", "user_id", "ts", "value"
+            ),
+            keys=["user_id", "ts"],
+            order_col="event_id",
+        )
+        .drop("event_id")
+        # duplicate the match time as a value column so the window
+        # fill carries it to the probe row for the staleness test
+        .withColumn("view_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="ts"
+    )
+    fresh = F.col("view_ts_r") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.when(fresh, F.col("value_r")).alias("fresh_view_value"),
+    )

@@ -356,3 +356,41 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Freshness lag: per event_type, how far its newest event trails the
+# table's global high-water mark — the first-line data-quality monitor
+# for a multi-producer ingest (a stalled producer shows up as a
+# growing lag long before row counts move). Two tiny aggregates: the
+# global max broadcasts into a literal-free cross join with one row.
+# --------------------------------------------------------------------------
+@query(
+    "dq_freshness_lag",
+    survey="beyond:dq-freshness",
+    priority=60,
+    oracle="""
+    WITH hwm AS (SELECT MAX(ts) AS global_max FROM events)
+    SELECT event_type,
+           MAX(ts) AS last_ts,
+           CAST(FLOOR((EPOCH((SELECT global_max FROM hwm))
+                       - EPOCH(MAX(ts))) / 60) AS BIGINT)
+               AS lag_minutes
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hwm = ev.agg(F.max("ts").alias("global_max"))
+    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
+    return per_type.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "last_ts",
+        (
+            (F.unix_timestamp("global_max") - F.unix_timestamp("last_ts"))
+            / 60
+        )
+        .cast("long")
+        .alias("lag_minutes"),
+    )

@@ -867,3 +867,42 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram containment: sub-document duplication (|A∩B| / min(|A|,|B|)).
+# A doc quoted or concatenated inside a larger one scores near 1.0
+# here while its Jaccard stays low (union dilution) — the standard
+# second axis for training-corpus dedup. Same shuffle shape as the
+# Jaccard path.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_ngram_containment",
+    survey="beyond:dedup-containment",
+    priority=60,
+    oracle=_SHINGLE_CTE
+    + f"""
+    , common AS (
+        SELECT a.id AS d1, b.id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT d1, d2,
+           ROUND(c * 1.0 / LEAST(n1.n, n2.n), 6) AS containment
+    FROM common
+    JOIN counts n1 ON common.d1 = n1.id
+    JOIN counts n2 ON common.d2 = n2.id
+    WHERE c * 1.0 / LEAST(n1.n, n2.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import containment_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    sh = shingles(docs)
+    return containment_pairs(sh, CONTAINMENT_THRESHOLD).select(
+        "d1", "d2", F.round("containment", 6).alias("containment")
+    )

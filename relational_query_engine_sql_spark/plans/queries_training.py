@@ -149,3 +149,44 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.filter(F.col("neg_id").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Winsorization: clip a feature column to its per-group [p05, p95] —
+# the standard outlier guard before normalization in a feature
+# pipeline. Percentiles are exact interpolated quantiles (same
+# definition in Spark's percentile and DuckDB's quantile_cont); the
+# per-group cut points are a tiny aggregate broadcast back onto the
+# stream, so the plan is one groupBy + one broadcast join however
+# large the fact side grows.
+# --------------------------------------------------------------------------
+@query(
+    "feat_winsorize",
+    survey="beyond:winsorize",
+    priority=60,
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(LEAST(GREATEST(e.value, c.lo), c.hi), 6) AS v_clipped
+    FROM events e JOIN cuts c USING (event_type)
+    """,
+)
+def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return ev.join(F.broadcast(cuts), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")),
+            6,
+        ).alias("v_clipped"),
+    )

@@ -121,3 +121,28 @@ def test_anomaly_zscore_needs_min_history(spark, sf_small):
     )
     out = plans.get("ts_anomaly_zscore").fn(spark, sf_small)
     assert out.join(early, "event_id", "inner").count() == 0
+
+
+def test_containment_dominates_jaccard(spark, sf_small):
+    """For any pair, containment >= jaccard (min(|A|,|B|) <= |A∪B|),
+    and every Jaccard-threshold pair appears in the containment set
+    at the same threshold."""
+    from relational_query_engine_sql_spark.datapipe.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    sh = shingles(docs)
+    jac = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in jaccard_pairs(sh, 0.4).collect()
+    }
+    cont = {
+        (r["d1"], r["d2"]): r["containment"]
+        for r in containment_pairs(sh, 0.4).collect()
+    }
+    assert jac, "need non-vacuous pair set"
+    for pair, j in jac.items():
+        assert pair in cont and cont[pair] >= j - 1e-9, (pair, j)
