@@ -1,0 +1,68 @@
+"""Unit tests for bench.py's regression detector — the tooling whose
+round-2 silent failure let a 2.2x drift go unflagged. Pure-python (no
+Spark): pins prior-round selection (same-round artifacts excluded,
+driver wrapper unwrapped) and the ratio+floor gates.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+_spec = importlib.util.spec_from_file_location(
+    "bench",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_regression_gates_ratio_and_floor():
+    prior = {"queries": {"fast": 0.1, "slow": 4.0, "gone": 1.0}}
+    now = {
+        "fast": 0.35,   # 3.5x but only +0.25s -> under floor, ignored
+        "slow": 7.0,    # 1.75x and +3s -> flagged
+        "new": 9.9,     # no prior -> ignored
+    }
+    out = bench._regressions(now, prior)
+    assert set(out) == {"slow"}
+    assert "1.75x" in out["slow"]
+
+
+def test_prior_bench_unwraps_driver_artifact(tmp_path, monkeypatch):
+    """The driver wraps bench output under 'parsed'; the detector must
+    read queries through the wrapper and skip same/future rounds."""
+    wrapped = {
+        "n": 2,
+        "rc": 0,
+        "parsed": {"sf": "0.1", "queries": {"q": 1.0}},
+    }
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(wrapped))
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"sf": "0.1", "queries": {"q": 99.0}})
+    )
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "3")
+    # tmp_path is not a git repo -> the glob fallback path runs
+    prior, rnd = bench._prior_bench(str(tmp_path), "0.1")
+    assert rnd == 2
+    assert prior["queries"] == {"q": 1.0}
+
+
+def test_prior_bench_drops_top_round_without_hint(tmp_path, monkeypatch):
+    """With no SPARK_GRAFT_ROUND the highest round on disk may be our
+    own earlier attempt — it must be excluded."""
+    for rnd, t in [(1, 1.0), (2, 2.0)]:
+        (tmp_path / f"BENCH_r{rnd}.json").write_text(
+            json.dumps({"sf": "0.1", "queries": {"q": t}})
+        )
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    prior, rnd = bench._prior_bench(str(tmp_path), "0.1")
+    assert rnd == 1 and prior["queries"]["q"] == 1.0
+
+
+def test_prior_bench_none_when_no_prior(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "1")
+    prior, rnd = bench._prior_bench(str(tmp_path), "0.1")
+    assert prior is None and rnd is None
