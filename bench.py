@@ -81,6 +81,9 @@ HEADLINE = [
     "j13_asof_tolerance",
     "dq_freshness_lag",
     "feat_winsorize",
+    "w9_time_weighted_avg",
+    "a9_contribution_share",
+    "ev_retention_cohorts",
 ]
 
 

@@ -284,3 +284,55 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return trending_topk(ev, window="1 hour", k=3)
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity week, counted as
+# retained in each later week they reappear — THE product-analytics
+# query. Both engines Monday-truncate weeks, so the week index is an
+# exact day-difference division. Shape: one groupBy for cohort
+# assignment (shuffle on user), one distinct on (user, week), one
+# broadcast join of the (tiny) cohort frame, one count aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "ev_retention_cohorts",
+    survey="beyond:retention-cohorts",
+    priority=60,
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    acts AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS act_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT)
+               AS week_n,
+           COUNT(*) AS n_users
+    FROM acts a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    acts = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("act_week"),
+    ).distinct()
+    return (
+        acts.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -427,3 +427,108 @@ def w8_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("is_first").over(w_run).alias("n_distinct_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# W9 — time-weighted average (TWAP): each observation weighted by how
+# long it was "live" (until the next observation in its series). The
+# correct average for irregularly-sampled series, vs the naive mean
+# that over-weights bursts. One LEAD window per user + one aggregate;
+# the weighted sum quantizes each product to DECIMAL so the result is
+# summation-order-independent across engines.
+# --------------------------------------------------------------------------
+@query(
+    "w9_time_weighted_avg",
+    survey="W9,beyond:twap",
+    priority=60,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               EPOCH_US(LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) - EPOCH_US(ts) AS dt
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(dt AS DECIMAL(27,6))) AS DOUBLE), 6)
+               AS twap
+    FROM seq
+    WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    """,
+)
+def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as Win
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    # dt in WHOLE MICROSECONDS on both sides: timestamps carry
+    # sub-second precision, and a seconds-truncated dt (unix_timestamp)
+    # vs a fractional-seconds dt (DuckDB EPOCH) weights every interval
+    # differently. unix_micros ↔ EPOCH_US are exact integer twins.
+    seq = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    # Divide as doubles: the decimal sums are exact (order-free), the
+    # decimal→double conversion is deterministic, and IEEE division is
+    # bit-stable — whereas decimal/decimal division scale rules differ
+    # between engines (measured 1e-5 drift).
+    num = F.sum((F.col("value") * F.col("dt")).cast("decimal(27,6)")).cast(
+        "double"
+    )
+    den = F.sum(F.col("dt").cast("decimal(27,6)")).cast("double")
+    return seq.groupBy("user_id").agg(
+        F.round(num / den, 6).alias("twap")
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — contribution share (percent-of-total). The oracle states it as
+# a partition-less window SUM OVER (); the Spark plan computes the
+# grand total as a 1-row aggregate and broadcasts it — at scale a
+# global window would funnel every group through one reducer, while
+# the broadcast scaffold keeps the plan two map-side-combinable
+# aggregates and a free join.
+# --------------------------------------------------------------------------
+@query(
+    "a9_contribution_share",
+    survey="A9,beyond:contribution",
+    priority=60,
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(rev / SUM(rev) OVER (), 6) AS DOUBLE) AS share
+    FROM per_nation
+    """,
+)
+def a9_contribution_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev")
+        )
+    )
+    total = per_nation.agg(F.sum("rev").alias("tot"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "nation",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.col("rev") / F.col("tot"), 6).cast("double").alias("share"),
+    )
