@@ -226,3 +226,39 @@ def tfidf_oracle_sql(k: int = 3) -> str:
     )
     SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= {k}
     """
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact consecutive-phrase search via positional postings.
+
+    The positional index is (doc, pos, term) from one posexplode; an
+    n-term phrase is an (n-1)-way self-join on doc with pos offsets —
+    the classic IR positional-intersection, expressed as hash
+    equi-joins on (doc, pos+i). Each join leg is pre-filtered to ONE
+    term, so at 100 TB only the phrase terms' postings ever shuffle
+    (same skew bound as the BM25 scorer). Output: (doc_id, n_hits)
+    for documents containing the phrase at least once.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "term"),
+    )
+    legs = [
+        toks.filter(F.col("term") == w).select(
+            "doc", (F.col("pos") - i).alias("anchor")
+        )
+        for i, w in enumerate(phrase)
+    ]
+    hits = legs[0]
+    for leg in legs[1:]:
+        hits = hits.join(leg, ["doc", "anchor"])
+    return hits.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )

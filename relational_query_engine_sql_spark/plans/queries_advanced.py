@@ -416,3 +416,85 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _NGRAM_K)
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank, fixed 5 iterations, on the symmetrized derived graph.
+# Spark: the canonical iterative rank loop — per iteration one join of
+# the rank frame against the (checkpointed) edge list and one
+# aggregate keyed by destination; ranks stay O(nodes). The oracle
+# replays the identical recursion in a recursive CTE with an
+# iteration counter (DuckDB permits aggregation in the recursive
+# term), so the cross-engine row hash pins every iteration's
+# arithmetic, not just the fixpoint shape. No dangling nodes by
+# construction (nodes are defined from the symmetric edge set, degree
+# >= 1).
+# --------------------------------------------------------------------------
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+@query(
+    "graph_pagerank_fixed",
+    survey="beyond:graph-pagerank",
+    priority=60,
+    oracle=f"""
+    WITH RECURSIVE {_EDGE_SQL},
+    sym AS (
+        SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr AS (
+        SELECT 0 AS it, a AS node, 1.0 / (SELECT n FROM nn) AS r
+        FROM deg
+        UNION ALL
+        SELECT p.it + 1, s.b AS node,
+               {1 - _PR_DAMP} / (SELECT n FROM nn)
+                   + {_PR_DAMP} * SUM(p.r / d.d)
+        FROM pr p
+        JOIN sym s ON s.a = p.node
+        JOIN deg d ON d.a = p.node
+        WHERE p.it < {_PR_ITERS}
+        GROUP BY p.it + 1, s.b
+    )
+    SELECT node, ROUND(r, 6) AS rank
+    FROM pr WHERE it = {_PR_ITERS}
+    """,
+)
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_partkey") % _TRI_NODES).alias("a"),
+            (F.col("l_suppkey") % _TRI_NODES).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)  # edges read 5x: pin them once
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()
+    ranks = deg.select("a", F.lit(1.0 / n).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(ranks, "a")
+            .join(deg, "a")
+            .select(F.col("b").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(
+                (
+                    F.lit((1 - _PR_DAMP) / n)
+                    + F.lit(_PR_DAMP) * F.sum("c")
+                ).alias("r")
+            )
+            .select(F.col("node").alias("a"), "r")
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("a").alias("node"), F.round("r", 6).alias("rank")
+    )

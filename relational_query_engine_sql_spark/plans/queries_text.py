@@ -906,3 +906,43 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(sh, CONTAINMENT_THRESHOLD).select(
         "d1", "d2", F.round("containment", 6).alias("containment")
     )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search: exact consecutive-token match via the
+# positional-postings intersection (datapipe/search.py:phrase_match).
+# Each join leg carries a single term's postings, so the shuffle is
+# bounded by the phrase terms' document frequency, never the corpus.
+# --------------------------------------------------------------------------
+PHRASE = ["table", "hash"]
+
+
+@query(
+    "search_phrase_match",
+    survey="beyond:phrase-search",
+    priority=60,
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, UNNEST(generate_series(1, LEN(w))) AS pos, w
+        FROM words
+    ),
+    postings AS (
+        SELECT doc_id, pos, w[pos] AS term FROM tok
+    )
+    SELECT p0.doc_id, COUNT(*) AS n_hits
+    FROM postings p0
+    JOIN postings p1
+      ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+    WHERE p0.term = '{PHRASE[0]}' AND p1.term = '{PHRASE[1]}'
+    GROUP BY p0.doc_id
+    """,
+)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.search import phrase_match
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return phrase_match(docs, PHRASE)
