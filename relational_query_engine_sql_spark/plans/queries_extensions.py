@@ -806,3 +806,37 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("action").isNotNull())
     )
+
+
+# --------------------------------------------------------------------------
+# cume_dist + nth_value: the remaining ranking-family windows. Both
+# are rank-based (no numeric accumulation), so they hash identically
+# across engines with no rounding caveats; nth_value uses an explicit
+# full-partition frame because its SQL default frame stops at
+# CURRENT ROW.
+# --------------------------------------------------------------------------
+@query(
+    "ext_cume_nth",
+    survey="ext:cume-dist,ext:nth-value",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def ext_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )

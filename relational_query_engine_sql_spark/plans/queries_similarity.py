@@ -359,3 +359,55 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_q"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style truncation: keep the first TRUNC_DIMS of each
+# embedding, re-normalize, and report how well truncated cosine
+# preserves the full-dimension score against a fixed probe vector
+# (vec_id 0). The 100 TB lever: truncated vectors shrink ANN index
+# bytes k/d-fold and the quality check is exactly this per-vector
+# cosine-gap profile. Pure JVM array algebra on both sides.
+# --------------------------------------------------------------------------
+TRUNC_DIMS = 16
+
+
+@query(
+    "emb_truncate_renorm",
+    survey="beyond:matryoshka-truncate",
+    priority=60,
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    probe AS (SELECT v AS p FROM base WHERE vec_id = 0)
+    SELECT b.vec_id,
+           ROUND(list_cosine_similarity(b.v, probe.p), 6) AS cos_full,
+           ROUND(list_cosine_similarity(b.v[1:{TRUNC_DIMS}],
+                                        probe.p[1:{TRUNC_DIMS}]), 6)
+               AS cos_trunc
+    FROM base b, probe
+    WHERE b.vec_id <> 0
+    """,
+)
+def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("p")
+    )
+    tr = lambda c: F.slice(c, 1, TRUNC_DIMS)  # noqa: E731
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("p")), 6).alias("cos_full"),
+            F.round(cosine(tr(F.col("v")), tr(F.col("p"))), 6).alias(
+                "cos_trunc"
+            ),
+        )
+    )
