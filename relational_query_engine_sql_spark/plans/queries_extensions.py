@@ -840,3 +840,76 @@ def ext_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXISTS as a projected boolean (not a filter): the decorrelated form
+# is a left-semi-derived flag — distinct probe keys + left join +
+# null test — which keeps the subquery a hash join instead of a
+# per-row probe. The oracle uses the correlated EXISTS syntax
+# directly, pinning that the decorrelation is semantics-preserving.
+# --------------------------------------------------------------------------
+@query(
+    "ext_exists_flag",
+    survey="ext:exists-projection",
+    priority=60,
+    oracle="""
+    SELECT c_custkey,
+           EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT'
+           ) AS has_urgent
+    FROM customer c
+    """,
+)
+def ext_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return c.join(urgent, "c_custkey", "left").select(
+        "c_custkey", F.coalesce("_hit", F.lit(False)).alias("has_urgent")
+    )
+
+
+# --------------------------------------------------------------------------
+# Date-part extraction panel: the unambiguous calendar fields (year /
+# quarter / month / day / hour / minute / epoch-day). Day-of-week is
+# deliberately expressed as an explicit epoch formula on BOTH sides —
+# engines disagree on whether weeks start Sunday or Monday, so the
+# portable form is ((epoch_days + 4) % 7) (1970-01-01 was a
+# Thursday; 0 = Thursday-anchored index shifted to 0 = Sunday).
+# --------------------------------------------------------------------------
+@query(
+    "ext_date_parts",
+    survey="ext:date-parts",
+    priority=60,
+    oracle="""
+    SELECT event_id,
+           CAST(YEAR(ts) AS INTEGER) AS y,
+           CAST(QUARTER(ts) AS INTEGER) AS q,
+           CAST(MONTH(ts) AS INTEGER) AS m,
+           CAST(DAY(ts) AS INTEGER) AS d,
+           CAST(HOUR(ts) AS INTEGER) AS h,
+           CAST((CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) + 4) % 7
+                AS INTEGER) AS dow
+    FROM events
+    """,
+)
+def ext_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        ((epoch_day + 4) % 7).cast("int").alias("dow"),
+    )

@@ -394,3 +394,67 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_minutes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts per FK relationship via
+# anti-joins. The driver tables are referentially clean (an all-zero
+# result can't discriminate), so the audited orders table is derived:
+# the real table plus two planted orphan rows — the check must find
+# EXACTLY those, proving the anti-join sees through the clean bulk.
+# At 100 TB each relationship is one anti-join against the (broadcast
+# or semi-joined) parent key set; relationships run independently.
+# --------------------------------------------------------------------------
+@query(
+    "dq_fk_orphans",
+    survey="beyond:dq-referential",
+    priority=60,
+    oracle="""
+    WITH audited AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        UNION ALL SELECT 9900001, 8888881
+        UNION ALL SELECT 9900002, 8888882
+    )
+    SELECT 'orders.o_custkey -> customer' AS relationship,
+           COUNT(*) AS n_orphans
+    FROM audited a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = a.o_custkey
+    )
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders', COUNT(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+    )
+    """,
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    audited = o.unionByName(
+        o.sparkSession.createDataFrame(
+            [(9900001, 8888881), (9900002, 8888882)],
+            "o_orderkey long, o_custkey long",
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders_orphans = audited.join(
+        cust, audited.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    li_orphans = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    return (
+        orders_orphans.select(
+            F.lit("orders.o_custkey -> customer").alias("relationship"),
+            "n_orphans",
+        )
+    ).unionByName(
+        li_orphans.select(
+            F.lit("lineitem.l_orderkey -> orders").alias("relationship"),
+            "n_orphans",
+        )
+    )
