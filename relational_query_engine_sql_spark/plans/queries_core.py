@@ -475,3 +475,48 @@ def sql_api_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_SQL_API_EXISTS)
+
+
+# --------------------------------------------------------------------------
+# Full SQL-text surface: a multi-CTE report (CTE → join → aggregate →
+# window → HAVING-style filter → ORDER) executed verbatim through
+# spark.sql over the registered views — the "switch from the
+# reference, paste your SQL" path. The IDENTICAL text runs on DuckDB
+# as the oracle, so the row hash pins Spark's SQL parser + analyzer
+# semantics, not just the DataFrame API.
+# --------------------------------------------------------------------------
+_SQL_API_REPORT = """
+    WITH cust_spend AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))), 2)
+                    AS DOUBLE) AS spend
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    ranked AS (
+        SELECT c_custkey, c_mktsegment, n_orders, spend,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY spend DESC, c_custkey
+               ) AS rnk
+        FROM cust_spend
+    )
+    SELECT c_mktsegment, c_custkey, n_orders, spend, rnk
+    FROM ranked
+    WHERE rnk <= 5
+"""
+
+
+@query(
+    "sql_api_report",
+    survey="S1,A1,W3,ext:sql-text",
+    priority=60,
+    oracle=_SQL_API_REPORT,
+)
+def sql_api_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_SQL_API_REPORT)

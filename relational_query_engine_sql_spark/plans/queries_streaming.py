@@ -391,3 +391,70 @@ def stream_mv_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("value_sum", 4).cast("double").alias("value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered multi-step funnel: per user, the earliest view, the earliest
+# click AFTER that view, the earliest purchase AFTER that click — then
+# per-step user counts. The per-user step times reduce to three min
+# aggregates over one shuffle on user_id (no row explosion: each step
+# prunes with a semi-predicate on the previous step's time), which is
+# the scalable form of the product-analytics funnel at any event
+# volume.
+# --------------------------------------------------------------------------
+@query(
+    "ev_funnel_steps",
+    survey="beyond:funnel-steps",
+    priority=60,
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS name, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 2, 'view>click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None, tcol: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            pcol = prev.columns[1]
+            e = e.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts") > F.col(pcol)
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    v = first_after("view", None, "t_view")
+    c = first_after("click", v, "t_click")
+    p = first_after("purchase", c, "t_purchase")
+
+    def count_step(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        count_step(v, 1, "view")
+        .unionByName(count_step(c, 2, "view>click"))
+        .unionByName(count_step(p, 3, "view>click>purchase"))
+    )
