@@ -190,3 +190,86 @@ def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("v_clipped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group downsampling: keep k documents per source,
+# chosen by md5 hash order — unbiased w.r.t. content, reproducible
+# across runs/engines, and expressible as one window per group (the
+# group-limit pattern). At 100 TB this is the standard "cap each
+# domain's contribution" step before mixture weighting.
+# --------------------------------------------------------------------------
+_PER_GROUP_K = 20
+
+
+@query(
+    "sample_per_group_k",
+    survey="beyond:per-group-sample",
+    priority=60,
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) t WHERE rn <= {_PER_GROUP_K}
+    """,
+)
+def sample_per_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _PER_GROUP_K)
+        .select("doc_id", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch assignment: sort docs by token count within
+# each source shard and cut into fixed-size batches — the dynamic-
+# batching layout that minimizes padding waste in tokenized inference/
+# training (similar lengths batch together). Closed-form from one
+# window row_number; batch padding waste would be max(len)-len within
+# the batch, so the sort IS the optimization.
+# --------------------------------------------------------------------------
+_BATCH_SIZE = 16
+
+
+@query(
+    "batch_by_length",
+    survey="beyond:length-batching",
+    priority=60,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               LENGTH(string_split_regex(TRIM(text), '\\s+')) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_tok, doc_id
+           ) - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id
+    FROM toks
+    """,
+)
+def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy("n_tok", "doc_id")
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor((F.row_number().over(w) - 1) / _BATCH_SIZE)
+        .cast("long")
+        .alias("batch_id"),
+    )
