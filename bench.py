@@ -84,6 +84,11 @@ HEADLINE = [
     "w9_time_weighted_avg",
     "a9_contribution_share",
     "ev_retention_cohorts",
+    "graph_pagerank_fixed",
+    "search_phrase_match",
+    "sql_api_report",
+    "ev_funnel_steps",
+    "batch_by_length",
 ]
 
 
