@@ -209,31 +209,55 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in HEADLINE:
-        q = plans.get(name)
-        # Leftover cache blocks from OTHER queries are cross-talk, not
-        # plan cost: a query that persists a panel pollutes heap for
-        # every query after it, and by query ~30 the accumulated
-        # blocks turn into GC pauses billed to whichever query runs
-        # next. Caches a query builds for itself inside fn() still
-        # count — this only clears between queries.
-        spark.catalog.clearCache()
-        print(f"BENCH start {name}", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        try:
-            # count() materializes every row through the full plan
-            # without collecting results to the driver.
-            q.fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+    # Two timed passes, keep the per-query MINIMUM. The host is a VM:
+    # hypervisor CPU steal makes single measurements bimodal (the same
+    # 0.4 s plan has measured 4 s with zero code change and zero local
+    # load). min-of-k is the standard robust estimator for plan cost —
+    # noise only ever ADDS time, so the minimum is the best available
+    # proxy for what the plan actually costs. The second pass is
+    # soft-deadlined so the whole run stays inside the driver's
+    # timeout: every query always gets its pass-1 number; pass 2
+    # refines as much as the budget allows.
+    deadline = time.perf_counter() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420")
+    )
+    for pass_i in range(2):
+        for name in HEADLINE:
+            if pass_i > 0 and time.perf_counter() > deadline:
+                print("BENCH pass-2 budget exhausted",
+                      file=sys.stderr, flush=True)
+                break
+            q = plans.get(name)
+            # Leftover cache blocks from OTHER queries are cross-talk,
+            # not plan cost: a query that persists a panel pollutes
+            # heap for every query after it, and by query ~30 the
+            # accumulated blocks turn into GC pauses billed to
+            # whichever query runs next. Caches a query builds for
+            # itself inside fn() still count — this only clears
+            # between queries.
+            spark.catalog.clearCache()
             print(
-                f"BENCH done  {name} {timings[name]}s",
+                f"BENCH start {name} (pass {pass_i})",
                 file=sys.stderr,
                 flush=True,
             )
-        except Exception as ex:  # one bad query must not lose the run
-            failures[name] = f"{type(ex).__name__}: {ex}"[:200]
-            print(f"BENCH FAIL {name}: {failures[name]}",
-                  file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            try:
+                # count() materializes every row through the full plan
+                # without collecting results to the driver.
+                q.fn(spark, sf_dir).count()
+                took = round(time.perf_counter() - t0, 3)
+                if name not in timings or took < timings[name]:
+                    timings[name] = took
+                print(
+                    f"BENCH done  {name} {took}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception as ex:  # one bad query must not lose the run
+                failures[name] = f"{type(ex).__name__}: {ex}"[:200]
+                print(f"BENCH FAIL {name}: {failures[name]}",
+                      file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     regressions: dict[str, str] = {}
