@@ -913,3 +913,47 @@ def ext_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("h"),
         ((epoch_day + 4) % 7).cast("int").alias("dow"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic MODE: most frequent value per group, ties broken by
+# smallest value — engines' built-in mode() leaves tie order
+# unspecified, so a portable engine states the tiebreak explicitly as
+# count-then-rank. Two map-side-combinable aggregates + one tiny
+# window over the (group, value) counts.
+# --------------------------------------------------------------------------
+@query(
+    "ext_mode_deterministic",
+    survey="ext:mode",
+    priority=60,
+    oracle="""
+    SELECT o_orderpriority, mode_status, n_with_mode FROM (
+        SELECT o_orderpriority, o_orderstatus AS mode_status,
+               COUNT(*) AS n_with_mode,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY COUNT(*) DESC, o_orderstatus
+               ) AS rnk
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    ) t WHERE rnk = 1
+    """,
+)
+def ext_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_with_mode")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("n_with_mode").desc(), "o_orderstatus"
+    )
+    return (
+        counted.select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "n_with_mode",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )

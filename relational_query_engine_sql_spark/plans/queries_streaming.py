@@ -10,6 +10,7 @@ tumbling window, ``window(ts).start`` ≡ ``date_trunc('hour', ts)``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -457,4 +458,40 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_step(v, 1, "view")
         .unionByName(count_step(c, 2, "view>click"))
         .unionByName(count_step(p, 3, "view>click>purchase"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix: counts of consecutive (event_type → next
+# event_type) per user stream — the first-order Markov view of user
+# behavior (what follows what). One LEAD window keyed by user + one
+# count aggregate; at any scale the output is |types|² rows.
+# --------------------------------------------------------------------------
+@query(
+    "ev_transition_matrix",
+    survey="beyond:transition-matrix",
+    priority=60,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
     )

@@ -273,3 +273,54 @@ def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("batch_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-proportion stratified split: within every stratum (source),
+# rank docs by content-blind md5 order and cut at exact 80/10/10
+# boundaries — unlike hash-threshold splits (approximate proportions)
+# this guarantees the per-stratum counts, which evaluation-set
+# construction usually requires. One window per stratum; the rank is
+# deterministic so both engines cut identically.
+# --------------------------------------------------------------------------
+@query(
+    "split_stratified_exact",
+    survey="beyond:stratified-split",
+    priority=60,
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rn <= (8 * n) // 10 THEN 'train'
+                WHEN rn <= (9 * n) // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def split_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = W.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.when(F.col("rn") <= F.floor(8 * F.col("n") / 10), "train")
+        .when(F.col("rn") <= F.floor(9 * F.col("n") / 10), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
