@@ -90,4 +90,66 @@ ROUND3_PREFIX = [
 ]
 set_rotation(ROUND3_PREFIX)
 
+# Round-4 prefix, pre-curated at the end of round 3: the 46 queries
+# registered during round 3 that the round-3 driver window could not
+# reach (all strict-sim green at sf0.001 AND sf0.01 via
+# tools/driver_sim.py), plus 4 family representatives (slots 47-50).
+# ROUND 4: replace the set_rotation call above with
+# ``set_rotation(ROUND4_PREFIX)`` once CORRECTNESS_r03.json confirms
+# the round-3 window landed. With r1-r3 green that closes hard driver
+# rows for the whole registry again.
+ROUND4_PREFIX = [
+    "sql_recursive_hierarchy",
+    "graph_triangle_count",
+    "graph_pagerank_fixed",
+    "ts_anomaly_zscore",
+    "ext_histogram_buckets",
+    "pack_context_windows",
+    "text_ngram_topk",
+    "ext_filtered_agg",
+    "cdc_snapshot_diff",
+    "ext_cume_nth",
+    "ext_exists_flag",
+    "ext_date_parts",
+    "ext_mode_deterministic",
+    "emb_truncate_renorm",
+    "stream_trending_topk",
+    "stream_mv_hourly_rollup",
+    "ev_retention_cohorts",
+    "ev_funnel_steps",
+    "ev_transition_matrix",
+    "mm_resize_images",
+    "maintenance_zorder_layout",
+    "maintenance_analyze_stats",
+    "dq_freshness_lag",
+    "dq_fk_orphans",
+    "s10_time_travel",
+    "s11_merge_mixed",
+    "sql_api_report",
+    "j11_fuzzy_name_match",
+    "j13_asof_tolerance",
+    "w7_ewma_value",
+    "w8_running_distinct_types",
+    "w9_time_weighted_avg",
+    "a9_contribution_share",
+    "text_boilerplate_lines",
+    "text_word_entropy",
+    "dedup_ngram_containment",
+    "search_phrase_match",
+    "src_schema_evolution",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_distinct",
+    "split_leakage_safe",
+    "sample_negative_pairs",
+    "feat_winsorize",
+    "sample_per_group_k",
+    "batch_by_length",
+    "split_stratified_exact",
+    # family representatives (insurance against rotation bugs)
+    "a1_pricing_summary",
+    "j1_join_dims",
+    "s5_upsert",
+    "dedup_minhash_lsh",
+]
+
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]
