@@ -145,11 +145,11 @@ ROUND4_PREFIX = [
     "sample_per_group_k",
     "batch_by_length",
     "split_stratified_exact",
+    "sketch_kmv_merge",
     # family representatives (insurance against rotation bugs)
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",
-    "dedup_minhash_lsh",
 ]
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]

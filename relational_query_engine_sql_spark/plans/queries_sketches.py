@@ -8,6 +8,7 @@ oracles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..datapipe.sketches import cms_build, cms_estimate, kmv_sketch
@@ -79,3 +80,38 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     global one."""
     li = load_table(spark, sf_dir, "lineitem")
     return kmv_sketch(li, "l_partkey", k=64)
+
+
+# --------------------------------------------------------------------------
+# KMV mergeability under the oracle gate: build an independent KMV
+# sketch per shard (l_orderkey % 4 — shards share keys, so the merge
+# must dedup), merge by union → distinct → take-k, and hash-compare
+# against the DIRECT whole-table sketch. Equality is the distributive
+# law min-k(∪ min-k(shard)) = min-k(all) that lets 1000 executors
+# sketch locally and ship 64 rows each — proven cross-engine here,
+# not just unit-tested.
+# --------------------------------------------------------------------------
+@query(
+    "sketch_kmv_merge",
+    survey="beyond:sketch-kmv-merge",
+    priority=60,
+    oracle="""
+    SELECT h FROM (
+        SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+        FROM lineitem
+    ) ORDER BY h LIMIT 64
+    """,
+)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        (F.col("l_orderkey") % 4).alias("shard"),
+        F.md5(F.col("l_partkey").cast("string")).alias("h"),
+    ).distinct()
+    w = W.partitionBy("shard").orderBy("h")
+    shard_sketches = (
+        hashed.select("shard", "h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 64)
+        .select("h")
+    )
+    return shard_sketches.distinct().orderBy("h").limit(64)
