@@ -115,3 +115,45 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     return shard_sketches.distinct().orderBy("h").limit(64)
+
+
+# --------------------------------------------------------------------------
+# CMS mergeability under the oracle gate: build an independent
+# Count-Min cell table per shard (l_orderkey % 4), merge by summing
+# cells (counts are an associative monoid), and hash-compare against
+# the direct whole-table cell table. This is the exact mechanism that
+# lets every executor sketch its partition locally and ship ≤1 024
+# cells to a coordinator — the distributive law proven cross-engine.
+# --------------------------------------------------------------------------
+@query(
+    "sketch_cms_merge",
+    survey="beyond:sketch-cms-merge",
+    priority=60,
+    oracle="""
+    WITH r(i) AS (SELECT * FROM (VALUES (0), (1), (2), (3))),
+    cells AS (
+        SELECT r.i,
+               substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 2*r.i, 2)
+                   AS bucket,
+               COUNT(*) AS cnt
+        FROM lineitem CROSS JOIN r
+        GROUP BY 1, 2
+    )
+    SELECT i, bucket, CAST(cnt AS BIGINT) AS cnt FROM cells
+    """,
+)
+def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.sketches import cms_build
+
+    li = load_table(spark, sf_dir, "lineitem")
+    shard_sketches = [
+        cms_build(li.filter(F.col("l_orderkey") % 4 == s), "l_partkey")
+        for s in range(4)
+    ]
+    merged = shard_sketches[0]
+    for sk in shard_sketches[1:]:
+        merged = merged.unionByName(sk)
+    return (
+        merged.groupBy("i", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
