@@ -146,10 +146,10 @@ ROUND4_PREFIX = [
     "batch_by_length",
     "split_stratified_exact",
     "sketch_kmv_merge",
+    "sketch_cms_merge",
     # family representatives (insurance against rotation bugs)
     "a1_pricing_summary",
     "j1_join_dims",
-    "s5_upsert",
 ]
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]
