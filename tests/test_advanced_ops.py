@@ -146,3 +146,46 @@ def test_containment_dominates_jaccard(spark, sf_small):
     assert jac, "need non-vacuous pair set"
     for pair, j in jac.items():
         assert pair in cont and cont[pair] >= j - 1e-9, (pair, j)
+
+
+def _plan(spark, sf, name: str) -> str:
+    return (
+        plans.get(name)
+        .fn(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_winsorize_broadcasts_cutpoints(spark, sf_small):
+    """The per-group cut points must reach the fact stream as a
+    broadcast join — a shuffle join here would re-partition the whole
+    fact table for a 5-row build side."""
+    plan = _plan(spark, sf_small, "feat_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contribution_share_avoids_global_window(spark, sf_small):
+    """percent-of-total must NOT plan as a partition-less Window (that
+    funnels every group through one task at scale); the scaffold is a
+    1-row broadcast instead."""
+    plan = _plan(spark, sf_small, "a9_contribution_share")
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+
+
+def test_pagerank_plan_has_no_cartesian(spark, sf_small):
+    plan = _plan(spark, sf_small, "graph_pagerank_fixed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_match_prefilters_each_leg(spark, sf_small):
+    """Each join leg must carry its term filter below the join (the
+    posting-list bound): the executed plan joins two FILTERED streams,
+    never the full token stream against itself."""
+    plan = _plan(spark, sf_small, "search_phrase_match")
+    assert plan.count("Filter") >= 2
+    assert "CartesianProduct" not in plan
