@@ -495,3 +495,52 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / MAU stickiness: distinct daily actives joined to their
+# month's distinct actives — THE engagement ratio. Two distinct
+# aggregates (per-day, per-month) and a broadcast join of the tiny
+# month frame; counts are exact, the ratio rounds identically from
+# exact integers on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "ev_dau_mau",
+    survey="beyond:dau-mau",
+    priority=60,
+    oracle="""
+    WITH dau AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    ),
+    mau AS (
+        SELECT date_trunc('month', ts) AS mo,
+               COUNT(DISTINCT user_id) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT d, dau, mau,
+           ROUND(dau * 1.0 / mau, 6) AS stickiness
+    FROM dau JOIN mau ON date_trunc('month', d) = mo
+    """,
+)
+def ev_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = ev.groupBy(F.date_trunc("month", "ts").alias("mo")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.date_trunc("month", F.col("d").cast("timestamp"))
+            == F.col("mo"),
+        )
+        .select(
+            "d",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )

@@ -946,3 +946,89 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return phrase_match(docs, PHRASE)
+
+
+# --------------------------------------------------------------------------
+# Keyword-in-context (KWIC): every occurrence of a term with its ±2
+# word window — the corpus-triage view behind "show me how this token
+# is used" audits. Positional postings + array slicing, all JVM; the
+# posting for ONE term is the only thing that fans out.
+# --------------------------------------------------------------------------
+_KWIC_TERM = "spark"
+_KWIC_RADIUS = 2
+
+
+@query(
+    "text_keyword_in_context",
+    survey="beyond:kwic",
+    priority=60,
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w, UNNEST(generate_series(1, LEN(w))) AS p
+        FROM words
+    )
+    SELECT doc_id, p AS pos,
+           array_to_string(
+               w[GREATEST(1, p - {_KWIC_RADIUS}):
+                 LEAST(LEN(w), p + {_KWIC_RADIUS})], ' ') AS context
+    FROM pos
+    WHERE w[p] = '{_KWIC_TERM}'
+    """,
+)
+def text_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    )
+    pos = words.select(
+        "doc_id",
+        "w",
+        F.posexplode("w").alias("p0", "term"),
+    ).filter(F.col("term") == _KWIC_TERM)
+    # posexplode is 0-based; the oracle's generate_series is 1-based
+    p = F.col("p0") + 1
+    lo = F.greatest(F.lit(1), p - _KWIC_RADIUS)
+    hi = F.least(F.size("w"), p + _KWIC_RADIUS)
+    return pos.select(
+        "doc_id",
+        p.cast("long").alias("pos"),
+        F.array_join(
+            F.slice(F.col("w"), lo, hi - lo + 1), " "
+        ).alias("context"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity: distinct-token ratio per document — repetitive
+# (templated/spammy) docs score low, natural prose high. One pass of
+# JVM array algebra: array_distinct inside the row, no shuffle at all.
+# --------------------------------------------------------------------------
+@query(
+    "text_lexical_diversity",
+    survey="beyond:lexical-diversity",
+    priority=60,
+    oracle=r"""
+    SELECT doc_id,
+           LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens,
+           ROUND(LEN(list_distinct(
+                     string_split_regex(LOWER(TRIM(text)), '\s+'))) * 1.0
+                 / LEN(string_split_regex(LOWER(TRIM(text)), '\s+')), 6)
+               AS ttr
+    FROM documents
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(w)) / F.size(w), 6
+        ).alias("ttr"),
+    )
