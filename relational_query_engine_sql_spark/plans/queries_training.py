@@ -324,3 +324,107 @@ def split_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# Group-mean imputation: nulls filled with their group's mean over the
+# observed values — the standard feature-prep step. The driver data
+# has no organic nulls, so both engines first derive the same gapped
+# column (every 17th event id nulled); the imputation itself is one
+# grouped aggregate broadcast back over the stream. The mean divides
+# two exact decimal sums as doubles, so both engines round the same
+# imputed value.
+# --------------------------------------------------------------------------
+@query(
+    "feat_impute_group_mean",
+    survey="beyond:impute",
+    priority=60,
+    oracle="""
+    WITH gapped AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    mu AS (
+        SELECT event_type,
+               CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(v) AS g_mean
+        FROM gapped GROUP BY event_type
+    )
+    SELECT g.event_id, g.event_type,
+           ROUND(COALESCE(g.v, m.g_mean), 6) AS v_filled,
+           g.v IS NULL AS was_imputed
+    FROM gapped g JOIN mu m USING (event_type)
+    """,
+)
+def feat_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gapped = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    mu = gapped.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+            / F.count("v")
+        ).alias("g_mean")
+    )
+    return gapped.join(F.broadcast(mu), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce("v", "g_mean"), 6).alias("v_filled"),
+        F.col("v").isNull().alias("was_imputed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust (median/MAD) outlier score: |x - median| / MAD per group —
+# immune to the outliers a mean/stddev z-score absorbs into its own
+# baseline. Two grouped exact-percentile passes (median of values,
+# then median of absolute deviations) + one broadcast join; at scale
+# the percentile would switch to approx_percentile with the same
+# plan shape.
+# --------------------------------------------------------------------------
+@query(
+    "feat_robust_zscore_mad",
+    survey="beyond:robust-zscore",
+    priority=60,
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(ABS(e.value - m.med) / d.mad, 4) AS robust_z
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE ROUND(ABS(e.value - m.med) / d.mad, 4) > 3.0
+    """,
+)
+def feat_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    z = F.round(
+        F.abs(F.col("value") - F.col("med")) / F.col("mad"), 4
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", z.alias("robust_z"))
+        .filter(F.col("robust_z") > 3.0)
+    )
