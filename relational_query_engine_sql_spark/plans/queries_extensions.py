@@ -957,3 +957,42 @@ def ext_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .drop("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Portable string-function panel: the string surface both engines
+# define identically (length / case / substr / pad / reverse /
+# edit distance). Deliberately excludes initcap and split-position
+# idioms whose edge semantics differ across engines — a portable
+# engine exposes the portable set and documents the rest.
+# --------------------------------------------------------------------------
+@query(
+    "ext_string_funcs",
+    survey="ext:string-funcs",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey,
+           LENGTH(s_name) AS len,
+           UPPER(s_name) AS up,
+           LOWER(s_name) AS lo,
+           SUBSTR(s_name, 1, 8) AS pre,
+           LPAD(CAST(s_suppkey AS VARCHAR), 6, '0') AS padded,
+           REVERSE(s_name) AS rev,
+           levenshtein(s_name, 'Supplier#000000001') AS edit_dist
+    FROM supplier
+    """,
+)
+def ext_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.length("s_name").alias("len"),
+        F.upper("s_name").alias("up"),
+        F.lower("s_name").alias("lo"),
+        F.substring("s_name", 1, 8).alias("pre"),
+        F.lpad(F.col("s_suppkey").cast("string"), 6, "0").alias("padded"),
+        F.reverse("s_name").alias("rev"),
+        F.levenshtein("s_name", F.lit("Supplier#000000001")).alias(
+            "edit_dist"
+        ),
+    )

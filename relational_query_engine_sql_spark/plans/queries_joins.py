@@ -703,3 +703,38 @@ def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("purchase_value"),
         F.when(fresh, F.col("value_r")).alias("fresh_view_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# J14 — join strategy control surface: the same dimensional join as
+# J1, but forced to a shuffled hash join via the DataFrame hint (the
+# knob for when the "small" side outgrows broadcast but a sort-merge's
+# double sort is still wasteful). Results must be bit-identical to the
+# optimizer's own choice — pinned by the shared oracle; the strategy
+# itself is pinned in tests/test_advanced_ops.py.
+# --------------------------------------------------------------------------
+@query(
+    "j14_shuffle_hash_hint",
+    survey="J1,ext:join-hints",
+    priority=60,
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(27,6))), 2)
+                AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j14_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_balance"),
+        )
+    )

@@ -544,3 +544,44 @@ def ev_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inactivity-gap detection: users whose stream contains a ≥3-day
+# silence — the churn-risk signal. One LAG window keyed by user; the
+# gap is whole microseconds on both sides (same portability rule as
+# the TWAP operator).
+# --------------------------------------------------------------------------
+@query(
+    "ev_inactivity_gaps",
+    survey="beyond:inactivity-gaps",
+    priority=60,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM seq
+    WHERE gap_us >= CAST(3 AS BIGINT) * 86400 * 1000000
+    GROUP BY user_id
+    """,
+)
+def ev_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us") >= 3 * 86400 * 1_000_000)
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

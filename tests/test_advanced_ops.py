@@ -189,3 +189,9 @@ def test_phrase_match_prefilters_each_leg(spark, sf_small):
     plan = _plan(spark, sf_small, "search_phrase_match")
     assert plan.count("Filter") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_small):
+    plan = _plan(spark, sf_small, "j14_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
