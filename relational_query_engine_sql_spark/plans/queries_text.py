@@ -1032,3 +1032,82 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(w)) / F.size(w), 6
         ).alias("ttr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup subsystem report: one row per method with its duplicate
+# volume — the management view a corpus pipeline checks after every
+# ingest (exact-hash duplicate docs, Jaccard near-dup pairs, SimHash
+# fingerprint collisions). Each branch reuses the registered method's
+# exact formulation, so the report doubles as a cross-method
+# consistency anchor under the hash gate.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_dedup_report",
+    survey="beyond:dedup-report",
+    priority=60,
+    oracle=_SHINGLE_CTE
+    + f"""
+    , jac AS (
+        SELECT a.id AS d1, b.id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    jac_pairs AS (
+        SELECT COUNT(*) AS n
+        FROM jac
+        JOIN counts n1 ON jac.d1 = n1.id
+        JOIN counts n2 ON jac.d2 = n2.id
+        WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    exact_dups AS (
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT
+                   md5(LOWER(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+               AS BIGINT) AS n
+        FROM documents
+    ),
+    sim_coll AS (
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT simhash) AS BIGINT) AS n
+        FROM ({_simhash_sql()})
+    )
+    SELECT 'exact_duplicate_docs' AS method,
+           (SELECT n FROM exact_dups) AS n
+    UNION ALL
+    SELECT 'jaccard_near_dup_pairs', (SELECT n FROM jac_pairs)
+    UNION ALL
+    SELECT 'simhash_collision_docs', (SELECT n FROM sim_coll)
+    """,
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    sh = shingles(docs)
+    n_jac = jaccard_pairs(sh, JACCARD_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_exact = docs.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.md5(
+                    F.lower(
+                        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+                    )
+                )
+            )
+        )
+        .cast("long")
+        .alias("n")
+    )
+    sims = simhash(docs)
+    n_sim = sims.agg(
+        (F.count(F.lit(1)) - F.countDistinct("simhash")).cast("long").alias("n")
+    )
+
+    def tag(df: DataFrame, method: str) -> DataFrame:
+        return df.select(F.lit(method).alias("method"), "n")
+
+    return (
+        tag(n_exact, "exact_duplicate_docs")
+        .unionByName(tag(n_jac, "jaccard_near_dup_pairs"))
+        .unionByName(tag(n_sim, "simhash_collision_docs"))
+    )
