@@ -221,7 +221,7 @@ def main() -> None:
     deadline = time.perf_counter() + float(
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420")
     )
-    for pass_i in range(2):
+    for pass_i in range(3):
         for name in HEADLINE:
             if pass_i > 0 and time.perf_counter() > deadline:
                 print("BENCH pass-2 budget exhausted",
