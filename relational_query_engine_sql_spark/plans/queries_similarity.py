@@ -411,3 +411,60 @@ def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid-spread monitor: per-label centroid norm and its distance
+# from the global centroid — the IVF-health dashboard (labels whose
+# centroid collapses toward the global mean stop discriminating).
+# Long-form posexplode + two grouped means; centroids are k×dim rows
+# however large the vector table is.
+# --------------------------------------------------------------------------
+@query(
+    "emb_centroid_spread",
+    survey="beyond:centroid-monitor",
+    priority=60,
+    oracle="""
+    WITH pos1 AS (
+        SELECT label, embedding,
+               UNNEST(generate_series(1, LEN(embedding))) AS pos
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+        FROM pos1
+    ),
+    cent AS (
+        SELECT label, pos, AVG(val) AS c FROM vals GROUP BY label, pos
+    ),
+    gcent AS (
+        SELECT pos, AVG(val) AS g FROM vals GROUP BY pos
+    )
+    SELECT label,
+           ROUND(SQRT(SUM(c * c)), 6) AS centroid_norm,
+           ROUND(SQRT(SUM((c - g) * (c - g))), 6) AS dist_from_global
+    FROM cent JOIN gcent USING (pos)
+    GROUP BY label
+    """,
+)
+def emb_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("e")
+    )
+    vals = emb.select("label", F.posexplode("e").alias("pos", "val"))
+    cent = vals.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    glob = vals.groupBy("pos").agg(F.avg("val").alias("g"))
+    return (
+        cent.join(F.broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
+                "centroid_norm"
+            ),
+            F.round(
+                F.sqrt(F.sum((F.col("c") - F.col("g")) ** 2)), 6
+            ).alias("dist_from_global"),
+        )
+    )

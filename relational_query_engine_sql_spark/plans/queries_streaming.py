@@ -585,3 +585,36 @@ def ev_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day × day-of-week seasonality profile: the traffic heatmap
+# behind capacity planning and anomaly baselines. Day-of-week uses
+# the portable epoch formula (engines disagree on week start — see
+# ext_date_parts). One map-side-combinable aggregate into ≤168 cells.
+# --------------------------------------------------------------------------
+@query(
+    "ev_hourly_seasonality",
+    survey="beyond:seasonality-profile",
+    priority=60,
+    oracle="""
+    SELECT CAST((CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) + 4) % 7
+                AS INTEGER) AS dow,
+           CAST(HOUR(ts) AS INTEGER) AS hod,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") + 4) % 7
+    ).cast("int")
+    return ev.groupBy(
+        dow.alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
