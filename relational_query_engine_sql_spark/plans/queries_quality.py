@@ -458,3 +458,59 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orphans",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Primary-key uniqueness audit: duplicate-key counts per table —
+# completing the DQ trio (CHECK constraints, FK orphans, PK
+# uniqueness). The driver tables are key-clean, so the audited orders
+# side is derived with one planted duplicate key; the audit must
+# count EXACTLY that one. Shape: one count-per-key aggregate with a
+# HAVING>1 filter per table — map-side combinable, zero rows move
+# when clean.
+# --------------------------------------------------------------------------
+@query(
+    "dq_pk_duplicates",
+    survey="beyond:dq-pk-unique",
+    priority=60,
+    oracle="""
+    WITH audited AS (
+        SELECT o_orderkey FROM orders
+        UNION ALL
+        SELECT MIN(o_orderkey) FROM orders
+    )
+    SELECT 'orders.o_orderkey' AS pk,
+           CAST(COUNT(*) AS BIGINT) AS n_duplicated_keys
+    FROM (
+        SELECT o_orderkey FROM audited
+        GROUP BY o_orderkey HAVING COUNT(*) > 1
+    )
+    UNION ALL
+    SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM (
+        SELECT c_custkey FROM customer
+        GROUP BY c_custkey HAVING COUNT(*) > 1
+    )
+    """,
+)
+def dq_pk_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    audited = o.unionByName(
+        o.agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def dup_count(df: DataFrame, key: str, label: str) -> DataFrame:
+        dups = (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+        )
+        return dups.agg(
+            F.lit(label).alias("pk"),
+            F.count(F.lit(1)).cast("long").alias("n_duplicated_keys"),
+        )
+
+    return dup_count(audited, "o_orderkey", "orders.o_orderkey").unionByName(
+        dup_count(c, "c_custkey", "customer.c_custkey")
+    )
