@@ -9,7 +9,7 @@ from .forecast import (
 )
 from .mutation import ParquetTable
 from .returns import daily_close_panel, returns_panel
-from .skew import salted_count_sum
+from .skew import salted_count_sum, salted_join
 from .statistics import beta_vs_market, coefficient_of_variation, correlation_matrix
 from .timeseries import gap_fill
 from .trading import apply_trades, cash_deltas, ledger_entries
@@ -34,4 +34,5 @@ __all__ = [
     "linear_fit_grouped",
     "returns_panel",
     "salted_count_sum",
+    "salted_join",
 ]

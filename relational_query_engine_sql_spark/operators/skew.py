@@ -50,3 +50,47 @@ def salted_count_sum(
             F.round(F.sum("_ps"), 4).cast("double").alias("total")
         )
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Inner equi-join on ``key`` through a salted plan: the fact side
+    gets a deterministic salt, the dim side is replicated across all
+    ``buckets`` salt values, and the join key becomes (key, salt).
+
+    Result rows are identical to ``fact.join(dim, key)`` — replication
+    adds no matches (each fact row meets exactly the one dim replica
+    carrying its salt) and drops none (every salt value has a replica).
+
+    Why: a shuffle join on a low-cardinality / power-law key can use at
+    most |distinct keys| reducers — 5 hot event types means 5 active
+    tasks on a 1000-executor cluster. Salting multiplies the effective
+    key space by ``buckets`` so each hot key spreads over ``buckets``
+    tasks, at the cost of replicating the (small but
+    beyond-broadcast-threshold) dim side ``buckets``×. Broadcast is
+    strictly better when the dim fits in memory; salting is the tool
+    for the middle regime. AQE's skew splitting covers sort-merge
+    spills, not the key-cardinality ceiling — salting fixes the
+    ceiling itself.
+
+    The salt is ``pmod(hash(salt_col), buckets)`` — deterministic (no
+    rand(): retries/speculative tasks must re-derive identical salts).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.hash(F.col(salt_col)), F.lit(buckets))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    # shuffle_hash hint: the point of the demonstration is the
+    # distributed-shuffle plan (a tiny test dim would otherwise be
+    # auto-broadcast, which makes salting moot).
+    joined = salted_fact.join(
+        replicated_dim.hint("shuffle_hash"), [key, "_salt"]
+    )
+    return joined.drop("_salt")

@@ -1,0 +1,227 @@
+"""Semantics tests for the scale-technique operators
+(plans/queries_scale.py + operators/skew.salted_join): each technique
+must be provably result-identical to the naive plan it replaces, and
+its scale-critical invariants (bounded broadcast payloads, no
+lost/duplicated rows) are pinned here independently of the oracle
+parity suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from relational_query_engine_sql_spark import plans
+from relational_query_engine_sql_spark.operators.skew import salted_join
+from relational_query_engine_sql_spark.sources import load_table
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestSaltedJoin:
+    def test_identical_to_plain_join(self, spark, sf_small):
+        ev = load_table(spark, sf_small, "events")
+        dim = ev.groupBy("event_type").agg(
+            F.avg("value").alias("type_w")
+        )
+        plain = ev.join(dim, "event_type")
+        salted = salted_join(ev, dim, "event_type", salt_col="event_id")
+        cols = ["event_id", "event_type", "type_w"]
+        assert _rows(salted, *cols) == _rows(plain, *cols)
+
+    def test_no_salt_column_leaks(self, spark, sf_small):
+        ev = load_table(spark, sf_small, "events")
+        dim = ev.select("event_type").distinct()
+        out = salted_join(ev, dim, "event_type", salt_col="event_id")
+        assert "_salt" not in out.columns
+
+    def test_key_space_multiplied(self, spark, sf_small):
+        """The join's effective key cardinality is |keys| × buckets —
+        the whole point. Verified from the salted intermediate: every
+        (key, salt) combination that has fact rows appears."""
+        ev = load_table(spark, sf_small, "events")
+        salted = ev.withColumn(
+            "_salt", F.pmod(F.hash(F.col("event_id")), F.lit(8))
+        )
+        combos = salted.select("event_type", "_salt").distinct().count()
+        keys = ev.select("event_type").distinct().count()
+        # 1000+ rows over 5 keys × 8 salts: every combo is hit
+        assert combos == keys * 8
+
+
+class TestBloomPrefilter:
+    def test_equals_exact_semijoin(self, spark, sf_small):
+        got = plans.get("join_bloom_prefilter").fn(spark, sf_small)
+        orders = load_table(spark, sf_small, "orders")
+        li = load_table(spark, sf_small, "lineitem")
+        hot = orders.filter(F.col("o_totalprice") > 490_000.0).select(
+            "o_orderkey"
+        )
+        exact = (
+            li.join(hot, li.l_orderkey == hot.o_orderkey, "left_semi")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        assert _rows(got, "l_returnflag", "n_items") == _rows(
+            exact, "l_returnflag", "n_items"
+        )
+
+    def test_bit_set_is_bounded(self, spark, sf_small):
+        """The broadcast payload is ≤ m bit positions no matter how
+        many build-side keys there are — the invariant that makes the
+        pattern 100 TB-safe."""
+        from relational_query_engine_sql_spark.plans.queries_scale import (
+            _BLOOM_BITS,
+            _bloom_positions,
+        )
+
+        orders = load_table(spark, sf_small, "orders")
+        bits = (
+            orders.select(
+                F.explode(_bloom_positions(F.col("o_orderkey"))).alias("p")
+            )
+            .distinct()
+            .count()
+        )
+        assert bits <= _BLOOM_BITS
+
+    def test_no_false_negatives(self, spark, sf_small):
+        """Bloom filters may pass non-members but must never drop a
+        member: every true match survives the prefilter stage."""
+        from relational_query_engine_sql_spark.plans.queries_scale import (
+            _bloom_positions,
+        )
+
+        orders = load_table(spark, sf_small, "orders")
+        li = load_table(spark, sf_small, "lineitem")
+        hot = orders.filter(F.col("o_totalprice") > 490_000.0).select(
+            "o_orderkey"
+        )
+        bits = (
+            hot.select(
+                F.explode(_bloom_positions(F.col("o_orderkey"))).alias("pos")
+            )
+            .distinct()
+            .agg(F.collect_set("pos").alias("bloom_bits"))
+        )
+        true_matches = li.join(
+            hot, li.l_orderkey == hot.o_orderkey, "left_semi"
+        )
+        survived = true_matches.crossJoin(F.broadcast(bits)).filter(
+            F.forall(
+                _bloom_positions(F.col("l_orderkey")),
+                lambda p: F.array_contains(F.col("bloom_bits"), p),
+            )
+        )
+        assert survived.count() == true_matches.count()
+
+
+class TestScd2:
+    def test_no_consecutive_duplicates(self, spark, sf_small):
+        """Compression invariant: within a user's history, adjacent
+        intervals never carry the same attribute value."""
+        hist = plans.get("scd2_user_state").fn(spark, sf_small)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("valid_from")
+        dups = hist.withColumn(
+            "nxt", F.lead("event_type").over(w)
+        ).filter(F.col("nxt") == F.col("event_type"))
+        assert dups.count() == 0
+
+    def test_intervals_tile_the_timeline(self, spark, sf_small):
+        """Each interval's valid_to equals the next interval's
+        valid_from (no gaps, no overlaps), and exactly one open
+        interval per user."""
+        hist = plans.get("scd2_user_state").fn(spark, sf_small).cache()
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("valid_from")
+        bad = hist.withColumn(
+            "next_from", F.lead("valid_from").over(w)
+        ).filter(
+            F.col("next_from").isNotNull()
+            & (F.col("valid_to") != F.col("next_from"))
+        )
+        assert bad.count() == 0
+        open_per_user = (
+            hist.filter(F.col("is_current") == 1)
+            .groupBy("user_id")
+            .count()
+            .filter(F.col("count") != 1)
+        )
+        assert open_per_user.count() == 0
+        hist.unpersist()
+
+
+class TestTargetEncode:
+    def test_loo_excludes_own_row(self, spark, sf_small):
+        """Closed-form check on one category: loo_mean of a row equals
+        the pandas-computed mean of the other rows."""
+        ev = load_table(spark, sf_small, "events")
+        pdf = ev.select("event_id", "event_type", "value").toPandas()
+        got = (
+            plans.get("feat_target_encode")
+            .fn(spark, sf_small)
+            .filter(F.col("event_type") == "click")
+            .toPandas()
+            .set_index("event_id")["loo_mean"]
+        )
+        grp = pdf[pdf.event_type == "click"]
+        s, n = grp.value.sum(), len(grp)
+        for event_id, own in grp.set_index("event_id")["value"].items():
+            expect = (s - own) / (n - 1)
+            assert abs(got[event_id] - expect) < 1e-4
+
+
+class TestWeightedSample:
+    def test_matches_bruteforce(self, spark, sf_small):
+        """The distributed top-k equals a driver-side brute-force
+        recomputation of the same deterministic priorities."""
+        docs = (
+            load_table(spark, sf_small, "documents")
+            .select("doc_id", "n_chars")
+            .toPandas()
+        )
+
+        def pri(doc_id, w):
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()[:12]
+            return int(h, 16) / float(16**12) / w
+
+        docs["priority"] = [
+            pri(d, w) for d, w in zip(docs.doc_id, docs.n_chars)
+        ]
+        expect = set(
+            docs.sort_values(["priority", "doc_id"]).head(25).doc_id
+        )
+        got = {
+            r.doc_id
+            for r in plans.get("sample_weighted_priority")
+            .fn(spark, sf_small)
+            .collect()
+        }
+        assert got == expect
+
+    def test_weight_bias(self, spark, sf_small):
+        """Sampled docs skew long: the mean weight of the sample
+        exceeds the corpus mean (weight-proportional selection)."""
+        docs = load_table(spark, sf_small, "documents")
+        corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+        sample_mean = (
+            plans.get("sample_weighted_priority")
+            .fn(spark, sf_small)
+            .agg(F.avg("n_chars"))
+            .first()[0]
+        )
+        assert sample_mean > corpus_mean
+
+
+class TestBenford:
+    def test_shares_sum_to_one(self, spark, sf_small):
+        out = plans.get("dq_benford_digits").fn(spark, sf_small).toPandas()
+        assert set(out.digit) <= set(range(1, 10))
+        assert abs(out.obs_share.sum() - 1.0) < 1e-3
