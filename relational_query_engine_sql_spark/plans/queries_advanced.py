@@ -498,3 +498,109 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("a").alias("node"), F.round("r", 6).alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM mean-shift screen via segmented prefix sums.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_cusum_changepoints",
+    survey="beyond:cusum-changepoint,W1",
+    priority=60,
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS m2,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    ),
+    c AS (
+        SELECT e.event_type, e.event_id, e.ts,
+               SUM(CAST(e.value - s.mu AS DECIMAL(27,6))) OVER (
+                   PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+               ) AS cusum_dec,
+               SQRT(s.m2 - s.mu * s.mu) * SQRT(s.n) AS thresh
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type, event_id, ts,
+           CAST(ROUND(cusum_dec, 4) AS DOUBLE) AS cusum
+    FROM c WHERE ABS(CAST(cusum_dec AS DOUBLE)) > thresh
+    """,
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift screen: rows where the running sum of
+    deviations from the series mean exceeds sigma*sqrt(n) — the
+    classic changepoint detector (a sustained level shift drives the
+    cusum past what a random walk reaches).
+
+    The prefix sum is NOT one global window per series (that
+    serializes each hot key through a single reducer — the ledger
+    lesson from operators/trading.py): it's segmented by day —
+    within-day ordered windows run in parallel across (type, day)
+    partitions, then a tiny per-type window over DAY TOTALS produces
+    each day's starting offset, broadcast-joined back. Deviations are
+    quantized to decimal before summing, so segment+offset is exactly
+    associative and the oracle's single global window produces
+    bit-identical cusums."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    stats = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stats = stats.select(
+        "event_type",
+        "mu",
+        (F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")) * F.sqrt("n")).alias(
+            "thresh"
+        ),
+    )
+    evs = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("dev", (F.col("value") - F.col("mu")).cast(dec))
+    )
+    w_in_day = (
+        W.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = evs.withColumn("day_cusum", F.sum("dev").over(w_in_day))
+    day_tot = evs.groupBy("event_type", "day").agg(
+        F.sum("dev").alias("day_total")
+    )
+    w_days = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = day_tot.select(
+        "event_type",
+        "day",
+        F.coalesce(
+            F.sum("day_total").over(w_days), F.lit(0).cast(dec)
+        ).alias("day_offset"),
+    )
+    out = within.join(F.broadcast(offsets), ["event_type", "day"]).withColumn(
+        # exact decimal until the final round — rounding the DOUBLE
+        # instead would hit half-way ties non-reproducibly (numeric.py)
+        "cusum_dec",
+        F.col("day_offset") + F.col("day_cusum"),
+    )
+    return out.filter(
+        F.abs(F.col("cusum_dec").cast("double")) > F.col("thresh")
+    ).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round("cusum_dec", 4).cast("double").alias("cusum"),
+    )

@@ -514,3 +514,45 @@ def dq_pk_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_count(audited, "o_orderkey", "orders.o_orderkey").unionByName(
         dup_count(c, "c_custkey", "customer.c_custkey")
     )
+
+
+@query(
+    "dq_id_gaps",
+    survey="beyond:dq-id-gaps,W1",
+    priority=60,
+    oracle="""
+    WITH ks AS (
+        SELECT DISTINCT l_orderkey AS k FROM lineitem
+    ),
+    nxt AS (
+        SELECT k, LEAD(k) OVER (ORDER BY k) AS next_k FROM ks
+    )
+    SELECT k + 1 AS gap_start, next_k - 1 AS gap_end,
+           next_k - k - 1 AS missing
+    FROM nxt
+    WHERE next_k - k > 1
+    """,
+)
+def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holes in a surrogate-key sequence: contiguous runs of order
+    keys that appear in orders but have no lineitems — the
+    referential-coverage audit behind 'why did the rollup lose rows'.
+    Classic gaps-and-islands: LEAD over the DISTINCT sorted key set,
+    emit [k+1, next−1] wherever consecutive keys differ by more than
+    one. The DISTINCT is a map-side-combinable shuffle; the single
+    ordered window runs over the deduplicated key set (≪ fact rows).
+    At 100 TB the global ordering would be range-partitioned — the
+    audit output (gap runs, not missing keys) stays compact even when
+    billions of keys are missing."""
+    ks = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    w = W.orderBy("k")
+    nxt = ks.withColumn("next_k", F.lead("k").over(w))
+    return nxt.filter(F.col("next_k") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("next_k") - 1).alias("gap_end"),
+        (F.col("next_k") - F.col("k") - 1).alias("missing"),
+    )

@@ -618,3 +618,37 @@ def ev_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "stream_static_enrich",
+    survey="streaming:stream-static-join,J1",
+    priority=60,
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: events enriched with the static
+    customer dim (user_id → market segment), rolled up per hour ×
+    segment. Stateless on the stream side — the dim broadcasts to
+    every task, each micro-batch joins map-side, and only the
+    watermark-bounded window aggregation holds state. The streaming
+    execution of the same operator (readStream → join static → memory
+    sink, pinned to this batch result) runs in
+    tests/test_streaming.py::test_stream_static_enrich_matches_batch.
+    """
+    from ..streaming.events import enrich_with_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return enrich_with_dim(ev, dim)

@@ -1111,3 +1111,87 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(n_jac, "jaccard_near_dup_pairs"))
         .unionByName(tag(n_sim, "simhash_collision_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM cross-entropy scoring: the CCNet-style quality filter —
+# score every document by how surprising its words are under a
+# reference language model (here: add-one-smoothed unigram counts from
+# the English slice of the corpus). In-domain fluent text scores low,
+# other-language and keyboard-mash text scores high; training
+# pipelines threshold or bucket on this. Shape: the reference model is
+# a broadcast (word → count) table — production caps it at top-K words
+# so the broadcast stays bounded however big the reference corpus —
+# and scoring is one explode + broadcast join + per-doc aggregate, all
+# map-side parallel. Per-token bits are quantized to decimal before
+# the per-doc sum (numeric.py discipline).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_lm_score",
+    survey="beyond:lm-quality-score",
+    priority=60,
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+        FROM documents
+    ),
+    ref AS (
+        SELECT w, COUNT(*) AS cnt FROM toks WHERE lang = 'en' GROUP BY w
+    ),
+    tot AS (SELECT SUM(cnt) AS t, COUNT(*) AS v FROM ref),
+    scored AS (
+        SELECT tk.doc_id, tk.lang,
+               CAST(-LOG2((COALESCE(r.cnt, 0) + 1) * 1.0 / (tot.t + tot.v))
+                    AS DECIMAL(27,6)) AS bits
+        FROM toks tk LEFT JOIN ref r USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id, lang, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS lm_bits
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (bits/token) under an add-one
+    unigram LM trained on the corpus's English slice. OOV words cost
+    -log2(1/(T+V)); the per-doc mean is the quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "w"
+        ),
+    )
+    ref = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = ref.agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        toks.join(F.broadcast(ref), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                -F.log2(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    / (F.col("t") + F.col("v"))
+                )
+            )
+            .cast("decimal(27,6)")
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("bits").cast("double") / F.count(F.lit(1)), 4
+        ).alias("lm_bits"),
+    )

@@ -78,6 +78,47 @@ def tumbling_aggregate(
     )
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event is
+    joined to a static dimension row (user → customer attributes),
+    then aggregated per (window, segment). Works on streams and batch
+    frames alike.
+
+    Stream-static joins are stateless on the stream side — the static
+    dim is broadcast to every task and each micro-batch joins
+    map-side, so no join state accumulates (unlike stream-stream
+    joins, which buffer watermark-bounded state). This is THE shape
+    for enriching a 100 TB/day event stream with reference data: the
+    dim is re-broadcast per micro-batch, so slowly-changing dims pick
+    up updates between batches. The aggregation state is bounded by
+    the watermark exactly as in tumbling_aggregate.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    joined = src.join(
+        F.broadcast(dim), src.user_id == dim.c_custkey, "inner"
+    )
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window: str = "1 hour",

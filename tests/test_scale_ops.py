@@ -225,3 +225,96 @@ class TestBenford:
         out = plans.get("dq_benford_digits").fn(spark, sf_small).toPandas()
         assert set(out.digit) <= set(range(1, 10))
         assert abs(out.obs_share.sum() - 1.0) < 1e-3
+
+
+class TestCusum:
+    def test_segmented_equals_global_window(self, spark, sf_small):
+        """The day-segmented prefix-sum + offset plan must equal the
+        naive single global window per key — decimal addition is
+        associative, so segment+offset is exact, not approximate."""
+        from pyspark.sql import Window as W
+
+        ev = load_table(spark, sf_small, "events")
+        dec = "decimal(27,6)"
+        stats = ev.groupBy("event_type").agg(
+            (
+                F.sum(F.col("value").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+        evs = ev.join(F.broadcast(stats), "event_type").withColumn(
+            "dev", (F.col("value") - F.col("mu")).cast(dec)
+        )
+        w_global = (
+            W.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        naive = {
+            r.event_id: r.c
+            for r in evs.select(
+                "event_id", F.sum("dev").over(w_global).alias("c")
+            ).collect()
+        }
+        got_rows = plans.get("ts_cusum_changepoints").fn(
+            spark, sf_small
+        ).collect()
+        assert len(got_rows) > 0
+        for r in got_rows:
+            assert abs(float(naive[r.event_id]) - r.cusum) < 1e-3
+
+    def test_planted_shift_is_flagged(self, spark, sf_small, tmp_path):
+        """A manufactured level shift (second half of one series +5)
+        must produce flags; the clean driver data's flag count for
+        that series is far lower."""
+        import shutil
+        ev = load_table(spark, sf_small, "events")
+        shifted = ev.withColumn(
+            "value",
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("event_id") > 500),
+                F.col("value") + 50.0,
+            ).otherwise(F.col("value")),
+        )
+        d = str(tmp_path / "shifted")
+        shifted.write.parquet(d + "/events.parquet")
+        got = plans.get("ts_cusum_changepoints").fn(
+            spark, str(tmp_path / "shifted")
+        )
+        n_shift = got.filter(F.col("event_type") == "click").count()
+        base = plans.get("ts_cusum_changepoints").fn(spark, sf_small)
+        n_base = base.filter(F.col("event_type") == "click").count()
+        assert n_shift > max(10, 2 * n_base)
+
+
+class TestIdGaps:
+    def test_gaps_account_for_all_missing_keys(self, spark, sf_small):
+        ev = load_table(spark, sf_small, "lineitem")
+        present = ev.select("l_orderkey").distinct()
+        lo, hi, n = present.agg(
+            F.min("l_orderkey"), F.max("l_orderkey"), F.count(F.lit(1))
+        ).first()
+        gaps = plans.get("dq_id_gaps").fn(spark, sf_small)
+        total_missing = gaps.agg(F.sum("missing")).first()[0] or 0
+        assert (hi - lo + 1) - n == total_missing
+        bad = gaps.filter(
+            F.col("missing") != F.col("gap_end") - F.col("gap_start") + 1
+        )
+        assert bad.count() == 0
+
+
+class TestLmScore:
+    def test_english_scores_lower(self, spark, sf_small):
+        """The filter signal: in-domain (en) docs must have lower mean
+        cross-entropy than out-of-domain docs under the en reference
+        model."""
+        out = plans.get("text_lm_score").fn(spark, sf_small).cache()
+        en = out.filter(F.col("lang") == "en").agg(
+            F.avg("lm_bits")
+        ).first()[0]
+        other = out.filter(F.col("lang") != "en").agg(
+            F.avg("lm_bits")
+        ).first()[0]
+        out.unpersist()
+        assert en < other

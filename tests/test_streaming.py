@@ -326,3 +326,28 @@ def test_mv_maintenance_merges_across_micro_batches(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_small):
+    """Stream-static join: the streaming execution (static dim
+    broadcast into each micro-batch, stateless join, watermarked
+    window agg) must equal the batch equivalent."""
+    from relational_query_engine_sql_spark.streaming import enrich_with_dim
+
+    dim = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = read_events_stream(spark, sf_small)
+    assert stream.isStreaming
+    _run_stream(enrich_with_dim(stream, dim), "enrich_out")
+    got = {
+        (r.window_start, r.c_mktsegment): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    batch = enrich_with_dim(load_table(spark, sf_small, "events"), dim)
+    want = {
+        (r.window_start, r.c_mktsegment): (r.n, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 10
