@@ -89,6 +89,17 @@ HEADLINE = [
     "sql_api_report",
     "ev_funnel_steps",
     "batch_by_length",
+    # round 3 continued: shuffle-hygiene techniques + new pipeline ops
+    "ext_salted_join",
+    "join_bloom_prefilter",
+    "scd2_user_state",
+    "sample_weighted_priority",
+    "text_lm_score",
+    "ts_cusum_changepoints",
+    "stream_static_enrich",
+    "dq_id_gaps",
+    "w10_rolling_corr",
+    "ts_interpolate_linear",
 ]
 
 

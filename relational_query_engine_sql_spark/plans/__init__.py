@@ -153,4 +153,29 @@ ROUND4_PREFIX = [
     "j1_join_dims",
 ]
 
+# Round-5 queue: queries registered AFTER the round-4 prefix was
+# staged (all strict-sim green at sf0.001 + sf0.01 the session they
+# were added). Fold these into ROUND5's checked prefix alongside any
+# ROUND4_PREFIX overflow (the driver window is ~50; ROUND4_PREFIX has
+# 52, so its tail may spill here too):
+ROUND5_QUEUE = [
+    "ev_hourly_seasonality",
+    "emb_centroid_spread",
+    "dq_pk_duplicates",
+    "ext_salted_join",
+    "join_bloom_prefilter",
+    "scd2_user_state",
+    "feat_target_encode",
+    "dq_benford_digits",
+    "sample_weighted_priority",
+    "stream_static_enrich",
+    "text_lm_score",
+    "dq_id_gaps",
+    "ts_cusum_changepoints",
+    "w10_rolling_corr",
+    "ts_interpolate_linear",
+]
+_unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
+assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"
+
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]

@@ -556,3 +556,112 @@ def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("next_k") - 1).alias("gap_end"),
         (F.col("next_k") - F.col("k") - 1).alias("missing"),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    survey="beyond:linear-interpolation,E10",
+    priority=60,
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS val
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.user_id, CAST(g.d AS DATE) AS d
+        FROM span s, LATERAL (
+            SELECT UNNEST(generate_series(s.lo, s.hi, INTERVAL 1 DAY)) AS d
+        ) g
+    ),
+    j AS (
+        SELECT grid.user_id, grid.d, daily.val
+        FROM grid LEFT JOIN daily USING (user_id, d)
+    ),
+    f AS (
+        SELECT user_id, d, val,
+            LAST_VALUE(val IGNORE NULLS) OVER wp AS pv,
+            LAST_VALUE(CASE WHEN val IS NOT NULL THEN d END IGNORE NULLS)
+                OVER wp AS pd,
+            FIRST_VALUE(val IGNORE NULLS) OVER wn AS nv,
+            FIRST_VALUE(CASE WHEN val IS NOT NULL THEN d END IGNORE NULLS)
+                OVER wn AS nd
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY d
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, d,
+           ROUND(CASE WHEN val IS NOT NULL THEN val
+                 ELSE (nv - pv) * (date_diff('day', pd, d) * 1.0
+                                   / date_diff('day', pd, nd)) + pv
+                 END, 6) AS val,
+           CAST(val IS NULL AS INT) AS is_interpolated
+    FROM f
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing interior days in each user's
+    daily-value series — the numeric upgrade of w4_gap_fill (which
+    forward-fills). Each user's grid spans only their own [min, max]
+    days, so no exterior extrapolation exists and prev/next anchors
+    are always defined. The prev/next anchors come from two
+    unbounded-frame IGNORE NULLS window passes sharing one (user, day)
+    ordering — a single shuffle; per-row state is one value+date in
+    each direction. The interpolation arithmetic is structured
+    identically in both engines ((next−prev)·(k/g)+prev, double ops on
+    identical inputs) so results are bit-reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("val")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    j = grid.join(daily, ["user_id", "d"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("val").isNotNull(), F.col("d"))
+    f = j.select(
+        "user_id",
+        "d",
+        "val",
+        F.last("val", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(wp).alias("pd"),
+        F.first("val", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("d"), F.col("pd"))
+        / F.datediff(F.col("nd"), F.col("pd"))
+    ) + F.col("pv")
+    return f.select(
+        "user_id",
+        "d",
+        F.round(
+            F.when(F.col("val").isNotNull(), F.col("val")).otherwise(
+                interp
+            ),
+            6,
+        ).alias("val"),
+        F.col("val").isNull().cast("int").alias("is_interpolated"),
+    )

@@ -532,3 +532,95 @@ def a9_contribution_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).cast("double").alias("revenue"),
         F.round(F.col("rev") / F.col("tot"), 6).cast("double").alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling correlation from exact decimal component sums.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "w10_rolling_corr",
+    survey="beyond:rolling-corr,A5,W2",
+    priority=60,
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS tot
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.h, a.tot AS x, b.tot AS y
+        FROM hourly a JOIN hourly b
+          ON a.h = b.h AND b.event_type = 'view'
+        WHERE a.event_type <> 'view'
+    ),
+    comps AS (
+        SELECT event_type, h,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(CAST(x AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x*y AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(x*x AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(y*y AS DECIMAL(27,6))) OVER w AS DOUBLE) AS syy
+        FROM pairs
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, h, n AS n_obs,
+           ROUND((n*sxy - sx*sy)
+                 / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 6)
+               AS rolling_corr
+    FROM comps
+    WHERE n >= 8 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+    """,
+)
+def w10_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling correlation of each event type's hourly volume
+    against the 'view' series — the rolling upgrade of
+    a5_correlation_matrix (whole-series corr). Cross-engine corr() is
+    NOT hash-reproducible (per-engine summation order), so the frame
+    statistics are accumulated as EXACT decimal sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) and the correlation is assembled from those components
+    in deterministic double arithmetic — bit-identical in both
+    engines, including the variance-positivity guards. One shuffle to
+    hourly grain, one window keyed by series; frame state is O(24)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.col("value").cast(dec)).cast("double").alias("tot"))
+    base = hourly.filter(F.col("event_type") == "view").select(
+        "h", F.col("tot").alias("y")
+    )
+    pairs = (
+        hourly.filter(F.col("event_type") != "view")
+        .join(base, "h")
+        .select("event_type", "h", F.col("tot").alias("x"), "y")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-23, 0)
+    comps = pairs.select(
+        "event_type",
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("x").cast(dec)).over(w).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).over(w).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).over(w).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).over(w).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).over(w).cast("double").alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return comps.filter(
+        (F.col("n") >= 8) & (varx > 0) & (vary > 0)
+    ).select(
+        "event_type",
+        "h",
+        F.col("n").alias("n_obs"),
+        F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6).alias(
+            "rolling_corr"
+        ),
+    )

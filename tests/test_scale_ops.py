@@ -318,3 +318,61 @@ class TestLmScore:
         ).first()[0]
         out.unpersist()
         assert en < other
+
+
+class TestRollingCorr:
+    def test_matches_pandas_rolling_corr(self, spark, sf_small):
+        """Component-sum correlation must equal pandas' rolling corr
+        (float tolerance) for one series pair."""
+        out = (
+            plans.get("w10_rolling_corr")
+            .fn(spark, sf_small)
+            .filter(F.col("event_type") == "click")
+            .toPandas()
+            .sort_values("h")
+        )
+        ev = load_table(spark, sf_small, "events")
+        hourly = (
+            ev.groupBy(
+                "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+            )
+            .agg(F.sum("value").alias("tot"))
+            .toPandas()
+        )
+        x = (
+            hourly[hourly.event_type == "click"]
+            .set_index("h")["tot"]
+            .sort_index()
+        )
+        y = (
+            hourly[hourly.event_type == "view"]
+            .set_index("h")["tot"]
+            .sort_index()
+        )
+        idx = x.index.intersection(y.index)
+        want = x[idx].rolling(24, min_periods=8).corr(y[idx])
+        got = out.set_index("h")["rolling_corr"]
+        joined = want.dropna().to_frame("w").join(got.to_frame("g"))
+        assert len(joined) > 20
+        assert (joined.w - joined.g).abs().max() < 1e-4
+
+
+class TestInterpolate:
+    def test_interpolated_points_lie_on_segment(self, spark, sf_small):
+        """Every interpolated value sits between its anchors and
+        observed rows pass through unchanged."""
+        out = plans.get("ts_interpolate_linear").fn(spark, sf_small)
+        pdf = out.toPandas().sort_values(["user_id", "d"])
+        for uid, grp in pdf.groupby("user_id"):
+            grp = grp.reset_index(drop=True)
+            # grid is contiguous daily
+            days = (grp.d.iloc[-1] - grp.d.iloc[0]).days + 1
+            assert len(grp) == days
+            obs = grp[grp.is_interpolated == 0]
+            assert len(obs) >= 2
+            interp = grp[grp.is_interpolated == 1]
+            for _, r in interp.iterrows():
+                prev = obs[obs.d < r.d].iloc[-1]
+                nxt = obs[obs.d > r.d].iloc[0]
+                lo, hi = sorted((prev.val, nxt.val))
+                assert lo - 1e-6 <= r.val <= hi + 1e-6
