@@ -100,6 +100,8 @@ HEADLINE = [
     "dq_id_gaps",
     "w10_rolling_corr",
     "ts_interpolate_linear",
+    "mm_audio_features",
+    "feat_hash_bucketize",
 ]
 
 

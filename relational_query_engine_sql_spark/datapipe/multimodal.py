@@ -331,6 +331,82 @@ def encode_wav(n_frames: int, sample_rate: int, value: int) -> bytes:
     return buf.getvalue()
 
 
+def encode_wav_ramp(n_frames: int, sample_rate: int, base: int) -> bytes:
+    """Mono 8-bit PCM WAV with a deterministic ramp waveform:
+    sample[i] = (base + i) % 256 — a non-constant signal so loudness /
+    peak / silence statistics are non-trivial yet closed-form (the
+    oracle restates them from (base, n_frames) arithmetic)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(bytes((base + i) % 256 for i in range(n_frames)))
+    return buf.getvalue()
+
+
+_AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, rms double, peak int, "
+    "silence_ratio double"
+)
+
+
+def audio_features(media: DataFrame, silence_band: int = 8) -> DataFrame:
+    """Loudness analysis of 8-bit PCM WAV payloads: RMS amplitude
+    around the 128 midpoint, peak |deviation|, and the fraction of
+    samples inside the ±``silence_band`` dead zone.
+
+    Arrow-batched ``mapInPandas`` — the decode is a real container
+    parse (stdlib wave), the statistics are exact integer sums folded
+    in Python ints (no float accumulation), and only the final
+    division/sqrt are IEEE double ops, so a SQL oracle computing the
+    same arithmetic reproduces the doubles bit-exactly. Scales like
+    every codec op here: payload-parallel, no shuffle, output rows ≪
+    payload bytes."""
+    import io
+    import math
+    import wave
+
+    import pandas as pd
+
+    def batches(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in pdfs:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_samples": [],
+                "rms": [],
+                "peak": [],
+                "silence_ratio": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 1:
+                        raise ValueError("only 8-bit PCM supported")
+                    frames = w.readframes(w.getnframes())
+                n = len(frames)
+                sq = 0
+                peak = 0
+                quiet = 0
+                for s in frames:
+                    dev = s - 128
+                    sq += dev * dev
+                    if abs(dev) > peak:
+                        peak = abs(dev)
+                    if abs(dev) < silence_band:
+                        quiet += 1
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["rms"].append(math.sqrt(sq / n) if n else 0.0)
+                out["peak"].append(peak)
+                out["silence_ratio"].append(quiet / n if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_AUDIO_FEATURES_SCHEMA)
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, float]:
     """Parse a WAV container (stdlib wave): (sample_rate, n_samples,
     mean_sample) for mono 8-bit PCM."""

@@ -174,6 +174,8 @@ ROUND5_QUEUE = [
     "ts_cusum_changepoints",
     "w10_rolling_corr",
     "ts_interpolate_linear",
+    "mm_audio_features",
+    "feat_hash_bucketize",
 ]
 _unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
 assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"

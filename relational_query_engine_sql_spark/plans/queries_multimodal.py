@@ -224,3 +224,63 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.octet_length("payload").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio loudness analysis over a REAL WAV decode: ramp waveforms are
+# non-constant, so RMS / peak / silence stats are non-trivial, yet the
+# encoded signal is closed-form in doc_id — the oracle restates the
+# exact integer arithmetic and the doubles match bit-for-bit (integer
+# sums fold exactly; only the final division/sqrt are IEEE ops).
+# --------------------------------------------------------------------------
+@query(
+    "mm_audio_features",
+    survey="beyond:multimodal-audio-features",
+    priority=60,
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               CAST(doc_id % 300 + 20 AS BIGINT) AS n,
+               CAST(doc_id % 256 AS BIGINT) AS base
+        FROM documents
+    ),
+    s AS (
+        SELECT g.doc_id, g.n, ((g.base + t.i) % 256) - 128 AS dev
+        FROM g, LATERAL (
+            SELECT UNNEST(generate_series(0, g.n - 1)) AS i
+        ) t
+    )
+    SELECT doc_id, n AS n_samples,
+           SQRT(SUM(dev * dev) * 1.0 / n) AS rms,
+           CAST(MAX(ABS(dev)) AS INT) AS peak,
+           COUNT(*) FILTER (ABS(dev) < 8) * 1.0 / n AS silence_ratio
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a deterministic ramp WAV per document, then run the real
+    loudness pipeline: container parse (stdlib wave) → RMS around the
+    8-bit midpoint, peak deviation, silence-band ratio. Both stages
+    are Arrow-batched mapInPandas with no shuffle between them — the
+    100 TB shape for audio feature extraction (payload-parallel,
+    output rows ≪ payload bytes)."""
+    import pandas as pd
+
+    from ..datapipe.multimodal import audio_features, encode_wav_ramp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(pdfs):
+        for pdf in pdfs:
+            payloads = [
+                encode_wav_ramp(int(d) % 300 + 20, 8000, int(d) % 256)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return audio_features(media)

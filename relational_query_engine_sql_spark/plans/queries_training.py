@@ -428,3 +428,78 @@ def feat_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("robust_z"))
         .filter(F.col("robust_z") > 3.0)
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the "hashing trick"): categorical features map to a
+# fixed 64-bucket vector via an engine-neutral md5 bucket + sign, so
+# the feature space is bounded however many distinct categories exist
+# — the standard way to featurize unbounded-cardinality categoricals
+# at 100 TB without building a vocabulary. Long-form output (user,
+# bucket, value); the signed sum is an exact integer aggregate.
+# --------------------------------------------------------------------------
+_HASH_BUCKETS = 64
+
+
+@query(
+    "feat_hash_bucketize",
+    survey="beyond:feature-hashing",
+    priority=60,
+    oracle=f"""
+    WITH feats AS (
+        SELECT user_id, UNNEST([
+            'et:' || event_type,
+            'hod:' || CAST(HOUR(ts) AS VARCHAR)
+        ]) AS feat
+        FROM events
+    ),
+    hashed AS (
+        SELECT user_id,
+               ((strpos('0123456789abcdef',
+                        substr(md5(feat), 31, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                          substr(md5(feat), 32, 1)) - 1))
+                   % {_HASH_BUCKETS} AS bucket,
+               CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5(feat), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM feats
+    )
+    SELECT user_id, CAST(bucket AS INT) AS bucket,
+           CAST(SUM(sign) AS BIGINT) AS feat_val
+    FROM hashed GROUP BY user_id, bucket
+    """,
+)
+def feat_hash_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing of (event_type, hour-of-day) categoricals
+    into 64 buckets per user. The bucket and sign derive from md5 hex
+    digits (engine-neutral, unlike murmur-based hashCol), the signed
+    sum is exact integer arithmetic, and the output is long-form so
+    downstream can pivot or assemble sparse vectors. One explode + one
+    groupBy — map-side combinable; state per task is ≤ users×buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("et:"), F.col("event_type")),
+                F.concat(
+                    F.lit("hod:"), F.hour("ts").cast("string")
+                ),
+            )
+        ).alias("feat"),
+    )
+    h = F.md5(F.col("feat"))
+    bucket = (
+        F.conv(F.substring(h, 31, 2), 16, 10).cast("int")
+        % _HASH_BUCKETS
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        feats.select("user_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("sign").alias("feat_val"))
+    )

@@ -376,3 +376,58 @@ class TestInterpolate:
                 nxt = obs[obs.d > r.d].iloc[0]
                 lo, hi = sorted((prev.val, nxt.val))
                 assert lo - 1e-6 <= r.val <= hi + 1e-6
+
+
+class TestAudioFeatures:
+    def test_closed_form_on_known_signal(self, spark, sf_small):
+        """A ramp that wraps 256 exactly once per 256 samples has a
+        known sample multiset — spot-check one doc against numpy."""
+        import numpy as np
+
+        out = (
+            plans.get("mm_audio_features")
+            .fn(spark, sf_small)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert len(out) == 500
+        for doc_id in (0, 7, 123):
+            n = doc_id % 300 + 20
+            base = doc_id % 256
+            dev = (base + np.arange(n)) % 256 - 128
+            row = out.loc[doc_id]
+            assert row.n_samples == n
+            assert abs(row.rms - np.sqrt((dev**2).sum() / n)) < 1e-9
+            assert row.peak == np.abs(dev).max()
+            assert (
+                abs(row.silence_ratio - (np.abs(dev) < 8).mean()) < 1e-9
+            )
+
+
+class TestFeatureHashing:
+    def test_bucket_bounds_and_mass(self, spark, sf_small):
+        out = plans.get("feat_hash_bucketize").fn(spark, sf_small).cache()
+        bad = out.filter(
+            (F.col("bucket") < 0) | (F.col("bucket") >= 64)
+        )
+        assert bad.count() == 0
+        # total absolute mass per user ≤ 2 features per event
+        ev = load_table(spark, sf_small, "events")
+        per_user = dict(
+            ev.groupBy("user_id").count().collect()
+        )
+        mass = out.groupBy("user_id").agg(
+            F.sum(F.abs(F.col("feat_val"))).alias("m")
+        )
+        for r in mass.collect():
+            assert r.m <= 2 * per_user[r.user_id]
+        out.unpersist()
+
+    def test_same_feature_same_bucket(self, spark, sf_small):
+        """Determinism: re-running produces identical bucket/value
+        pairs (hash has no per-run salt)."""
+        a = plans.get("feat_hash_bucketize").fn(spark, sf_small)
+        b = plans.get("feat_hash_bucketize").fn(spark, sf_small)
+        assert _rows(a, "user_id", "bucket", "feat_val") == _rows(
+            b, "user_id", "bucket", "feat_val"
+        )
