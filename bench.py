@@ -102,6 +102,8 @@ HEADLINE = [
     "ts_interpolate_linear",
     "mm_audio_features",
     "feat_hash_bucketize",
+    "j15_scd2_point_in_time",
+    "stats_chi_square",
 ]
 
 

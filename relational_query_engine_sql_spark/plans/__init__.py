@@ -176,6 +176,8 @@ ROUND5_QUEUE = [
     "ts_interpolate_linear",
     "mm_audio_features",
     "feat_hash_bucketize",
+    "j15_scd2_point_in_time",
+    "stats_chi_square",
 ]
 _unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
 assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"

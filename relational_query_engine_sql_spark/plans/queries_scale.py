@@ -400,3 +400,160 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v / F.lit(float(16**12)) / F.col("n_chars")).alias("priority"),
     )
     return pri.orderBy("priority", "doc_id").limit(_SAMPLE_K)
+
+
+# --------------------------------------------------------------------------
+# Point-in-time dimension lookup against the SCD2 history.
+# --------------------------------------------------------------------------
+
+_SCD2_CTE = """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    hist AS (
+        SELECT user_id, event_type AS state, valid_from,
+               LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) AS valid_to
+        FROM changes
+    )
+"""
+
+
+@query(
+    "j15_scd2_point_in_time",
+    survey="beyond:point-in-time-join,J7",
+    priority=60,
+    oracle=_SCD2_CTE
+    + """
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           h.state AS prior_state, h.valid_from AS state_since
+    FROM events p
+    LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from < p.ts
+     AND (h.valid_to IS NULL OR h.valid_to >= p.ts)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def j15_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase joins the SCD2
+    state interval in effect STRICTLY BEFORE it (the state the user
+    was in when they bought — the feature-store correctness rule that
+    prevents training-time leakage). Intervals are half-open and
+    disjoint, so the (user equi-key + residual range) join matches at
+    most one row; a user's first-ever event yields NULL prior state.
+    The equi-key carries the shuffle — the range predicate is a
+    residual filter, never a BNLJ."""
+    hist = scd2_user_state(spark, sf_dir).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("prior_state"),
+        F.col("valid_from").alias("state_since"),
+        "valid_to",
+    )
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = p.join(
+        hist,
+        (p.user_id == hist.h_user)
+        & (hist.state_since < p.ts)
+        & (hist.valid_to.isNull() | (hist.valid_to >= p.ts)),
+        "left",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        "prior_state",
+        "state_since",
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test on a contingency table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_chi_square",
+    survey="beyond:chi-square,A1",
+    priority=60,
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST((CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) + 4) % 7
+                    AS INTEGER) AS dow,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+        SELECT CAST(
+                 (obs.o - rt.r * 1.0 * ct.c / n.n)
+               * (obs.o - rt.r * 1.0 * ct.c / n.n)
+               / (rt.r * 1.0 * ct.c / n.n) AS DECIMAL(27,6)) AS t
+        FROM obs JOIN rt USING (event_type) JOIN ct USING (dow)
+        CROSS JOIN n
+    )
+    SELECT CAST(ROUND(SUM(t), 4) AS DOUBLE) AS chi2,
+           (SELECT (COUNT(DISTINCT event_type) - 1)
+                 * (COUNT(DISTINCT dow) - 1)
+            FROM obs) AS df
+    FROM terms
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of event_type ×
+    day-of-week — 'is traffic mix stable across the week', the
+    canonical drift/independence screen. Everything reduces to the
+    contingency counts (one map-side-combinable aggregate; the shuffle
+    carries ≤ r×c groups however large the input); expected counts and
+    per-cell terms are deterministic double arithmetic on exact
+    integers, quantized to decimal before the final 35-term sum. The
+    day-of-week comes from epoch arithmetic, not locale-dependent
+    date-part functions."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") + 4) % 7
+    ).cast("int")
+    obs = ev.groupBy(
+        F.col("event_type"), dow.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r") * 1.0 * F.col("c") / F.col("n")
+    terms = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            ((F.col("o") - e) * (F.col("o") - e) / e)
+            .cast("decimal(27,6)")
+            .alias("t")
+        )
+    )
+    df_count = obs.agg(
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        ).alias("df")
+    )
+    chi2 = terms.agg(
+        F.round(F.sum("t"), 4).cast("double").alias("chi2")
+    )
+    return chi2.crossJoin(F.broadcast(df_count)).select("chi2", "df")

@@ -431,3 +431,57 @@ class TestFeatureHashing:
         assert _rows(a, "user_id", "bucket", "feat_val") == _rows(
             b, "user_id", "bucket", "feat_val"
         )
+
+
+class TestPointInTime:
+    def test_prior_state_is_last_change_before_ts(self, spark, sf_small):
+        """Pandas recompute: for each purchase, the joined state must
+        be the user's most recent event_type change strictly before
+        the purchase timestamp."""
+        ev = (
+            load_table(spark, sf_small, "events")
+            .select("event_id", "user_id", "ts", "event_type")
+            .toPandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        got = (
+            plans.get("j15_scd2_point_in_time")
+            .fn(spark, sf_small)
+            .toPandas()
+            .set_index("purchase_id")
+        )
+        purchases = ev[ev.event_type == "purchase"]
+        assert len(got) == len(purchases)
+        checked = 0
+        for _, p in purchases.head(40).iterrows():
+            hist = ev[(ev.user_id == p.user_id) & (ev.ts < p.ts)]
+            row = got.loc[p.event_id]
+            if len(hist) == 0:
+                assert row.prior_state is None or row.prior_state != row.prior_state or row.prior_state is pd_NA_safe(row.prior_state)
+            else:
+                # compress consecutive duplicates, take the last state
+                types = hist.event_type.tolist()
+                assert row.prior_state == types[-1]
+                checked += 1
+        assert checked > 10
+
+
+def pd_NA_safe(v):
+    import pandas as pd
+
+    return v if pd.isna(v) else None
+
+
+class TestChiSquare:
+    def test_matches_pandas_contingency(self, spark, sf_small):
+        import numpy as np
+        import pandas as pd
+
+        ev = load_table(spark, sf_small, "events").toPandas()
+        dow = ((ev.ts.astype("int64") // 10**9 // 86400) + 4) % 7
+        tab = pd.crosstab(ev.event_type, dow)
+        e = np.outer(tab.sum(1), tab.sum(0)) / tab.values.sum()
+        want = ((tab.values - e) ** 2 / e).sum()
+        row = plans.get("stats_chi_square").fn(spark, sf_small).first()
+        assert abs(row.chi2 - want) < 1e-2
+        assert row.df == (tab.shape[0] - 1) * (tab.shape[1] - 1)
