@@ -294,6 +294,21 @@ _STATE_SCHEMA = "total double, n long"
 _OUT_SCHEMA = "user_id long, n long, total double"
 
 
+def _round_half_up(v: float, scale: str = "0.0001") -> float:
+    """HALF_UP on the double's shortest decimal repr — exactly what
+    Spark's F.round does (BigDecimal.valueOf(double)), where Python's
+    round() is half-even: a value landing on a midpoint of the target
+    scale would diverge from the batch oracle. Every Python-side
+    stateful processor that rounds MUST use this, not round()."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal(scale), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _update_totals(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
@@ -305,7 +320,10 @@ def _update_totals(
         total += float(pdf["value"].sum())
         n += int(len(pdf))
     state.update((total, n))
-    yield pd.DataFrame([[user_id, n, round(total, 4)]], columns=["user_id", "n", "total"])
+    yield pd.DataFrame(
+        [[user_id, n, _round_half_up(total)]],
+        columns=["user_id", "n", "total"],
+    )
 
 
 def stateful_running_totals(events: DataFrame) -> DataFrame:
@@ -373,19 +391,7 @@ def _make_user_stats_processor():
             self._state.update((n, total, m2, mean))
             std = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
 
-            # HALF_UP on the double's shortest decimal repr — exactly
-            # what Spark's F.round does (BigDecimal.valueOf(double)),
-            # where Python's round() is half-even: values landing on a
-            # 4th-decimal midpoint would diverge from the batch oracle.
-            def r4(v: float) -> float:
-                import decimal
-
-                return float(
-                    decimal.Decimal(repr(v)).quantize(
-                        decimal.Decimal("0.0001"),
-                        rounding=decimal.ROUND_HALF_UP,
-                    )
-                )
+            r4 = _round_half_up  # HALF_UP, matching the batch F.round
 
             yield pd.DataFrame(
                 {
