@@ -131,3 +131,60 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_oracle):
     plan = j._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_salted_join_is_shuffle_hash_on_salted_key(spark, sf_oracle):
+    """ext_salted_join exists to demonstrate the distributed shuffle
+    plan; if the tiny dim auto-broadcasts the demonstration is moot.
+    Pin the ShuffledHashJoin and the dim-side replication explode."""
+    plan = _plan(spark, sf_oracle, "ext_salted_join")
+    assert "ShuffledHashJoin" in plan
+    assert "Generate explode" in plan  # dim replicated across salts
+
+
+def test_bloom_prefilter_has_no_shuffle_join(spark, sf_oracle):
+    """The whole point: the probe side is filtered map-side (broadcast
+    bitmask) and the exact semi-join broadcasts the small build side —
+    no shuffle join anywhere."""
+    plan = _plan(spark, sf_oracle, "join_bloom_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # exact semi-join
+    # build-side selectivity predicate reaches the orders scan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_target_encode_has_no_window(spark, sf_oracle):
+    """Leave-one-out encoding must be groupBy+broadcast-join, never a
+    per-category window (5 categories = 5 reducers)."""
+    plan = _plan(spark, sf_oracle, "feat_target_encode")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cusum_windows_are_day_segmented(spark, sf_oracle):
+    """The prefix sum must never run as one global window per series:
+    every Window node's partition spec includes the day column."""
+    import re
+
+    plan = _plan(spark, sf_oracle, "ts_cusum_changepoints")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window specs found in plan"
+    in_day = [s for s in specs if "day" in s]
+    # both window passes (within-day cusum, day-offset chain) key on
+    # day or operate over day totals; none partitions by event_type
+    # alone over raw rows
+    raw_global = [
+        s
+        for s in specs
+        if "event_type" in s and "day" not in s
+    ]
+    assert in_day and not raw_global, specs
+
+
+def test_lm_score_reference_model_broadcasts(spark, sf_oracle):
+    """The vocab join must be broadcast (map-side) — a shuffle join on
+    'word' would redistribute the whole token stream."""
+    plan = _plan(spark, sf_oracle, "text_lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
