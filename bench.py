@@ -104,6 +104,8 @@ HEADLINE = [
     "feat_hash_bucketize",
     "j15_scd2_point_in_time",
     "stats_chi_square",
+    "mm_image_ahash_dedup",
+    "ext_reused_exchange",
 ]
 
 

@@ -185,6 +185,86 @@ def encode_bmp(width: int, height: int, value: int) -> bytes:
     return header + dib + pixels
 
 
+def encode_bmp_pattern(width: int, height: int, base: int) -> bytes:
+    """24bpp grayscale BMP with a base-dependent test pattern:
+    luminance at image index idx (top-down, row-major) is
+    ``(base * (idx + 7)) % 256`` — distinct bases produce distinct
+    pixel layouts (an additive ramp would make every average-hash
+    identical, since ahash is shift-invariant)."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    # file stores rows bottom-up
+    for y in reversed(range(height)):
+        row = bytearray()
+        for x in range(width):
+            v = (base * (y * width + x + 7)) % 256
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + dib + pixels
+
+
+def decode_bmp_gray(payload: bytes) -> list[int]:
+    """Parse a 24bpp BMP into a top-down row-major luminance list
+    (first channel byte; the pattern encoder writes equal channels).
+    Real header walk — geometry, bottom-up order, and stride padding
+    all come off the container, not trusted metadata."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"only 24bpp BMP supported, got {bpp}")
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    out: list[int] = []
+    for y in range(height):
+        r = height - 1 - y  # file row for image row y (bottom-up)
+        row = payload[offset + r * stride : offset + r * stride + width * 3]
+        out.extend(row[0::3])
+    return out
+
+
+_AHASH_SCHEMA = "doc_id long, ahash long"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash perceptual signature of decoded images: bit i set
+    iff pixel i is brighter than the image mean (bits 0..62 — 63 bits
+    keep the signature a positive SQL BIGINT). Identical images hash
+    identically; near-identical ones differ in few bits. Arrow-batched
+    mapInPandas over the real BMP decode — payload-parallel, no
+    shuffle; the downstream dup-grouping is one hash-key groupBy."""
+    import pandas as pd
+
+    def batches(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in pdfs:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp_gray(bytes(payload))
+                mean = sum(px) / len(px)
+                h = 0
+                for i, p in enumerate(px[:63]):
+                    if p > mean:
+                        h |= 1 << i
+                ids.append(int(doc_id))
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return media.mapInPandas(batches, schema=_AHASH_SCHEMA)
+
+
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     """Parse a 24bpp BI_RGB bitmap: (width, height, n_pixels,
     mean_pixel_byte). Walks rows off the real header geometry and skips

@@ -178,6 +178,8 @@ ROUND5_QUEUE = [
     "feat_hash_bucketize",
     "j15_scd2_point_in_time",
     "stats_chi_square",
+    "mm_image_ahash_dedup",
+    "ext_reused_exchange",
 ]
 _unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
 assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"

@@ -996,3 +996,39 @@ def ext_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist"
         ),
     )
+
+
+@query(
+    "ext_reused_exchange",
+    survey="ext:exchange-reuse,A1",
+    priority=60,
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    s AS (SELECT AVG(n) AS avg_n FROM hourly)
+    SELECT hourly.h, hourly.n
+    FROM hourly CROSS JOIN s
+    WHERE hourly.n > s.avg_n
+    """,
+)
+def ext_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-traffic hours: the hourly aggregate feeds BOTH
+    the output rows and the average it is compared against. Catalyst's
+    ReuseExchange collapses the two identical aggregation subplans
+    into one shuffle computed once — the compute-once semantics of a
+    materialized CTE without any manual cache() (pinned from the
+    executed plan in tests/test_plan_properties.py). The same shape at
+    100 TB halves the heaviest stage for every self-referential
+    report ('entities above their cohort mean')."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.agg(F.avg("n").alias("avg_n"))
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .filter(F.col("n") > F.col("avg_n"))
+        .select("h", "n")
+    )

@@ -284,3 +284,69 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_payloads, schema="doc_id long, payload binary"
     )
     return audio_features(media)
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image dedup: real BMP decode → average-hash → group.
+# The canonical image near-dup pipeline (exact-bit dedup misses
+# re-encodes; ahash groups perceptually identical content). Payloads
+# are pattern BMPs whose pixels are closed-form in doc_id, so the
+# oracle reproduces the decoded luminance, the mean threshold, and the
+# 63-bit signature exactly.
+# --------------------------------------------------------------------------
+@query(
+    "mm_image_ahash_dedup",
+    survey="beyond:multimodal-image-dedup",
+    priority=60,
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, t.i,
+               (doc_id % 32) * (t.i + 7) % 256 AS p
+        FROM documents, LATERAL (
+            SELECT UNNEST(generate_series(0, 63)) AS i
+        ) t
+    ),
+    m AS (SELECT doc_id, SUM(p) * 1.0 / 64 AS mean FROM px GROUP BY 1),
+    h AS (
+        SELECT px.doc_id,
+               CAST(SUM(CASE WHEN px.i < 63 AND px.p > m.mean
+                        THEN (CAST(1 AS BIGINT) << CAST(px.i AS INT))
+                        ELSE 0 END) AS BIGINT) AS ahash
+        FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+    )
+    SELECT ahash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+    FROM h GROUP BY ahash
+    """,
+)
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document gets an 8×8 pattern BMP (32 distinct pattern
+    classes via doc_id % 32); the pipeline decodes the real container,
+    computes the average-hash signature, and groups perceptual
+    duplicates, electing the lowest doc_id as canonical. Decode+hash
+    is one Arrow-batched pass with no shuffle; the dup grouping
+    shuffles only (hash → count) pairs."""
+    import pandas as pd
+
+    from ..datapipe.multimodal import encode_bmp_pattern, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(pdfs):
+        for pdf in pdfs:
+            payloads = [
+                encode_bmp_pattern(8, 8, int(d) % 32)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    sigs = image_ahash(media)
+    joined = sigs.join(docs, "doc_id")
+    return joined.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )

@@ -188,3 +188,16 @@ def test_lm_score_reference_model_broadcasts(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "text_lm_score")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exchange_reuse_collapses_duplicate_aggregation(spark, sf_oracle):
+    """ext_reused_exchange feeds one hourly aggregate to two consumers;
+    the FINAL adaptive plan must compute the shuffle once (a
+    ReusedExchange node replaces the duplicate subplan). Note: reuse is
+    only visible after execution — the pre-run snapshot still shows
+    both subplans."""
+    df = plans.get("ext_reused_exchange").fn(spark, sf_oracle)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan

@@ -485,3 +485,32 @@ class TestChiSquare:
         row = plans.get("stats_chi_square").fn(spark, sf_small).first()
         assert abs(row.chi2 - want) < 1e-2
         assert row.df == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+
+
+class TestImageAhash:
+    def test_identical_patterns_group_together(self, spark, sf_small):
+        """Docs sharing doc_id % 32 carry byte-identical images, so
+        they MUST land in one hash group; group sizes must cover all
+        500 docs."""
+        out = plans.get("mm_image_ahash_dedup").fn(spark, sf_small)
+        rows = out.collect()
+        assert sum(r.n_docs for r in rows) == 500
+        # 32 pattern classes → at most 32 groups (ahash may collide
+        # across classes, never split within one)
+        assert len(rows) <= 32
+        # canonical doc must be the minimum of its class: every
+        # canonical id < 32 (the first occurrence of each base)
+        assert all(r.canonical_doc < 32 for r in rows)
+
+    def test_decoder_roundtrips_encoder(self, spark):
+        from relational_query_engine_sql_spark.datapipe.multimodal import (
+            decode_bmp_gray,
+            encode_bmp_pattern,
+        )
+
+        for base in (0, 5, 31):
+            px = decode_bmp_gray(encode_bmp_pattern(8, 8, base))
+            assert px == [(base * (i + 7)) % 256 for i in range(64)]
+        # non-multiple-of-4 stride exercises padding
+        px = decode_bmp_gray(encode_bmp_pattern(5, 3, 7))
+        assert px == [(7 * (i + 7)) % 256 for i in range(15)]
