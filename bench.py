@@ -106,6 +106,7 @@ HEADLINE = [
     "stats_chi_square",
     "mm_image_ahash_dedup",
     "ext_reused_exchange",
+    "dedup_ahash_hamming",
 ]
 
 

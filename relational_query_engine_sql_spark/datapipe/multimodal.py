@@ -185,12 +185,16 @@ def encode_bmp(width: int, height: int, value: int) -> bytes:
     return header + dib + pixels
 
 
-def encode_bmp_pattern(width: int, height: int, base: int) -> bytes:
+def encode_bmp_pattern(
+    width: int, height: int, base: int, jitter_at: int | None = None
+) -> bytes:
     """24bpp grayscale BMP with a base-dependent test pattern:
     luminance at image index idx (top-down, row-major) is
     ``(base * (idx + 7)) % 256`` — distinct bases produce distinct
     pixel layouts (an additive ramp would make every average-hash
-    identical, since ahash is shift-invariant)."""
+    identical, since ahash is shift-invariant). ``jitter_at`` adds 128
+    to one pixel — a 'corrupted re-encode' that perturbs the
+    perceptual hash by a few bits without changing the image class."""
     import struct
 
     stride = (width * 3 + 3) // 4 * 4
@@ -199,7 +203,8 @@ def encode_bmp_pattern(width: int, height: int, base: int) -> bytes:
     for y in reversed(range(height)):
         row = bytearray()
         for x in range(width):
-            v = (base * (y * width + x + 7)) % 256
+            idx = y * width + x
+            v = (base * (idx + 7) + (128 if idx == jitter_at else 0)) % 256
             row += bytes((v, v, v))
         row += b"\x00" * (stride - len(row))
         rows.append(bytes(row))

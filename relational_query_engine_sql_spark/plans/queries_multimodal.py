@@ -350,3 +350,121 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Banded Hamming near-dup over perceptual hashes — the bitvector
+# analog of MinHash-LSH: 4 bands of ~16 bits generate candidates via
+# equi-joins, exact popcount verifies. With threshold d ≤ 3 < #bands,
+# the pigeonhole principle makes banding LOSSLESS (any pair within
+# distance 3 must agree on at least one full band), so the Spark
+# candidate-generation path returns exactly the oracle's all-pairs
+# answer — proven, not sampled.
+# --------------------------------------------------------------------------
+_HAMMING_MAX = 3
+_N_BANDS = 4
+
+_AHASH_CTE = """
+    WITH px AS (
+        SELECT doc_id, t.i,
+               ((doc_id % 32) * (t.i + 7)
+                + CASE WHEN doc_id % 2 = 1 AND t.i = doc_id % 5 + 8
+                       THEN 128 ELSE 0 END) % 256 AS p
+        FROM documents, LATERAL (
+            SELECT UNNEST(generate_series(0, 63)) AS i
+        ) t
+    ),
+    m AS (SELECT doc_id, SUM(p) * 1.0 / 64 AS mean FROM px GROUP BY 1),
+    h AS (
+        SELECT px.doc_id,
+               CAST(SUM(CASE WHEN px.i < 63 AND px.p > m.mean
+                        THEN (CAST(1 AS BIGINT) << CAST(px.i AS INT))
+                        ELSE 0 END) AS BIGINT) AS ahash
+        FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+    )
+"""
+
+
+@query(
+    "dedup_ahash_hamming",
+    survey="beyond:multimodal-neardup-hamming",
+    priority=60,
+    oracle=_AHASH_CTE
+    + f"""
+    , sigs AS (SELECT ahash, COUNT(*) AS n FROM h GROUP BY ahash)
+    SELECT a.ahash AS h1, b.ahash AS h2,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming_d,
+           a.n AS n1, b.n AS n2
+    FROM sigs a JOIN sigs b ON a.ahash < b.ahash
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_ahash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical image classes: signature pairs within Hamming
+    distance {d}. Candidates come from {b} band-bucket equi-joins over
+    16-bit slices (never an all-pairs crossJoin — at 100 TB the
+    signature table is billions of rows and banding keeps candidate
+    volume proportional to true collisions); the exact popcount filter
+    then removes band-collision false positives. d < #bands makes the
+    recall exact by pigeonhole."""
+    import functools
+
+    import pandas as pd
+
+    from ..datapipe.multimodal import encode_bmp_pattern, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(pdfs):
+        for pdf in pdfs:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp_pattern(
+                            8,
+                            8,
+                            int(d) % 32,
+                            # odd docs carry a one-pixel corruption —
+                            # the near-identical re-encode the Hamming
+                            # join exists to catch
+                            jitter_at=(int(d) % 5 + 8)
+                            if int(d) % 2 == 1
+                            else None,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    sigs = (
+        image_ahash(media)
+        .groupBy("ahash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def band(col: F.Column, b: int) -> F.Column:
+        return F.shiftright(col, b * 16).bitwiseAND(F.lit(0xFFFF))
+
+    a = sigs.select(
+        F.col("ahash").alias("h1"), F.col("n").alias("n1")
+    )
+    b_side = sigs.select(
+        F.col("ahash").alias("h2"), F.col("n").alias("n2")
+    )
+    cands = [
+        a.join(
+            b_side,
+            (band(F.col("h1"), i) == band(F.col("h2"), i))
+            & (F.col("h1") < F.col("h2")),
+        )
+        for i in range(_N_BANDS)
+    ]
+    cand = functools.reduce(lambda x, y: x.unionByName(y), cands).distinct()
+    d = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.filter(d <= _HAMMING_MAX).select(
+        "h1", "h2", d.cast("int").alias("hamming_d"), "n1", "n2"
+    )

@@ -514,3 +514,16 @@ class TestImageAhash:
         # non-multiple-of-4 stride exercises padding
         px = decode_bmp_gray(encode_bmp_pattern(5, 3, 7))
         assert px == [(7 * (i + 7)) % 256 for i in range(15)]
+
+
+class TestAhashHamming:
+    def test_reported_pairs_are_within_distance(self, spark, sf_small):
+        """Every reported pair's popcount must match and respect the
+        threshold (the losslessness of 4-band candidates for d <= 3 is
+        the pigeonhole argument; the exact-equality-to-all-pairs proof
+        is the DuckDB oracle, which IS brute force)."""
+        out = plans.get("dedup_ahash_hamming").fn(spark, sf_small)
+        rows = {(r.h1, r.h2): r.hamming_d for r in out.collect()}
+        assert len(rows) > 0
+        for (h1, h2), d in rows.items():
+            assert bin(h1 ^ h2).count("1") == d <= 3
