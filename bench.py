@@ -107,6 +107,7 @@ HEADLINE = [
     "mm_image_ahash_dedup",
     "ext_reused_exchange",
     "dedup_ahash_hamming",
+    "sql_api_bind_params",
 ]
 
 

@@ -181,6 +181,7 @@ ROUND5_QUEUE = [
     "mm_image_ahash_dedup",
     "ext_reused_exchange",
     "dedup_ahash_hamming",
+    "sql_api_bind_params",
 ]
 _unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
 assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"

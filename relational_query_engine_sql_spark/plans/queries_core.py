@@ -520,3 +520,36 @@ def sql_api_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_SQL_API_REPORT)
+
+
+@query(
+    "sql_api_bind_params",
+    survey="S2,F5,ext:bind-params",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_totalprice > 450000.0
+      AND o_orderstatus IN ('F', 'O')
+    """,
+)
+def sql_api_bind_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — the reference's prepared-statement surface
+    (every route binds $1/$2 placeholders, e.g.
+    src/routes/portfolio.js:289-302's `WHERE symbol=$1`). Spark's
+    analog is named parameter markers with `spark.sql(query, args=)`:
+    values are bound as literals by the analyzer, never interpolated
+    into the SQL text, so the plan is injection-safe and cacheable by
+    shape exactly like a prepared statement."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders
+        WHERE o_totalprice > :min_price
+          AND o_orderstatus IN (:status_f, :status_o)
+        """,
+        args={"min_price": 450000.0, "status_f": "F", "status_o": "O"},
+    )
