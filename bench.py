@@ -108,6 +108,8 @@ HEADLINE = [
     "ext_reused_exchange",
     "dedup_ahash_hamming",
     "sql_api_bind_params",
+    "j16_asof_nearest",
+    "split_temporal_embargo",
 ]
 
 

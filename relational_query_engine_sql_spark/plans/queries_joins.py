@@ -738,3 +738,95 @@ def j14_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("c_acctbal")).alias("total_balance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J16 — nearest-event join (either direction, bounded, banded).
+# --------------------------------------------------------------------------
+_NEAREST_WINDOW_S = 1800  # ±30 minutes
+
+
+@query(
+    "j16_asof_nearest",
+    survey="beyond:asof-nearest,J7,J3",
+    priority=60,
+    oracle=f"""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               p.ts AS purchase_ts, c.event_id AS click_id,
+               c.ts AS click_ts,
+               ABS(EPOCH_US(c.ts) - EPOCH_US(p.ts)) AS abs_us
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND ABS(EPOCH_US(c.ts) - EPOCH_US(p.ts))
+             <= {_NEAREST_WINDOW_S} * 1000000
+        WHERE p.event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY purchase_id
+            ORDER BY abs_us, click_ts, click_id
+        ) AS rn
+        FROM pairs
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j16_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click to each purchase within ±30 min — EITHER
+    direction (j7/j9/j13 are backward-only as-of joins; sensor fusion
+    and attribution sometimes want the closest event, before or
+    after). Ties (equidistant before/after) break to the earlier
+    click, then event_id.
+
+    Banded like j10: both sides bucket to 30-minute bands and each
+    purchase probes its own and both adjacent bands — a pure
+    (user, band) hash equi-join plus residual |Δt| filter, never a
+    time-range BNLJ. Candidate volume per purchase is bounded by
+    per-user click density in a 90-minute strip regardless of table
+    size; the final pick is one row_number window keyed by purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    band = lambda c: F.floor(F.unix_timestamp(c) / _NEAREST_WINDOW_S)  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.explode(
+            F.array(
+                band(F.col("ts")) - 1, band(F.col("ts")), band(F.col("ts")) + 1
+            )
+        ).alias("band"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        band(F.col("ts")).alias("band"),
+    )
+    abs_us = F.abs(
+        F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("purchase_ts"))
+    )
+    pairs = (
+        p.join(c, (p.user_id == c.c_user) & (p.band == c.band))
+        .filter(abs_us <= _NEAREST_WINDOW_S * 1_000_000)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            abs_us.alias("abs_us"),
+        )
+        .distinct()  # adjacent-band probes can duplicate a candidate
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        "abs_us", "click_ts", "click_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "abs_us")
+    )

@@ -503,3 +503,77 @@ def feat_hash_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket")
         .agg(F.sum("sign").alias("feat_val"))
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal split with embargo: the time-series answer to leakage-safe
+# splitting — train strictly precedes test, separated by a purge gap
+# so windowed features computed at train time cannot peek across the
+# boundary (the finance "purged/embargoed split"). Boundaries derive
+# from the corpus's own [min, max] span in exact microsecond
+# arithmetic, so they are identical in both engines and the split is
+# reproducible from the data alone.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "split_temporal_embargo",
+    survey="beyond:temporal-split",
+    priority=60,
+    oracle="""
+    WITH span AS (
+        SELECT MIN(EPOCH_US(ts)) AS lo, MAX(EPOCH_US(ts)) AS hi
+        FROM events
+    ),
+    b AS (
+        SELECT lo + CAST(FLOOR((hi - lo) * 0.7) AS BIGINT) AS train_end,
+               lo + CAST(FLOOR((hi - lo) * 0.8) AS BIGINT) AS test_start
+        FROM span
+    ),
+    assigned AS (
+        SELECT CASE WHEN EPOCH_US(e.ts) < b.train_end THEN 'train'
+                    WHEN EPOCH_US(e.ts) < b.test_start THEN 'embargo'
+                    ELSE 'test' END AS split,
+               e.ts
+        FROM events e CROSS JOIN b
+    )
+    SELECT split, COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM assigned GROUP BY split
+    """,
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train / embargo / test assignment at the 70% and 80% points of
+    the corpus time span. The boundary frame is one broadcast row;
+    assignment is a map-side CASE — no shuffle beyond the final
+    3-group rollup. Unlike hash splits (split_leakage_safe), rows are
+    ordered in time: every train row precedes every test row and a
+    10%-of-span purge gap separates them, so look-ahead features
+    can't leak."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    b = span.select(
+        (
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) * 0.7).cast("long")
+        ).alias("train_end"),
+        (
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) * 0.8).cast("long")
+        ).alias("test_start"),
+    )
+    us = F.unix_micros("ts")
+    assigned = ev.crossJoin(F.broadcast(b)).select(
+        F.when(us < F.col("train_end"), F.lit("train"))
+        .when(us < F.col("test_start"), F.lit("embargo"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "ts",
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -527,3 +527,54 @@ class TestAhashHamming:
         assert len(rows) > 0
         for (h1, h2), d in rows.items():
             assert bin(h1 ^ h2).count("1") == d <= 3
+
+
+class TestNearestJoin:
+    def test_picks_true_nearest(self, spark, sf_small):
+        """Pandas recompute: the joined click must minimize |Δt| over
+        all of the user's clicks within the window, with the
+        earlier-then-lower-id tiebreak."""
+        ev = (
+            load_table(spark, sf_small, "events")
+            .select("event_id", "user_id", "ts", "event_type")
+            .toPandas()
+        )
+        got = (
+            plans.get("j16_asof_nearest")
+            .fn(spark, sf_small)
+            .toPandas()
+            .set_index("purchase_id")
+        )
+        assert len(got) > 0
+        assert got.index.is_unique
+        clicks = ev[ev.event_type == "click"]
+        for pid, row in got.iterrows():
+            p_ts = row.purchase_ts
+            cand = clicks[clicks.user_id == row.user_id].copy()
+            cand["absd"] = (cand.ts - p_ts).abs()
+            cand = cand[cand.absd <= pd.Timedelta(seconds=1800)]
+            cand = cand.sort_values(["absd", "ts", "event_id"])
+            assert len(cand) > 0
+            assert cand.iloc[0].event_id == row.click_id
+
+
+import pandas as pd  # noqa: E402
+
+
+class TestTemporalSplit:
+    def test_splits_are_time_ordered_with_gap(self, spark, sf_small):
+        out = {
+            r.split: r
+            for r in plans.get("split_temporal_embargo")
+            .fn(spark, sf_small)
+            .collect()
+        }
+        total = sum(r.n for r in out.values())
+        ev_n = load_table(spark, sf_small, "events").count()
+        assert total == ev_n
+        assert out["train"].n > out["test"].n > 0
+        # strict temporal ordering between phases
+        assert out["train"].last_ts < out["test"].first_ts
+        if "embargo" in out:
+            assert out["train"].last_ts < out["embargo"].first_ts
+            assert out["embargo"].last_ts < out["test"].first_ts
