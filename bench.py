@@ -110,6 +110,7 @@ HEADLINE = [
     "sql_api_bind_params",
     "j16_asof_nearest",
     "split_temporal_embargo",
+    "mm_video_scene_cuts",
 ]
 
 

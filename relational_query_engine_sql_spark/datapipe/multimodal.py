@@ -241,6 +241,70 @@ def decode_bmp_gray(payload: bytes) -> list[int]:
     return out
 
 
+def encode_video_bmp_frames(frame_bases: list[int]) -> bytes:
+    """'Video' as a concatenation of 8×8 pattern-BMP frames — each
+    frame is a complete, self-describing BMP container, so decoding
+    means walking real headers (the declared file-size field at byte
+    offset 2), not slicing at assumed strides."""
+    return b"".join(encode_bmp_pattern(8, 8, b) for b in frame_bases)
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Walk concatenated BMP containers off their declared sizes."""
+    import struct
+
+    frames: list[bytes] = []
+    off = 0
+    while off < len(payload):
+        if payload[off : off + 2] != b"BM":
+            raise ValueError(f"bad frame magic at offset {off}")
+        (size,) = struct.unpack_from("<I", payload, off + 2)
+        frames.append(payload[off : off + size])
+        off += size
+    return frames
+
+
+_SCENE_SCHEMA = (
+    "doc_id long, n_frames int, n_cuts int, first_cut_frame int"
+)
+
+
+def video_scene_cuts(media: DataFrame, threshold: float = 8.0) -> DataFrame:
+    """Scene-cut detection: decode every frame (real BMP parse), take
+    mean luminance per frame, flag frame f as a cut when
+    |mean_f − mean_{f−1}| > threshold. Arrow-batched mapInPandas —
+    frame-parallel within a payload batch, no shuffle; emits one
+    bounded row per video however many frames it holds (the 100 TB
+    video-pipeline shape: features out, pixels never shuffled)."""
+    import pandas as pd
+
+    def batches(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in pdfs:
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_cuts": [],
+                "first_cut_frame": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                means = []
+                for fr in split_video_frames(bytes(payload)):
+                    px = decode_bmp_gray(fr)
+                    means.append(sum(px) / len(px))
+                cuts = [
+                    f
+                    for f in range(1, len(means))
+                    if abs(means[f] - means[f - 1]) > threshold
+                ]
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(len(means))
+                out["n_cuts"].append(len(cuts))
+                out["first_cut_frame"].append(cuts[0] if cuts else -1)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_SCENE_SCHEMA)
+
+
 _AHASH_SCHEMA = "doc_id long, ahash long"
 
 

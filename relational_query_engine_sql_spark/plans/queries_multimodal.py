@@ -468,3 +468,88 @@ def dedup_ahash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(d <= _HAMMING_MAX).select(
         "h1", "h2", d.cast("int").alias("hamming_d"), "n1", "n2"
     )
+
+
+# --------------------------------------------------------------------------
+# Video scene-cut detection over REAL frame containers: each video is
+# a concatenation of complete BMP frames walked off their declared
+# header sizes; scene change = mean-luminance jump between adjacent
+# frames. Frame content is closed-form in (doc_id, frame), so the
+# oracle restates per-frame means and the LAG-delta cut rule exactly
+# (sums of ints are exact; /64 is a power-of-two division, exact).
+# --------------------------------------------------------------------------
+@query(
+    "mm_video_scene_cuts",
+    survey="beyond:multimodal-video-scenes",
+    priority=60,
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id, CAST(doc_id % 6 + 4 AS INT) AS n
+        FROM documents
+    ),
+    frames AS (
+        SELECT v.doc_id, v.n, f.f,
+               (v.doc_id % 32
+                + CASE WHEN f.f >= v.n // 2 THEN 16 ELSE 0 END) % 32
+                   AS base
+        FROM vids v, LATERAL (
+            SELECT UNNEST(generate_series(0, v.n - 1)) AS f
+        ) f
+    ),
+    means AS (
+        SELECT fr.doc_id, fr.n, fr.f,
+               SUM((fr.base * (t.i + 7)) % 256) * 1.0 / 64 AS m
+        FROM frames fr, LATERAL (
+            SELECT UNNEST(generate_series(0, 63)) AS i
+        ) t
+        GROUP BY fr.doc_id, fr.n, fr.f
+    ),
+    deltas AS (
+        SELECT doc_id, n, f,
+               ABS(m - LAG(m) OVER (
+                   PARTITION BY doc_id ORDER BY f)) AS d
+        FROM means
+    )
+    SELECT doc_id, CAST(MAX(n) AS INT) AS n_frames,
+           CAST(COUNT(*) FILTER (d > 8.0) AS INT) AS n_cuts,
+           CAST(COALESCE(MIN(f) FILTER (d > 8.0), -1) AS INT)
+               AS first_cut_frame
+    FROM deltas GROUP BY doc_id
+    """,
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document becomes a 4-9 frame 'video' (concatenated BMP
+    containers) whose pattern shifts halfway through; the pipeline
+    walks the real frame headers, computes per-frame mean luminance,
+    and reports cut count + first cut. Whether the halfway shift
+    registers as a cut depends on the two patterns' actual means — so
+    outcomes vary across docs and the oracle row is discriminating,
+    not constant."""
+    import pandas as pd
+
+    from ..datapipe.multimodal import (
+        encode_video_bmp_frames,
+        video_scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(pdfs):
+        for pdf in pdfs:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 6 + 4
+                bases = [
+                    (d % 32 + (16 if f >= n // 2 else 0)) % 32
+                    for f in range(n)
+                ]
+                payloads.append(encode_video_bmp_frames(bases))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return video_scene_cuts(media)

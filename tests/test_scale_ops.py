@@ -578,3 +578,47 @@ class TestTemporalSplit:
         if "embargo" in out:
             assert out["train"].last_ts < out["embargo"].first_ts
             assert out["embargo"].last_ts < out["test"].first_ts
+
+
+class TestVideoSceneCuts:
+    def test_cut_at_pattern_shift_when_means_differ(self, spark, sf_small):
+        """The halfway pattern shift must register as a cut exactly
+        when the two patterns' true means differ by > 8 — recomputed
+        in pure Python from the closed-form pixels."""
+        got = {
+            r.doc_id: r
+            for r in plans.get("mm_video_scene_cuts")
+            .fn(spark, sf_small)
+            .collect()
+        }
+        assert len(got) == 500
+
+        def mean(base):
+            return sum((base * (i + 7)) % 256 for i in range(64)) / 64
+
+        flagged = 0
+        for d in range(120):
+            n = d % 6 + 4
+            b0, b1 = d % 32, (d % 32 + 16) % 32
+            expect_cut = abs(mean(b1) - mean(b0)) > 8.0
+            r = got[d]
+            assert r.n_frames == n
+            assert (r.n_cuts == 1) == expect_cut
+            if expect_cut:
+                assert r.first_cut_frame == n // 2
+                flagged += 1
+            else:
+                assert r.first_cut_frame == -1
+        assert 0 < flagged < 120  # outcomes genuinely vary
+
+    def test_frame_walker_respects_declared_sizes(self, spark):
+        from relational_query_engine_sql_spark.datapipe.multimodal import (
+            encode_video_bmp_frames,
+            split_video_frames,
+        )
+
+        payload = encode_video_bmp_frames([3, 7, 3])
+        frames = split_video_frames(payload)
+        assert len(frames) == 3
+        assert frames[0] == frames[2]  # same base → identical container
+        assert frames[0] != frames[1]
