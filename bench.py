@@ -111,6 +111,7 @@ HEADLINE = [
     "j16_asof_nearest",
     "split_temporal_embargo",
     "mm_video_scene_cuts",
+    "src_nested_struct_pruning",
 ]
 
 

@@ -185,6 +185,7 @@ ROUND5_QUEUE = [
     "j16_asof_nearest",
     "split_temporal_embargo",
     "mm_video_scene_cuts",
+    "src_nested_struct_pruning",
 ]
 _unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
 assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"

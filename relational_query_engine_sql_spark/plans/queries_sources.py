@@ -173,3 +173,48 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "n_nationkey", "n_name", "n_regionkey", "n_priority"
     )
+
+
+@query(
+    "src_nested_struct_pruning",
+    survey="src:nested-struct,S1",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS price,
+           o_orderstatus AS status
+    FROM orders
+    """,
+)
+def src_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct columns with leaf-level scan pruning — the event
+    payloads of a 100 TB pipeline are deeply nested, and reading the
+    whole struct to project one leaf multiplies scan bytes. Orders are
+    written as a two-level struct parquet (header.{status,priority},
+    amounts.{total,weighted}), read back projecting two leaves; with
+    nested schema pruning the ReadSchema keeps only the projected
+    leaves (pinned in tests/test_plan_properties.py). The oracle reads
+    the flat original — a hash match proves nesting and un-nesting is
+    lossless."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("header"),
+        F.struct(
+            F.col("o_totalprice").alias("total"),
+            (F.col("o_totalprice") * (1 - 0.04)).alias("weighted"),
+        ).alias("amounts"),
+    )
+    out = tempfile.mkdtemp(prefix="rqe-nested-") + "/orders_nested"
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "o_orderkey",
+        F.col("amounts.total").alias("price"),
+        F.col("header.status").alias("status"),
+    )

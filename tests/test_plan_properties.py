@@ -201,3 +201,14 @@ def test_exchange_reuse_collapses_duplicate_aggregation(spark, sf_oracle):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_nested_struct_scan_prunes_leaves(spark, sf_oracle):
+    """Projecting two leaves out of two 2-field structs must prune the
+    unused leaves from the parquet ReadSchema — reading whole structs
+    to use one field multiplies scan bytes at 100 TB."""
+    df = plans.get("src_nested_struct_pruning").fn(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "status" in read and "total" in read
+    assert "priority" not in read and "weighted" not in read
