@@ -89,16 +89,35 @@ ROUND3_PREFIX = [
     "dedup_embedding_cosine",  # pipeline: now non-vacuous (planted dups)
     "stream_tumbling_hourly",  # streaming: watermark window
 ]
-set_rotation(ROUND3_PREFIX)
+def _judged_round() -> int:
+    """Round of the latest judge verdict (VERDICT.md's '# VERDICT —
+    round N' header). The driver writes VERDICT.md for round N at the
+    START of round N+1, so judged-round N means the CURRENT round is
+    N+1 — the rotation can self-advance without a manual swap (a
+    forgotten swap would re-check already-proven queries and leave the
+    staged ones without driver rows). Missing/unparsable file → 2
+    (this rotation scheme was installed during round 3)."""
+    import os
+    import re
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "VERDICT.md",
+    )
+    try:
+        with open(path, encoding="utf-8") as f:
+            m = re.search(r"round\s+(\d+)", f.readline())
+        return int(m.group(1)) if m else 2
+    except OSError:
+        return 2
 
 # Round-4 prefix, pre-curated at the end of round 3: the 46 queries
 # registered during round 3 that the round-3 driver window could not
 # reach (all strict-sim green at sf0.001 AND sf0.01 via
 # tools/driver_sim.py), plus 4 family representatives (slots 47-50).
-# ROUND 4: replace the set_rotation call above with
-# ``set_rotation(ROUND4_PREFIX)`` once CORRECTNESS_r03.json confirms
-# the round-3 window landed. With r1-r3 green that closes hard driver
-# rows for the whole registry again.
+# Installed automatically when VERDICT.md advances to round 3 (see the
+# rotation self-advance at the bottom of this module). With r1-r3
+# green that closes hard driver rows for the whole registry again.
 ROUND4_PREFIX = [
     "sql_recursive_hierarchy",
     "graph_triangle_count",
@@ -189,5 +208,38 @@ ROUND5_QUEUE = [
 ]
 _unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
 assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"
+
+# Round-5 prefix: the queue above plus §2/pipeline family
+# representatives (the same insurance slots every round carries).
+ROUND5_PREFIX = ROUND5_QUEUE + [
+    "a1_pricing_summary",  # A: grouped multi-aggregate
+    "j1_join_dims",  # J: inner equi-join
+    "j7_asof_latest",  # J7/W3: as-of latest-per-key
+    "w3_topn_per_group",  # W: window rank
+    "s5_upsert",  # S: write path
+    "u2_apply_trades",  # U: sequential fold write path
+    "f4_ilike_search",  # F: predicate family
+    "o2_topk",  # O: ordering family
+    "e9_ledger_regex",  # E: expression family
+    "tpch_q6_forecast_revenue",  # TPC-H representative
+    "dedup_minhash_lsh",  # pipeline: near-dup
+    "dedup_embedding_cosine",  # pipeline: embedding dedup
+    "ann_ivf_topk",  # pipeline: ANN scale path
+    "mm_decode_real",  # multimodal: real codec decode
+    "stream_tumbling_hourly",  # streaming: watermark window
+    "sketch_kmv_distinct",  # sketches
+    "text_quality_metrics",  # text pipeline
+    "src_csv_roundtrip",  # sources: S8 export analog
+    "ev_funnel",  # events/product analytics
+    "ext_rollup",  # SQL extensions
+    "graph_triangle_count",  # graph family
+    "split_leakage_safe",  # training splits
+    "dq_violation_counts",  # data quality
+]
+
+# Rotation self-advance: judged round N ⇒ current round is N+1.
+_ROTATIONS = {3: ROUND3_PREFIX, 4: ROUND4_PREFIX, 5: ROUND5_PREFIX}
+_current = _judged_round() + 1
+set_rotation(_ROTATIONS.get(min(_current, 5), ROUND5_PREFIX))
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]

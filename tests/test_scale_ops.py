@@ -622,3 +622,40 @@ class TestVideoSceneCuts:
         assert len(frames) == 3
         assert frames[0] == frames[2]  # same base → identical container
         assert frames[0] != frames[1]
+
+
+class TestRotationSelfAdvance:
+    def test_judged_round_parses_verdict(self):
+        from relational_query_engine_sql_spark.plans import _judged_round
+
+        # VERDICT.md at repo root currently says round 2 (written at
+        # the start of round 3); the parser must track it
+        assert _judged_round() == 2
+
+    def test_current_prefix_matches_judged_round(self):
+        from relational_query_engine_sql_spark import plans
+        from relational_query_engine_sql_spark.plans import (
+            ROUND3_PREFIX,
+            ROUND4_PREFIX,
+            ROUND5_PREFIX,
+            _judged_round,
+        )
+
+        expect = {3: ROUND3_PREFIX, 4: ROUND4_PREFIX, 5: ROUND5_PREFIX}[
+            min(_judged_round() + 1, 5)
+        ]
+        names = list(plans.all_queries())
+        assert names[: len(expect)] == expect
+
+    def test_all_prefixes_resolve_and_are_unique(self):
+        from relational_query_engine_sql_spark import plans
+        from relational_query_engine_sql_spark.plans import (
+            ROUND3_PREFIX,
+            ROUND4_PREFIX,
+            ROUND5_PREFIX,
+        )
+
+        registered = set(plans.all_queries())
+        for prefix in (ROUND3_PREFIX, ROUND4_PREFIX, ROUND5_PREFIX):
+            assert set(prefix) <= registered
+            assert len(set(prefix)) == len(prefix)
