@@ -112,6 +112,8 @@ HEADLINE = [
     "split_temporal_embargo",
     "mm_video_scene_cuts",
     "src_nested_struct_pruning",
+    "forecast_backtest_metrics",
+    "eval_langid_confusion",
 ]
 
 

@@ -143,3 +143,111 @@ def e10_forecast_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "forecast_day",
         F.round("predicted", 6).alias("predicted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Backtest: fit on the first 80% of each series, score the held-out
+# tail — the evaluation loop a forecasting deployment actually runs
+# (the reference fits and forecasts but never scores itself;
+# src/routes/portfolio.js:491-558 returns predictions uncheckd).
+# Metrics aggregate decimal-quantized per-point terms so the per-type
+# MAPE/RMSE are summation-order-independent.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "forecast_backtest_metrics",
+    survey="beyond:forecast-backtest,U1,E6",
+    priority=60,
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, AVG(value) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    indexed AS (
+        SELECT event_type, d, close,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY d ASC) - 1
+                   AS DOUBLE) AS x,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    fit AS (
+        SELECT event_type,
+               REGR_SLOPE(close, x) AS slope,
+               REGR_INTERCEPT(close, x) AS intercept
+        FROM indexed
+        WHERE x < CAST(FLOOR(n * 0.8) AS DOUBLE)
+        GROUP BY event_type
+    ),
+    scored AS (
+        SELECT i.event_type,
+               CAST(ABS(i.close - (f.intercept + f.slope * i.x))
+                    / ABS(i.close) AS DECIMAL(27,6)) AS ape,
+               CAST((i.close - (f.intercept + f.slope * i.x))
+                    * (i.close - (f.intercept + f.slope * i.x))
+                    AS DECIMAL(27,6)) AS se
+        FROM indexed i JOIN fit f USING (event_type)
+        WHERE i.x >= CAST(FLOOR(i.n * 0.8) AS DOUBLE)
+    )
+    SELECT event_type, COUNT(*) AS n_test,
+           ROUND(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 4) AS mape,
+           ROUND(SQRT(CAST(SUM(se) AS DOUBLE) / COUNT(*)), 4) AS rmse
+    FROM scored GROUP BY event_type
+    """,
+)
+def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series MAPE and RMSE of the OLS forecaster on a held-out
+    20% tail. One panel shuffle; the fit is a closed-form aggregate
+    over the train prefix (the same covar_pop/var_pop expressions as
+    u1_linreg_fit, whose ~1e-12 drift vs REGR_SLOPE is absorbed by
+    the shared rounding); scoring is a broadcast join of the 5-row
+    fit table back onto the test rows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    panel = daily_close_panel(
+        ev, key="event_type", ts_col="ts", value_col="value"
+    )
+    w_asc = W.partitionBy("event_type").orderBy(F.col("d").asc())
+    w_all = W.partitionBy("event_type")
+    indexed = panel.select(
+        "event_type",
+        "d",
+        F.col("close").cast("double").alias("close"),
+        (F.row_number().over(w_asc) - 1).cast("double").alias("x"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cut = F.floor(F.col("n") * 0.8).cast("double")
+    train = indexed.filter(F.col("x") < cut)
+    y = F.col("close")
+    fit = train.groupBy("event_type").agg(
+        (F.covar_pop("x", y) / F.var_pop("x")).alias("slope"),
+        F.avg(y).alias("_ay"),
+        F.avg("x").alias("_ax"),
+    )
+    fit = fit.select(
+        "event_type",
+        "slope",
+        (F.col("_ay") - F.col("slope") * F.col("_ax")).alias("intercept"),
+    )
+    test = indexed.filter(F.col("x") >= cut)
+    yhat = F.col("intercept") + F.col("slope") * F.col("x")
+    scored = test.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        (F.abs(F.col("close") - yhat) / F.abs(F.col("close")))
+        .cast("decimal(27,6)")
+        .alias("ape"),
+        ((F.col("close") - yhat) * (F.col("close") - yhat))
+        .cast("decimal(27,6)")
+        .alias("se"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.sum("ape").cast("double") / F.count(F.lit(1)), 4).alias(
+            "mape"
+        ),
+        F.round(
+            F.sqrt(F.sum("se").cast("double") / F.count(F.lit(1))), 4
+        ).alias("rmse"),
+    )

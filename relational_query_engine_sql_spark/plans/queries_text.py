@@ -1195,3 +1195,46 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bits").cast("double") / F.count(F.lit(1)), 4
         ).alias("lm_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Model-evaluation surface: confusion matrix of the lang-id heuristic
+# against the labeled lang column — the eval loop every classifier in
+# a data pipeline needs (precision per class falls straight out of
+# the matrix). One map-side prediction pass + a (actual, pred)
+# groupBy whose shuffle carries ≤ |langs|² cells.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_langid_confusion",
+    survey="beyond:eval-confusion",
+    priority=60,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id, lang AS lang_actual, {_lang_case_sql()} AS lang_pred
+        FROM t
+    )
+    SELECT lang_actual, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang_actual, lang_pred
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of text_lang_id's stopword-vote heuristic vs
+    the ground-truth lang label. The diagonal mass is the accuracy; a
+    real pipeline swaps the heuristic for a model pandas_udf without
+    changing this plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    preds = language_id(docs)
+    joined = preds.join(
+        docs.select("doc_id", F.col("lang").alias("lang_actual")),
+        "doc_id",
+    )
+    return joined.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )

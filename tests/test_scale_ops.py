@@ -659,3 +659,58 @@ class TestRotationSelfAdvance:
         for prefix in (ROUND3_PREFIX, ROUND4_PREFIX, ROUND5_PREFIX):
             assert set(prefix) <= registered
             assert len(set(prefix)) == len(prefix)
+
+
+class TestEvalAndBacktest:
+    def test_confusion_matrix_measures_the_classifier(self, spark, sf_small):
+        """The matrix must partition all docs and agree row-by-row
+        with a direct join of predictions to labels. (Interesting
+        finding it surfaces: the stopword heuristic misreads the
+        synthetic 'es' corpus as 'en' — the eval op exists precisely
+        to expose that; we assert the MEASUREMENT, not the
+        classifier.)"""
+        rows = (
+            plans.get("eval_langid_confusion").fn(spark, sf_small).collect()
+        )
+        total = sum(r.n for r in rows)
+        assert total == 500
+        docs = load_table(spark, sf_small, "documents")
+        from relational_query_engine_sql_spark.datapipe.textstats import (
+            language_id,
+        )
+
+        direct = (
+            language_id(docs)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang", "lang_pred")
+            .count()
+            .collect()
+        )
+        want = {(r.lang, r.lang_pred): r["count"] for r in direct}
+        got = {(r.lang_actual, r.lang_pred): r.n for r in rows}
+        assert got == want
+        # the dominant class is still measured as mostly-correct
+        assert got.get(("en", "en"), 0) > 0
+
+    def test_backtest_scores_heldout_tail(self, spark, sf_small):
+        rows = (
+            plans.get("forecast_backtest_metrics")
+            .fn(spark, sf_small)
+            .collect()
+        )
+        assert len(rows) == 5
+        ev = load_table(spark, sf_small, "events")
+        days = (
+            ev.select(
+                "event_type", F.to_date("ts").alias("d")
+            )
+            .distinct()
+            .groupBy("event_type")
+            .count()
+            .collect()
+        )
+        n_days = {r.event_type: r["count"] for r in days}
+        for r in rows:
+            n = n_days[r.event_type]
+            assert r.n_test == n - int(n * 0.8 // 1)
+            assert r.mape >= 0 and r.rmse >= 0
