@@ -114,6 +114,7 @@ HEADLINE = [
     "src_nested_struct_pruning",
     "forecast_backtest_metrics",
     "eval_langid_confusion",
+    "mv_rollup_retractions",
 ]
 
 

@@ -489,3 +489,113 @@ def s11_merge_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_cond=F.col("_s_flag") == "D",
     )
     return t.read()
+
+
+# --------------------------------------------------------------------------
+# Retraction-aware MV maintenance: CDC deletes SUBTRACT from the
+# keyed aggregate (negative-weight partials), inserts add, and groups
+# whose count reaches zero are physically removed — the full
+# incremental-view algebra, not just the additive half
+# (mv_incremental_rollup). The oracle recomputes the rollup from the
+# post-change event set, so the green row proves add/retract/merge is
+# exactly equivalent to recomputation.
+# --------------------------------------------------------------------------
+@query(
+    "mv_rollup_retractions",
+    survey="beyond:incremental-mv-retractions,S5,A1",
+    priority=60,
+    oracle="""
+    WITH post AS (
+        SELECT event_type, ts, value FROM events
+        WHERE event_id % 97 <> 0
+        UNION ALL
+        SELECT event_type, ts, value + 10.0 AS value FROM events
+        WHERE event_id % 89 = 0
+    )
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM post GROUP BY 1, 2
+    """,
+)
+def mv_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly MV maintained through a mixed CDC batch: every 97th
+    event is retracted (op −1), a +10-valued copy of every 89th event
+    is inserted (op +1). Deltas aggregate signed partials per key —
+    map-side combinable exactly like the additive path, because
+    (count, decimal-sum) is an abelian group, not just a monoid —
+    then one keyed merge applies them and zero-count groups are
+    deleted from the table. At 100 TB the change batch, not the MV,
+    drives the cost: the merge touches only keys present in the
+    delta."""
+    import tempfile as _tf
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_dec"),
+        )
+
+    base = rollup(ev)
+    root = _tf.mkdtemp(prefix="rqe-mv-retract-")
+    mv = ParquetTable(
+        spark,
+        f"{root}/events_hourly",
+        base.schema,
+        ["event_type", "bucket"],
+    )
+    mv.init(base)
+
+    changes = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_type", "ts", "value", F.lit(-1).alias("op")
+    ).unionByName(
+        ev.filter(F.col("event_id") % 89 == 0).select(
+            "event_type",
+            "ts",
+            (F.col("value") + 10.0).alias("value"),
+            F.lit(1).alias("op"),
+        )
+    )
+    delta = changes.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.sum("op").alias("_nd"),
+        F.sum(F.col("op") * F.col("value").cast("decimal(27,6)")).alias(
+            "_sd"
+        ),
+    )
+    prior = mv.read().select(
+        "event_type",
+        "bucket",
+        F.col("n_events").alias("_n0"),
+        F.col("sum_dec").alias("_s0"),
+    )
+    merged = delta.join(prior, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        (F.coalesce("_n0", F.lit(0)) + F.col("_nd")).alias("n_events"),
+        (
+            F.coalesce("_s0", F.lit(0).cast(base.schema["sum_dec"].dataType))
+            + F.col("_sd").cast(base.schema["sum_dec"].dataType)
+        ).alias("sum_dec"),
+    )
+    # pin the merged deltas before mutating: both subsets' lineage
+    # reads the MV's current files, which upsert is about to replace
+    # (same staging rule as the cascade delete, operators/mutation.py)
+    merged = merged.localCheckpoint(eager=True)
+    mv.upsert(merged.filter(F.col("n_events") > 0))
+    emptied = merged.filter(F.col("n_events") <= 0).select(
+        "event_type", "bucket"
+    )
+    mv.delete_keys(emptied)
+    return mv.read().select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.round("sum_dec", 2).cast("double").alias("sum_value"),
+    )

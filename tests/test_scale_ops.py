@@ -714,3 +714,52 @@ class TestEvalAndBacktest:
             n = n_days[r.event_type]
             assert r.n_test == n - int(n * 0.8 // 1)
             assert r.mape >= 0 and r.rmse >= 0
+
+
+class TestRetractionMv:
+    def test_emptied_bucket_is_deleted(self, spark, sf_small, tmp_path):
+        """Plant a bucket whose ONLY event gets retracted (id % 97 ==
+        0 in an otherwise-empty hour): after maintenance the bucket
+        must be gone from the MV, and no nonpositive counts survive
+        anywhere."""
+        ev = load_table(spark, sf_small, "events")
+        lone = spark.createDataFrame(
+            [(970, "click", 5.0)], "event_id long, event_type string, value double"
+        ).select(
+            "event_id",
+            F.lit("2030-06-01 03:30:00").cast("timestamp").alias("ts"),
+            F.lit(1).alias("user_id"),
+            "event_type",
+            "value",
+            F.lit(None).cast("string").alias("props"),
+        )
+        planted = ev.unionByName(lone.select(*ev.columns))
+        d = str(tmp_path / "planted")
+        planted.write.parquet(d + "/events.parquet")
+        out = plans.get("mv_rollup_retractions").fn(spark, d).cache()
+        doomed = out.filter(
+            F.col("bucket") == F.lit("2030-06-01 03:00:00").cast("timestamp")
+        )
+        assert doomed.count() == 0
+        assert out.filter(F.col("n_events") <= 0).count() == 0
+        out.unpersist()
+
+    def test_matches_full_recompute(self, spark, sf_small):
+        out = plans.get("mv_rollup_retractions").fn(spark, sf_small)
+        ev = load_table(spark, sf_small, "events")
+        post = ev.filter(F.col("event_id") % 97 != 0).select(
+            "event_type", "ts", "value"
+        ).unionByName(
+            ev.filter(F.col("event_id") % 89 == 0).select(
+                "event_type", "ts", (F.col("value") + 10.0).alias("value")
+            )
+        )
+        want = post.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        got = {
+            (r.event_type, r.bucket): r.n_events for r in out.collect()
+        }
+        for r in want.collect():
+            assert got[(r.event_type, r.bucket)] == r.n_events
+        assert len(got) == want.count()
