@@ -115,6 +115,7 @@ HEADLINE = [
     "forecast_backtest_metrics",
     "eval_langid_confusion",
     "mv_rollup_retractions",
+    "dq_header_detail_reconcile",
 ]
 
 

@@ -208,6 +208,7 @@ ROUND5_QUEUE = [
     "forecast_backtest_metrics",
     "eval_langid_confusion",
     "mv_rollup_retractions",
+    "dq_header_detail_reconcile",
 ]
 _unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
 assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"

@@ -665,3 +665,71 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("val"),
         F.col("val").isNull().cast("int").alias("is_interpolated"),
     )
+
+
+@query(
+    "dq_header_detail_reconcile",
+    survey="beyond:dq-reconcile,A1,J1",
+    priority=60,
+    oracle="""
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        AS DECIMAL(27,6))) AS line_total
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_totalprice AS DECIMAL(27,6)) AS header_total,
+               COALESCE(ls.line_total, CAST(0 AS DECIMAL(27,6)))
+                   AS line_total
+        FROM orders o LEFT JOIN line_sums ls
+          ON o.o_orderkey = ls.l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN ABS(CAST(header_total - line_total AS
+                         DOUBLE)) > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mismatched,
+           CAST(ROUND(SUM(ABS(header_total - line_total)), 2) AS DOUBLE)
+               AS total_abs_gap
+    FROM joined
+    """,
+)
+def dq_header_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation: does each order's stated total
+    equal the sum of its line amounts (extended × (1−disc) × (1+tax))?
+    The classic financial-close audit. Line sums are exact decimals,
+    the header comparison is a single keyed left join (orders with no
+    lines reconcile against 0 and surface through the same gap), and
+    the report is one 3-column row however large the tables — at
+    100 TB the shuffle carries (orderkey, decimal) pairs only."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(27,6)"
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast(dec)
+        ).alias("line_total")
+    )
+    joined = orders.join(
+        line_sums, orders.o_orderkey == line_sums.l_orderkey, "left"
+    ).select(
+        F.col("o_totalprice").cast(dec).alias("header_total"),
+        F.coalesce(F.col("line_total"), F.lit(0).cast(dec)).alias(
+            "line_total"
+        ),
+    )
+    gap = F.col("header_total") - F.col("line_total")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.abs(gap.cast("double")) > 1.0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.round(F.sum(F.abs(gap)), 2).cast("double").alias("total_abs_gap"),
+    )
