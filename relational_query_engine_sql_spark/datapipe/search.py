@@ -262,3 +262,159 @@ def phrase_match(
     return hits.groupBy(F.col("doc").alias(id_col)).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+    kc: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists.
+
+    RRF(d) = Σ_lists 1/(kc + rank_list(d)) — the standard way a RAG
+    pipeline merges keyword (BM25) and dense (embedding) retrieval
+    without score calibration: ranks are comparable across scorers
+    even when raw scores are not.
+
+    Inputs are (id, rnk) frames of bounded size (each a top-``pool``
+    from its retriever), so the fusion join is over at most
+    2·pool rows no matter the corpus size — at 100 TB the heavy
+    lifting stays in the two retriever branches (each independently
+    scale-shaped) and this merge is effectively free. Determinism:
+    each RRF term is an exact IEEE division of integer-valued inputs
+    added in a fixed order (lex + sem), rounded to 9 dp before the
+    final rank, doc id as tiebreak.
+
+    Output: (doc_id, rrf, rnk_lex, rnk_sem, rnk) — the source ranks
+    are kept (nullable: a doc found by only one retriever has one
+    NULL rank) so downstream evaluation can attribute the fusion.
+    """
+    a = lex.select(F.col(id_col), F.col("rnk").alias("rnk_lex"))
+    b = sem.select(F.col(id_col), F.col("rnk").alias("rnk_sem"))
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(kc) + F.col(c).cast("double")), F.lit(0.0)
+    )
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        F.round(term("rnk_lex") + term("rnk_sem"), 9).alias("rrf"),
+        "rnk_lex",
+        "rnk_sem",
+    )
+    w = W.orderBy(F.col("rrf").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 20,
+    kc: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-``pool`` ∪ dense cosine
+    top-``pool``, fused with reciprocal-rank fusion.
+
+    The full RAG retrieval stack as one declarative plan: the lexical
+    branch is the inverted-index BM25 scorer (postings equi-joins,
+    query-term pre-filter), the dense branch is brute-force cosine
+    against the query vector (broadcast query, one candidate pass —
+    swap in ``ivf_topk`` for the bucketed scale path; ranking
+    contract is identical). Both branches end in bounded top-``pool``
+    lists, so fusion cost is independent of corpus size.
+    """
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, k=pool)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    sem = cosine_topk(emb, q, k=pool).select(
+        F.col("vec_id").alias("doc_id"), "rnk"
+    )
+    return rrf_fuse(
+        lex.select("doc_id", "rnk"), sem, k=k, kc=kc
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 20,
+    kc: int = RRF_K,
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk` (documents ⊕ embeddings
+    share the id space in the driver corpus: vec_id ≡ doc_id)."""
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc, term, COUNT(*) AS tf
+        FROM toks WHERE term IN ({inlist})
+        GROUP BY doc, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lex_scored AS (
+        SELECT tf.doc,
+               ROUND(SUM(
+                   LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * ({K1} + 1))
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl ON dl.doc = tf.doc
+        CROSS JOIN stats s
+        GROUP BY tf.doc
+    ),
+    lex AS (
+        SELECT doc AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT
+               ) AS rnk
+        FROM lex_scored
+        QUALIFY rnk <= {pool}
+    ),
+    qv AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS q
+        FROM embeddings WHERE vec_id = {query_vec_id}
+    ),
+    sem AS (
+        SELECT e.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), qv.q), 9) DESC,
+                   e.vec_id
+               ) AS INT) AS rnk
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> {query_vec_id}
+        QUALIFY rnk <= {pool}
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({kc} + lex.rnk), 0)
+                     + COALESCE(1.0 / ({kc} + sem.rnk), 0), 9) AS rrf,
+               lex.rnk AS rnk_lex, sem.rnk AS rnk_sem
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rrf, rnk_lex, rnk_sem,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+    FROM fused
+    QUALIFY rnk <= {k}
+    """

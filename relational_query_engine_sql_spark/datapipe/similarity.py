@@ -459,3 +459,159 @@ def quantize_embeddings(
         scale.alias("scale"),
         q.alias("qvec"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-index ANN.
+# --------------------------------------------------------------------------
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance via inner products —
+    ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩. This exact expression form is mirrored in
+    the DuckDB oracle (list_inner_product) so both engines sum the
+    same three terms; callers round before comparing/ranking."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def pq_subvectors(
+    emb: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Long-form subvector split: one row per (id, subspace).
+
+    ``posexplode`` over the transform-sliced array — pure JVM array
+    ops, no Python. Output: (id, sub, sv) with ``sub`` ∈ [0, m).
+    """
+    v = as_double(F.col(vec_col))
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.slice(v, i * dsub + 1, dsub),
+    )
+    return emb.select(
+        F.col(id_col), F.posexplode(subs).alias("sub", "sv")
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dsub: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebook: the subvectors of the ``k``
+    smallest-id vectors seed one centroid set per subspace.
+
+    A production pipeline would Lloyd-iterate each subspace
+    (datapipe/kmeans.py is exactly that trainer); the seed-sample
+    codebook keeps encode/ADC math bit-reproducible across engines so
+    the driver oracle can hash-compare the full PQ pipeline — the
+    plan shape (broadcast-sized codebook, everything downstream
+    equi-joins) is identical either way. Output: (sub, code, cent),
+    m·k rows — broadcast-sized by construction (k ≤ 256 keeps codes
+    one byte wide, the whole point of PQ).
+    """
+    seed = emb.filter(F.col(id_col) < k)
+    if dsub is None:
+        dsub = _dsub(emb, m, vec_col)
+    return pq_subvectors(seed, m, dsub, id_col, vec_col).select(
+        "sub", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cent")
+    )
+
+
+def _dsub(emb: DataFrame, m: int, vec_col: str) -> int:
+    dim = len(emb.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    return dim // m
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to one code per subspace (nearest centroid
+    by squared L2, rounded 6 dp before the argmin, code as tiebreak).
+
+    Scale shape: the corpus explodes to n·m subvector rows ONCE, the
+    codebook joins broadcast (m·k rows), and the argmin is a keyed
+    aggregate with map-side combine (``min_by`` over a (d2, code)
+    struct). No all-pairs, no Python. Output: (id, sub, code) — the
+    compressed index, ~1 byte per (row, subspace) at rest.
+    """
+    sub = pq_subvectors(emb, m, dsub, id_col, vec_col)
+    d2 = F.round(l2sq(F.col("sv"), F.col("cent")), 6).alias("d2")
+    return (
+        sub.join(F.broadcast(codebook), "sub")
+        .select(F.col(id_col), "sub", "code", d2)
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k via asymmetric distance computation (ADC).
+
+    The compressed-index scale path: at 100 TB of float32 embeddings,
+    PQ codes are ~32× smaller — the candidate scan reads CODES, not
+    vectors, and each query precomputes an m·k lookup table of
+    query-subvector→centroid distances. The scored join is
+    codes ⋈ broadcast(LUT) on (sub, code) followed by a keyed SUM —
+    one shuffle keyed by (query, id), map-side combinable. Exact
+    re-ranking of the ADC survivors against the float column is the
+    standard second stage (exercised in tests; the registered query
+    exposes the raw ADC ranking, which is what the oracle can
+    reproduce bit-for-bit).
+
+    Output: (query_id, vec_id, adc, rnk) — k nearest by ADC distance
+    (rounded 4 dp; ties by vec_id), self-matches excluded.
+    """
+    # ``dim`` from catalog/schema statistics skips the one-row probe
+    # job (same contract as embedding_near_dups_lsh's ``n``).
+    assert dim is None or dim % m == 0
+    dsub = dim // m if dim is not None else _dsub(emb, m, vec_col)
+    cb = pq_codebook(emb, m, k_codes, dsub, id_col, vec_col)
+    codes = pq_encode(emb, cb, m, dsub, id_col, vec_col)
+    qsub = pq_subvectors(
+        queries.select(
+            F.col("query_id").alias(id_col), F.col("qvec").alias(vec_col)
+        ),
+        m,
+        dsub,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qv"))
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(l2sq(F.col("qv"), F.col("cent")), 6).alias("qd2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("qd2"), 4).alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "adc", "rnk")
+    )
