@@ -1,0 +1,170 @@
+"""Entity resolution (record linkage) — the dirty-catalog pipeline:
+normalize → exact collapse → blocked fuzzy match → cluster →
+per-entity rollup.
+
+Skew is the defining problem here: the driver's part catalog has only
+64 distinct names over up to hundreds of thousands of rows, so any
+pairwise matcher that runs on RECORDS goes quadratic inside the hot
+name groups (measured: 3.1M name-equal pairs at sf0.1). The
+scale-correct shape — and the one implemented — collapses exact
+duplicates FIRST (one keyed aggregate, linear), runs the fuzzy stage
+on DISTINCT names only (weights carried as counts), and lets
+connected components stitch fuzzy-linked name groups into entities.
+At 100 TB the fuzzy stage's input is the distinct-value table, orders
+of magnitude smaller than the record stream; blocking on the first
+name token keeps its self-join an equi-join.
+
+Clean TPC-H data has no typos, so the catalog is derived: parts UNION
+a clone of every 20th part with a deterministic single-character
+deletion near the end of the name (the first token — the blocking
+key — is untouched, so planted variants stay inside their block; both engines build the
+same derivation — the derived-table pattern from queries_tpch.py).
+The oracle resolves components with a recursive CTE, as
+dedup_semantic_clusters does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table, spread
+from .registry import query
+
+_ER_OFFSET = 10_000_000
+_ER_EVERY = 20  # clone every 20th part (5% planted dirty rows)
+_ER_MAXDIST = 2
+
+_DIRTY_SQL = f"""
+    base AS (
+        SELECT p_partkey AS rec_id, TRIM(p_name) AS name FROM part
+    ),
+    dirty AS (
+        SELECT rec_id, name FROM base
+        UNION ALL
+        SELECT rec_id + {_ER_OFFSET},
+               SUBSTR(name, 1, LEN(name) - 3)
+               || SUBSTR(name, LEN(name) - 1, 2)
+        FROM base WHERE rec_id % {_ER_EVERY} = 0
+    )
+"""
+
+
+def _dirty_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spread(load_table(spark, sf_dir, "part"), spark).select(
+        F.col("p_partkey").alias("rec_id"), F.trim("p_name").alias("name")
+    )
+    ln = F.length("name")
+    typo = F.concat(
+        F.substring(F.col("name"), 1, ln - 3),
+        F.col("name").substr(ln - 1, F.lit(2)),
+    )
+    clones = part.filter(F.col("rec_id") % _ER_EVERY == 0).select(
+        (F.col("rec_id") + _ER_OFFSET).alias("rec_id"), typo.alias("name")
+    )
+    return part.unionByName(clones)
+
+
+@query(
+    "er_resolve_entities",
+    survey="beyond:entity-resolution",
+    priority=60,
+    oracle=f"""
+    WITH RECURSIVE {_DIRTY_SQL},
+    names AS (
+        SELECT name, MIN(rec_id) AS nid, COUNT(*) AS n_recs
+        FROM dirty GROUP BY name
+    ),
+    keyed AS (
+        SELECT name, nid, n_recs,
+               split_part(name, ' ', 1) AS tok1,
+               LEN(name) AS ln
+        FROM names
+    ),
+    links AS (
+        SELECT a.nid AS s, b.nid AS d
+        FROM keyed a
+        JOIN keyed b
+          ON a.tok1 = b.tok1
+         AND a.nid < b.nid
+         AND ABS(a.ln - b.ln) <= {_ER_MAXDIST}
+        WHERE levenshtein(a.name, b.name) <= {_ER_MAXDIST}
+    ),
+    edges AS (
+        SELECT s AS a, d AS b FROM links
+        UNION
+        SELECT d, s FROM links
+    ),
+    reach AS (
+        SELECT a AS node, b AS peer FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer
+    ),
+    labels AS (
+        SELECT node, LEAST(node, MIN(peer)) AS label
+        FROM reach GROUP BY node
+    )
+    SELECT COALESCE(l.label, k.nid) AS entity,
+           COUNT(*) AS n_names,
+           CAST(SUM(k.n_recs) AS BIGINT) AS n_records
+    FROM keyed k
+    LEFT JOIN labels l ON l.node = k.nid
+    GROUP BY 1
+    """,
+)
+def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved entities over the dirty catalog: one row per entity
+    cluster with its distinct-name and record counts. Every planted
+    typo variant resolves into its source name's entity (edit
+    distance 1, shared blocking token)."""
+    from ..operators.graph import connected_components
+
+    names = (
+        _dirty_catalog(spark, sf_dir)
+        .groupBy("name")
+        .agg(
+            F.min("rec_id").alias("nid"),
+            F.count(F.lit(1)).alias("n_recs"),
+        )
+    )
+    keyed = names.select(
+        "name",
+        "nid",
+        "n_recs",
+        F.split(F.col("name"), " ").getItem(0).alias("tok1"),
+        F.length("name").alias("ln"),
+    )
+    a = keyed.select(
+        F.col("nid").alias("s"),
+        F.col("name").alias("name_a"),
+        "tok1",
+        F.col("ln").alias("ln_a"),
+    )
+    b = keyed.select(
+        F.col("nid").alias("d"),
+        F.col("name").alias("name_b"),
+        "tok1",
+        F.col("ln").alias("ln_b"),
+    )
+    links = (
+        a.join(b, ["tok1"])
+        .filter(
+            (F.col("s") < F.col("d"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= _ER_MAXDIST)
+            & (F.levenshtein("name_a", "name_b") <= _ER_MAXDIST)
+        )
+        .select("s", "d")
+    )
+    labels = connected_components(links, src="s", dst="d")
+    return (
+        keyed.join(labels, keyed["nid"] == labels["node"], "left")
+        .select(
+            F.coalesce("label", "nid").alias("entity"),
+            "n_recs",
+        )
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("n_recs").alias("n_records"),
+        )
+    )

@@ -1238,3 +1238,89 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("lang_actual", "lang_pred").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate-stage evaluation of the MinHash-LSH dedup: precision and
+# recall of the banded candidate generator against exact n-gram
+# Jaccard ground truth. "Measure, don't guess" applied to the dedup
+# subsystem itself — the number a pipeline owner needs before trusting
+# LSH at a threshold (verification is exact, so end-to-end precision
+# is 1.0; what banding actually costs is CANDIDATE volume and missed
+# true pairs, which is exactly what this row quantifies). All counts
+# are integers; the two ratios are single divisions of integers,
+# rounded 6 dp — deterministic across engines.
+# --------------------------------------------------------------------------
+@query(
+    "eval_dedup_recall",
+    survey="beyond:dedup-eval",
+    priority=60,
+    oracle=_SHINGLE_CTE
+    + f"""
+    , sig AS (
+        SELECT id,
+               MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+               MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, h0 || h1 AS key FROM sig
+        UNION ALL
+        SELECT id, 1 AS band, h2 || h3 AS key FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS d1, b.id AS d2
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    common AS (
+        SELECT a.id AS d1, b.id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    true_pairs AS (
+        SELECT common.d1, common.d2
+        FROM common
+        JOIN counts n1 ON common.d1 = n1.id
+        JOIN counts n2 ON common.d2 = n2.id
+        WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    agg AS (
+        SELECT (SELECT COUNT(*) FROM true_pairs) AS n_true,
+               (SELECT COUNT(*) FROM cand) AS n_cand,
+               (SELECT COUNT(*)
+                FROM true_pairs t
+                JOIN cand ON t.d1 = cand.d1 AND t.d2 = cand.d2) AS n_found
+    )
+    SELECT n_true, n_cand, n_found,
+           CASE WHEN n_cand = 0 THEN NULL
+                ELSE ROUND(n_found * 1.0 / n_cand, 6) END AS precision,
+           CASE WHEN n_true = 0 THEN NULL
+                ELSE ROUND(n_found * 1.0 / n_true, 6) END AS recall
+    FROM agg
+    """,
+)
+def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    sh = shingles(docs)
+    sig = minhash_signature(sh)
+    cand = lsh_candidates(sig)
+    true_pairs = jaccard_pairs(
+        sh, JACCARD_THRESHOLD, counts=sig.select("id", "n")
+    ).select("d1", "d2")
+    found = true_pairs.join(cand, ["d1", "d2"], "left_semi")
+    counts3 = (
+        true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(None).cast("double")
+    ).otherwise(F.round(F.col(num) / F.col(den), 6))
+    return counts3.select(
+        "n_true",
+        "n_cand",
+        "n_found",
+        ratio("n_found", "n_cand").alias("precision"),
+        ratio("n_found", "n_true").alias("recall"),
+    )

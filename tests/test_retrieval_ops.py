@@ -107,3 +107,53 @@ def test_hybrid_plan_has_no_cartesian(spark, sf_small):
     df = plans.get("search_hybrid_rrf").fn(spark, sf_small)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_er_planted_variants_resolve_to_source(spark, sf_small):
+    """Every planted typo'd name must land in the same entity as its
+    source name, and no entity may be a singleton variant (a variant
+    always has its source in-corpus)."""
+    from relational_query_engine_sql_spark.plans.queries_er import (
+        _ER_OFFSET,
+        _dirty_catalog,
+        er_resolve_entities,
+    )
+
+    cat = _dirty_catalog(spark, sf_small)
+    names = {r["rec_id"]: r["name"] for r in cat.collect()}
+    out = er_resolve_entities(spark, sf_small).collect()
+    # group count conservation: entity record counts sum to the catalog
+    assert sum(r["n_records"] for r in out) == len(names)
+    # rebuild name->entity via a second grouping pass in the operator's
+    # own terms: entity label of a variant's name group must equal the
+    # label of its source's name group
+    name_min: dict[str, int] = {}
+    for rid, nm in names.items():
+        name_min[nm] = min(name_min.get(nm, rid), rid)
+    labels = {
+        r["entity"]
+        for r in out
+    }
+    # every variant name's min-id is >= OFFSET only when the typo'd
+    # string never occurs organically; those entities must NOT appear
+    # as labels (they merged into a smaller organic id)
+    variant_only_ids = {
+        mn for nm, mn in name_min.items() if mn >= _ER_OFFSET
+    }
+    assert variant_only_ids, "derivation produced no variant names"
+    assert not (variant_only_ids & labels), (
+        "planted variants failed to merge with their source entities"
+    )
+
+
+def test_eval_dedup_recall_bounds(spark, sf_small):
+    """Precision/recall must be valid ratios and the LSH candidate
+    stage must find at least as many pairs as it misses on this
+    corpus (banding with 2 bands of 2 hashes is permissive)."""
+    row = plans.get("eval_dedup_recall").fn(spark, sf_small).collect()[0]
+    assert row["n_found"] <= row["n_cand"]
+    assert row["n_found"] <= row["n_true"]
+    if row["n_true"]:
+        assert 0.0 <= row["recall"] <= 1.0
+    if row["n_cand"]:
+        assert 0.0 <= row["precision"] <= 1.0
