@@ -60,3 +60,64 @@ def banded_range_join(
     )
     joined = exploded.join(pts, cond, "inner")
     return joined.drop("__band")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    band_seconds: int,
+) -> DataFrame:
+    """Interval × interval overlap join (``l_start < r_end AND
+    r_start < l_end``) as a banded hash equi-join.
+
+    Harder than the point-in-range case: BOTH sides explode to their
+    covered bands, so an overlapping pair can meet in every band the
+    overlap spans. Instead of a post-join ``distinct`` (an extra
+    full-output shuffle), each pair is emitted exactly once by the
+    first-shared-band residual: the pair only survives in the band
+    where the LATER interval starts (``band ==
+    greatest(bucket(l_start), bucket(r_start))``) — that band is
+    shared whenever the intervals overlap, and it is unique. Work is
+    |bands(L)| + |bands(R)| explode rows plus one keyed shuffle; the
+    overlap predicate itself never sees a non-candidate pair.
+
+    Bands are computed on whole seconds (``unix_timestamp``); the
+    residual compares the raw timestamp columns, so sub-second
+    precision only influences candidate banding, never correctness.
+    """
+
+    def bucket(col: str, side: DataFrame) -> Column:
+        return F.floor(F.unix_timestamp(side[col]) / F.lit(band_seconds))
+
+    le = left.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(l_start)) / band_seconds),
+                F.floor(F.unix_timestamp(F.col(l_end)) / band_seconds),
+            )
+        ),
+    )
+    ri = right.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(r_start)) / band_seconds),
+                F.floor(F.unix_timestamp(F.col(r_end)) / band_seconds),
+            )
+        ),
+    )
+    cond = (
+        (le["__band"] == ri["__band"])
+        & (le[l_start] < ri[r_end])
+        & (ri[r_start] < le[l_end])
+        & (
+            le["__band"]
+            == F.greatest(bucket(l_start, le), bucket(r_start, ri))
+        )
+    )
+    return le.join(ri, cond, "inner").drop("__band")

@@ -830,3 +830,91 @@ def j16_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "abs_us")
     )
+
+
+# --------------------------------------------------------------------------
+# J17 (beyond) — interval × interval overlap join: concurrent user
+# sessions. The range-range generalization of j10: BOTH sides band
+# (operators/rangejoin.py:interval_overlap_join), candidates meet in
+# a hash equi-join on the band id, and the first-shared-band residual
+# emits each overlapping pair exactly once with no post-join
+# distinct. Output: each cross-user session pair that overlaps in
+# time, with the exact overlap in whole microseconds (integer
+# arithmetic — deterministic). Ordered-pair convention (u1, s1) <
+# (u2, s2) keeps every pair single-sided in both engines.
+# --------------------------------------------------------------------------
+_SESS_CTE = """
+    marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS newsess
+        FROM events
+    ),
+    snum AS (
+        SELECT user_id, ts,
+               CAST(SUM(newsess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) + 1
+                    AS BIGINT) AS session_id
+        FROM marked
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS st, MAX(ts) AS en
+        FROM snum GROUP BY user_id, session_id
+    )
+"""
+
+
+@query(
+    "j17_interval_overlap",
+    survey="beyond:interval-overlap-join",
+    priority=60,
+    oracle=f"""
+    WITH {_SESS_CTE}
+    SELECT a.user_id AS u1, a.session_id AS s1,
+           b.user_id AS u2, b.session_id AS s2,
+           epoch_us(LEAST(a.en, b.en))
+           - epoch_us(GREATEST(a.st, b.st)) AS ov_us
+    FROM sess a
+    JOIN sess b
+      ON a.st < b.en AND b.st < a.en
+     AND (a.user_id, a.session_id) < (b.user_id, b.session_id)
+    """,
+)
+def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join
+    from ..streaming.events import sessionize_batch
+
+    sess = sessionize_batch(load_table(spark, sf_dir, "events"))
+    a = sess.select(
+        F.col("user_id").alias("u1"),
+        F.col("session_id").alias("s1"),
+        F.col("session_start").alias("st1"),
+        F.col("session_end").alias("en1"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("u2"),
+        F.col("session_id").alias("s2"),
+        F.col("session_start").alias("st2"),
+        F.col("session_end").alias("en2"),
+    )
+    joined = interval_overlap_join(
+        a, b, "st1", "en1", "st2", "en2", band_seconds=3600
+    )
+    ordered = (F.col("u1") < F.col("u2")) | (
+        (F.col("u1") == F.col("u2")) & (F.col("s1") < F.col("s2"))
+    )
+    return joined.filter(ordered).select(
+        "u1",
+        "s1",
+        "u2",
+        "s2",
+        (
+            F.unix_micros(F.least("en1", "en2"))
+            - F.unix_micros(F.greatest("st1", "st2"))
+        ).alias("ov_us"),
+    )

@@ -157,3 +157,22 @@ def test_eval_dedup_recall_bounds(spark, sf_small):
         assert 0.0 <= row["recall"] <= 1.0
     if row["n_cand"]:
         assert 0.0 <= row["precision"] <= 1.0
+
+
+def test_interval_overlap_join_is_hash_join(spark, sf_small):
+    """The banded overlap join must plan as an equi-join on the band
+    id (SMJ or shuffled-hash), never a nested-loop/cartesian — and
+    every emitted pair must satisfy the overlap predicate with a
+    non-negative overlap."""
+    df = plans.get("j17_interval_overlap").fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    rows = df.collect()
+    assert all(r["ov_us"] >= 0 for r in rows)
+    # ordered-pair convention: no pair appears twice
+    seen = {(r["u1"], r["s1"], r["u2"], r["s2"]) for r in rows}
+    assert len(seen) == len(rows)
