@@ -652,3 +652,50 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     return enrich_with_dim(ev, dim)
+
+
+# --------------------------------------------------------------------------
+# CDC apply (streaming/events.py:apply_cdc_stream): the event stream
+# treated as a keyed change feed, folded into an SCD1 latest-state
+# mirror via foreachBatch MERGE with an ordered update condition
+# (newer (ts, event_id) wins). Idempotent and out-of-order tolerant —
+# tests/test_streaming.py replays shuffled multi-batch delivery; here
+# the availableNow run's final table must equal the batch
+# latest-per-key oracle.
+# --------------------------------------------------------------------------
+@query(
+    "stream_cdc_apply",
+    survey="streaming:cdc-apply,S5",
+    priority=60,
+    oracle="""
+    SELECT user_id, ts, event_id, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.mutation import ParquetTable
+    from ..streaming.events import apply_cdc_stream, read_events_stream
+
+    root = tempfile.mkdtemp(prefix="rqe-cdc-")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = ParquetTable(spark, f"{root}/state", schema, keys=["user_id"])
+    table.init(spark.createDataFrame([], schema))
+    q = apply_cdc_stream(
+        read_events_stream(spark, sf_dir), table, f"{root}/ckpt"
+    )
+    q.awaitTermination()
+    return table.read().select("user_id", "ts", "event_id", "value")

@@ -523,3 +523,53 @@ def maintain_hourly_mv(events, table, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_cdc_stream(events, table, checkpoint_dir: str):
+    """CDC apply: a stream of keyed change events folded into an SCD1
+    latest-state table via foreachBatch MERGE.
+
+    Each micro-batch reduces to one winner per key (``max_by`` over
+    the (ts, event_id) change order — map-side combinable), then a
+    single keyed MERGE applies it: insert when the key is new, update
+    only when the incoming change is NEWER than the stored one. The
+    ordered update condition is what makes the apply idempotent AND
+    out-of-order tolerant — replayed batches (at-least-once delivery)
+    and late-arriving files both converge to the same final state, so
+    no cross-batch ordering guarantee is needed from the source. This
+    is the standard Spark shape for maintaining a mirror of a CDC feed
+    (Debezium/DMS-style) without a transactional sink.
+
+    Returns the started query; callers await termination.
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        win = F.max_by(
+            F.struct("ts", "event_id", "value"),
+            F.struct("ts", "event_id"),
+        )
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(win.alias("_w"))
+            .select("user_id", "_w.ts", "_w.event_id", "_w.value")
+        )
+        newer = (F.col("_s_ts") > F.col("ts")) | (
+            (F.col("_s_ts") == F.col("ts"))
+            & (F.col("_s_event_id") > F.col("event_id"))
+        )
+        table.merge(
+            latest,
+            update_assign={
+                "ts": F.col("_s_ts"),
+                "event_id": F.col("_s_event_id"),
+                "value": F.col("_s_value"),
+            },
+            update_cond=newer,
+        )
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -351,3 +351,87 @@ def test_stream_static_enrich_matches_batch(spark, sf_small):
     }
     assert got == want
     assert len(want) > 10
+
+
+def test_cdc_apply_out_of_order_batches(spark, sf_small, tmp_path):
+    """The ordered MERGE must converge to the batch latest-per-key
+    state even when micro-batches deliver newer changes BEFORE older
+    ones: events are split into three files carrying the newest third
+    first, streamed one file per trigger, and the final mirror must
+    equal the batch winner — plus a replay of the whole stream into
+    the same table (fresh checkpoint, at-least-once redelivery) must
+    leave the state unchanged (idempotence)."""
+    from pyspark.sql import types as T
+
+    from relational_query_engine_sql_spark.operators.mutation import (
+        ParquetTable,
+    )
+    from relational_query_engine_sql_spark.streaming import apply_cdc_stream
+
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(3000)
+        .collect()
+    )
+    # newest third lands in the FIRST file, oldest in the last
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    for i in range(3):
+        chunk = spark.createDataFrame(ev[i * 1000 : (i + 1) * 1000], schema)
+        chunk.coalesce(1).write.parquet(str(src / f"chunk{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "chunk*"))
+    )
+    table = ParquetTable(
+        spark, str(tmp_path / "state"), schema, keys=["user_id"]
+    )
+    table.init(spark.createDataFrame([], schema))
+    q = apply_cdc_stream(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in spark.createDataFrame(ev, schema)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("w")
+        )
+        .select("user_id", "w.ts", "w.event_id", "w.value")
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in table.read().collect()
+    }
+    assert got == want
+
+    # redelivery: replay every file through a FRESH checkpoint — the
+    # ordered update condition makes the apply a no-op
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "chunk*"))
+    )
+    q2 = apply_cdc_stream(stream2, table, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    got2 = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in table.read().collect()
+    }
+    assert got2 == want
