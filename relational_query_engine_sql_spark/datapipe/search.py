@@ -28,7 +28,7 @@ exact row set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -416,5 +416,189 @@ def hybrid_rrf_oracle_sql(
     SELECT doc_id, rrf, rnk_lex, rnk_sem,
            CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rnk
     FROM fused
+    QUALIFY rnk <= {k}
+    """
+
+
+HASH_DIM = 32  # hashed-TF embedding buckets
+
+
+def _hash_bucket_sign(term: Column) -> tuple[Column, Column]:
+    """Engine-neutral signed hashing: bucket and sign from md5 hex
+    digits (the same trick feat_hash_bucketize uses — F.conv here,
+    strpos arithmetic in the DuckDB twin)."""
+    h = F.md5(term)
+    bucket = F.conv(F.substring(h, 31, 2), 16, 10).cast("int") % HASH_DIM
+    sign = F.when(
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return bucket, sign
+
+
+def hashed_tf_sparse(toks: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Signed hashed-TF sparse vectors: (keys..., bucket, w), zero
+    weights dropped. Integer weights — exact in every engine."""
+    bucket, sign = _hash_bucket_sign(F.col("term"))
+    return (
+        toks.select(*key_cols, bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.sum("sign").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def hashed_chunk_retrieval(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    size: int = 30,
+    overlap: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-free RAG retrieval, end to end: sliding-window chunking →
+    signed hashed-TF chunk embeddings → sparse cosine top-k.
+
+    The full index-and-retrieve composition a RAG pipeline runs, with
+    the neural encoder swapped for feature hashing so every stage is
+    exact integer/IEEE arithmetic and the whole pipeline hash-compares
+    across engines (a production system changes ONE stage — the
+    embedding — and keeps this plan shape). Scale shape: chunking is
+    narrow (no shuffle), the vector build is one keyed aggregate with
+    map-side combine, the query vector is broadcast (≤ HASH_DIM
+    rows), scoring is a broadcast equi-join on the bucket id + one
+    keyed sum, and the global top-k is a TakeOrderedAndProject — no
+    stage materializes more than (chunks × avg distinct buckets)
+    rows. Output: (doc_id, chunk_id, cos, rnk).
+    """
+    from .chunking import chunk_documents
+
+    chunks = chunk_documents(
+        docs, id_col=id_col, text_col=text_col, size=size, overlap=overlap
+    )
+    toks = chunks.select(
+        id_col,
+        "chunk_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("chunk_text"))), r"\s+")
+        ).alias("term"),
+    )
+    cvec = hashed_tf_sparse(toks, [id_col, "chunk_id"])
+    spark = docs.sparkSession
+    qtoks = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t.lower()) for t in query_terms])
+        ).alias("term")
+    )
+    qvec = hashed_tf_sparse(qtoks, []).select(
+        "bucket", F.col("w").alias("qw")
+    )
+    qnorm = qvec.agg(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qn")
+    )
+    cnorm = cvec.groupBy(id_col, "chunk_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn")
+    )
+    dotp = (
+        cvec.join(F.broadcast(qvec), "bucket")
+        .groupBy(id_col, "chunk_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dp"))
+    )
+    scored = (
+        dotp.join(cnorm, [id_col, "chunk_id"])
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            id_col,
+            "chunk_id",
+            F.round(F.col("dp") / (F.col("cn") * F.col("qn")), 9).alias(
+                "cos"
+            ),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("cos").desc(), F.col(id_col), F.col("chunk_id")
+    ).limit(k)
+    w = W.orderBy(F.col("cos").desc(), F.col(id_col), F.col("chunk_id"))
+    return topk.withColumn(
+        "rnk", F.row_number().over(w)
+    ).select(id_col, "chunk_id", "cos", "rnk")
+
+
+def hashed_chunk_retrieval_oracle_sql(
+    query_terms: list[str], k: int = 15, size: int = 30, overlap: int = 5
+) -> str:
+    """DuckDB twin of :func:`hashed_chunk_retrieval` on ``documents``."""
+    step = size - overlap
+    inlist = ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in query_terms
+    )
+    hx = "0123456789abcdef"
+    bucket = (
+        f"((strpos('{hx}', substr(md5(term), 31, 1)) - 1) * 16"
+        f" + (strpos('{hx}', substr(md5(term), 32, 1)) - 1))"
+        f" % {HASH_DIM}"
+    )
+    sign = (
+        f"CASE WHEN (strpos('{hx}', substr(md5(term), 1, 1)) - 1) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    return rf"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, w,
+               UNNEST(generate_series(0, LEN(w) - 1, {step})) AS s
+        FROM words
+    ),
+    kept AS (
+        SELECT doc_id, w, s,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY s
+               ) - 1 AS INT) AS chunk_id
+        FROM starts
+        WHERE s = 0 OR LEN(w) - s > {overlap}
+    ),
+    toks AS (
+        SELECT doc_id, chunk_id,
+               UNNEST(w[s + 1:s + {size}]) AS term
+        FROM kept
+    ),
+    cvec AS (
+        SELECT doc_id, chunk_id,
+               CAST({bucket} AS INT) AS bucket,
+               SUM({sign}) AS w
+        FROM toks GROUP BY doc_id, chunk_id, 3
+        HAVING SUM({sign}) <> 0
+    ),
+    qtoks AS (SELECT UNNEST([{inlist}]) AS term),
+    qvec AS (
+        SELECT CAST({bucket} AS INT) AS bucket, SUM({sign}) AS qw
+        FROM qtoks GROUP BY 1
+        HAVING SUM({sign}) <> 0
+    ),
+    qnorm AS (SELECT SQRT(SUM(qw * qw)) AS qn FROM qvec),
+    cnorm AS (
+        SELECT doc_id, chunk_id, SQRT(SUM(w * w)) AS cn
+        FROM cvec GROUP BY doc_id, chunk_id
+    ),
+    dotp AS (
+        SELECT c.doc_id, c.chunk_id, SUM(c.w * q.qw) AS dp
+        FROM cvec c JOIN qvec q USING (bucket)
+        GROUP BY c.doc_id, c.chunk_id
+    ),
+    scored AS (
+        SELECT d.doc_id, d.chunk_id,
+               ROUND(dp / (cn * qn), 9) AS cos
+        FROM dotp d
+        JOIN cnorm n ON d.doc_id = n.doc_id AND d.chunk_id = n.chunk_id
+        CROSS JOIN qnorm
+    )
+    SELECT doc_id, chunk_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY cos DESC, doc_id, chunk_id
+           ) AS INT) AS rnk
+    FROM scored
     QUALIFY rnk <= {k}
     """

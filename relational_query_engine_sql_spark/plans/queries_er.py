@@ -168,3 +168,135 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_recs").alias("n_records"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Survivorship (golden-record construction) — the step after entity
+# resolution in any MDM/CDC pipeline: merge every entity's record
+# versions into one best row, per-attribute "latest non-null wins".
+# The derived dirty feed: customers as version 1 UNION an update for
+# every 10th customer as version 2 carrying a fresher balance but a
+# MISSING segment (the classic partial update). The merge is ONE
+# keyed aggregate — per column, max_by(value, version) restricted to
+# non-null values via a null ordering key (rows whose ordering key is
+# NULL are skipped by max_by in both engines) — so survivorship costs
+# a single shuffle regardless of version depth.
+# --------------------------------------------------------------------------
+@query(
+    "er_survivorship",
+    survey="beyond:survivorship,S5",
+    priority=60,
+    oracle="""
+    WITH versions AS (
+        SELECT c_custkey, 1 AS ver, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, c_name, c_nationkey, c_acctbal + 100.0,
+               CAST(NULL AS VARCHAR)
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey,
+           MAX_BY(c_name, CASE WHEN c_name IS NOT NULL
+                               THEN ver END) AS c_name,
+           MAX_BY(c_nationkey, CASE WHEN c_nationkey IS NOT NULL
+                                    THEN ver END) AS c_nationkey,
+           MAX_BY(c_acctbal, CASE WHEN c_acctbal IS NOT NULL
+                                  THEN ver END) AS c_acctbal,
+           MAX_BY(c_mktsegment, CASE WHEN c_mktsegment IS NOT NULL
+                                     THEN ver END) AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_versions
+    FROM versions
+    GROUP BY c_custkey
+    """,
+)
+def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spread(load_table(spark, sf_dir, "customer"), spark)
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).alias("ver"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    v2 = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit(2).alias("ver"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+
+    def best(c: str):
+        return F.max_by(
+            F.col(c), F.when(F.col(c).isNotNull(), F.col("ver"))
+        ).alias(c)
+
+    return (
+        v1.unionByName(v2)
+        .groupBy("c_custkey")
+        .agg(
+            best("c_name"),
+            best("c_nationkey"),
+            best("c_acctbal"),
+            best("c_mktsegment"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit: how re-identifiable is a release keyed by the
+# quasi-identifiers (nation, market segment, balance rounded to
+# 1000s)? Rows whose QI group has fewer than k members are at risk.
+# One keyed aggregate + one scalar rollup — integer outputs only, so
+# the audit is bit-deterministic. The balance bucket floors an exact
+# 2-decimal double divided by 1000; exact multiples of 1000 are
+# representable, so both engines bucket identically.
+# --------------------------------------------------------------------------
+_KANON_K = 5
+
+
+@query(
+    "dq_k_anonymity",
+    survey="beyond:privacy-audit",
+    priority=60,
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               COUNT(*) AS grp
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT {_KANON_K} AS k,
+           COUNT(*) AS n_groups,
+           CAST(COALESCE(SUM(CASE WHEN grp < {_KANON_K} THEN 1 END), 0)
+                AS BIGINT) AS n_risky_groups,
+           CAST(COALESCE(SUM(CASE WHEN grp < {_KANON_K} THEN grp END), 0)
+                AS BIGINT) AS n_risky_rows,
+           CAST(MIN(grp) AS BIGINT) AS min_group
+    FROM qi
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    risky = F.col("grp") < _KANON_K
+    return qi.agg(
+        F.lit(_KANON_K).alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(risky, 1)), F.lit(0)
+        ).cast("long").alias("n_risky_groups"),
+        F.coalesce(
+            F.sum(F.when(risky, F.col("grp"))), F.lit(0)
+        ).cast("long").alias("n_risky_rows"),
+        F.min("grp").cast("long").alias("min_group"),
+    )

@@ -144,3 +144,33 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, q, m=_PQ_M, k_codes=_PQ_CODES, k=_PQ_K, dim=_PQ_DIM
     )
+
+
+# --------------------------------------------------------------------------
+# Model-free RAG retrieval (datapipe/search.py:hashed_chunk_retrieval):
+# chunk → signed hashed-TF embed → sparse cosine top-k, every stage
+# exact arithmetic so the full composition hash-compares. A real
+# deployment swaps the embedding stage for a neural encoder and keeps
+# the plan shape.
+# --------------------------------------------------------------------------
+_RAG_TERMS = ["spark", "shuffle", "partition", "join", "window"]
+_RAG_K = 15
+
+
+def _rag_oracle() -> str:
+    from ..datapipe.search import hashed_chunk_retrieval_oracle_sql
+
+    return hashed_chunk_retrieval_oracle_sql(_RAG_TERMS, k=_RAG_K)
+
+
+@query(
+    "rag_chunk_retrieval",
+    survey="beyond:rag-retrieval,beyond:chunking",
+    priority=60,
+    oracle=_rag_oracle(),
+)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.search import hashed_chunk_retrieval
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return hashed_chunk_retrieval(docs, _RAG_TERMS, k=_RAG_K)

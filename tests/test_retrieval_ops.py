@@ -176,3 +176,28 @@ def test_interval_overlap_join_is_hash_join(spark, sf_small):
     # ordered-pair convention: no pair appears twice
     seen = {(r["u1"], r["s1"], r["u2"], r["s2"]) for r in rows}
     assert len(seen) == len(rows)
+
+
+def test_survivorship_latest_nonnull_wins(spark, sf_small):
+    """Updated customers must take the v2 balance but KEEP the v1
+    segment (the v2 partial update carries a null segment);
+    untouched customers pass through verbatim."""
+    base = {
+        r["c_custkey"]: r
+        for r in load_table(spark, sf_small, "customer").collect()
+    }
+    out = {
+        r["c_custkey"]: r
+        for r in plans.get("er_survivorship").fn(spark, sf_small).collect()
+    }
+    assert set(out) == set(base)
+    for key, r in out.items():
+        b = base[key]
+        if key % 10 == 0:
+            assert r["n_versions"] == 2
+            assert abs(r["c_acctbal"] - (b["c_acctbal"] + 100.0)) < 1e-9
+        else:
+            assert r["n_versions"] == 1
+            assert r["c_acctbal"] == b["c_acctbal"]
+        assert r["c_mktsegment"] == b["c_mktsegment"]
+        assert r["c_name"] == b["c_name"]
