@@ -29,6 +29,7 @@ from . import queries_advanced  # noqa: E402,F401
 from . import queries_scale  # noqa: E402,F401
 from . import queries_retrieval  # noqa: E402,F401
 from . import queries_er  # noqa: E402,F401
+from . import queries_privacy  # noqa: E402,F401
 
 # Round-3 driver prefix (the driver checks the first ~50 exported
 # queries). Slots 0-33: the 34 queries with no CORRECTNESS row across
