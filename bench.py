@@ -116,6 +116,17 @@ HEADLINE = [
     "eval_langid_confusion",
     "mv_rollup_retractions",
     "dq_header_detail_reconcile",
+    # round 3 continued: retrieval/ER/privacy/streaming-CDC batch
+    "search_hybrid_rrf",
+    "ann_pq_adc_topk",
+    "rag_chunk_retrieval",
+    "eval_dedup_recall",
+    "er_resolve_entities",
+    "er_survivorship",
+    "j17_interval_overlap",
+    "stream_cdc_apply",
+    "dq_k_anonymity",
+    "dp_noisy_counts",
 ]
 
 

@@ -244,9 +244,74 @@ ROUND5_PREFIX = ROUND5_QUEUE + [
     "dq_violation_counts",  # data quality
 ]
 
+# Round-6 queue: queries registered during the round-3 session AFTER
+# the round-5 prefix was staged (all strict-sim green at sf0.001 +
+# sf0.01 when added), plus the 9 registered-but-never-staged queries
+# the round-3 session's audit found (they predate ROUND5_QUEUE but
+# fell between rotation snapshots).
+ROUND6_QUEUE = [
+    # round-3 session additions
+    "search_hybrid_rrf",
+    "ann_pq_adc_topk",
+    "rag_chunk_retrieval",
+    "eval_dedup_recall",
+    "er_resolve_entities",
+    "er_survivorship",
+    "j17_interval_overlap",
+    "stream_cdc_apply",
+    "dq_k_anonymity",
+    "dp_noisy_counts",
+    # audit backlog: registered in round 2-3 sessions, never staged
+    "corpus_dedup_report",
+    "ev_dau_mau",
+    "ev_inactivity_gaps",
+    "ext_string_funcs",
+    "feat_impute_group_mean",
+    "feat_robust_zscore_mad",
+    "j14_shuffle_hash_hint",
+    "text_keyword_in_context",
+    "text_lexical_diversity",
+]
+_unknown_r6 = [n for n in ROUND6_QUEUE if n not in all_queries()]
+assert not _unknown_r6, f"ROUND6_QUEUE names not registered: {_unknown_r6}"
+
+# Round-6 prefix: the queue plus the standing family-representative
+# insurance slots. ROUND5_PREFIX has 54 names against a ~50 window, so
+# its possible tail spill (last 4 reps) is re-listed here ahead of the
+# new queue.
+ROUND6_PREFIX = [
+    "graph_triangle_count",
+    "split_leakage_safe",
+    "dq_violation_counts",
+    "ext_rollup",
+] + ROUND6_QUEUE + [
+    "a1_pricing_summary",  # A: grouped multi-aggregate
+    "j1_join_dims",  # J: inner equi-join
+    "s5_upsert",  # S: write path
+    "u2_apply_trades",  # U: sequential fold write path
+    "f4_ilike_search",  # F: predicate family
+    "o2_topk",  # O: ordering family
+    "e9_ledger_regex",  # E: expression family
+    "w3_topn_per_group",  # W: window rank
+    "tpch_q6_forecast_revenue",  # TPC-H representative
+    "dedup_minhash_lsh",  # pipeline: near-dup
+    "ann_ivf_topk",  # pipeline: ANN scale path
+    "mm_decode_real",  # multimodal: real codec decode
+    "stream_tumbling_hourly",  # streaming: watermark window
+    "sketch_kmv_distinct",  # sketches
+    "text_quality_metrics",  # text pipeline
+    "src_csv_roundtrip",  # sources: S8 export analog
+    "ev_funnel",  # events/product analytics
+]
+
 # Rotation self-advance: judged round N ⇒ current round is N+1.
-_ROTATIONS = {3: ROUND3_PREFIX, 4: ROUND4_PREFIX, 5: ROUND5_PREFIX}
+_ROTATIONS = {
+    3: ROUND3_PREFIX,
+    4: ROUND4_PREFIX,
+    5: ROUND5_PREFIX,
+    6: ROUND6_PREFIX,
+}
 _current = _judged_round() + 1
-set_rotation(_ROTATIONS.get(min(_current, 5), ROUND5_PREFIX))
+set_rotation(_ROTATIONS.get(min(_current, 6), ROUND6_PREFIX))
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]
