@@ -127,6 +127,8 @@ HEADLINE = [
     "stream_cdc_apply",
     "dq_k_anonymity",
     "dp_noisy_counts",
+    "reco_copurchase_lift",
+    "ev_attribution_models",
 ]
 
 

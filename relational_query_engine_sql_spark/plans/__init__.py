@@ -261,6 +261,8 @@ ROUND6_QUEUE = [
     "stream_cdc_apply",
     "dq_k_anonymity",
     "dp_noisy_counts",
+    "reco_copurchase_lift",
+    "ev_attribution_models",
     # audit backlog: registered in round 2-3 sessions, never staged
     "corpus_dedup_report",
     "ev_dau_mau",

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, spread
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -603,4 +603,94 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.round("cusum_dec", 4).cast("double").alias("cusum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Co-purchase recommendations: bipartite (order, part) projection to a
+# part-part co-occurrence graph, scored by lift — the "customers also
+# bought" primitive. Scale shape: the projection is one self-equi-join
+# keyed on the order id, so the pair fan-out per order is bounded by
+# basket size² (max basket 13 in the driver data → ≤ 78 pairs/order;
+# a production pipeline caps pathological baskets the same way
+# max_shingle_df caps hot shingles). Pair counts and supports are
+# integer aggregates; lift = (c·N)/(s1·s2) is one double division of
+# exactly-representable integer products (all ≪ 2^53), rounded 6 dp
+# before the global top-k — bit-stable across engines.
+# --------------------------------------------------------------------------
+_RECO_MIN_SUPPORT = 3
+_RECO_K = 50
+
+
+@query(
+    "reco_copurchase_lift",
+    survey="beyond:copurchase-reco",
+    priority=60,
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM li),
+    support AS (SELECT p, COUNT(*) AS s FROM li GROUP BY p),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {_RECO_MIN_SUPPORT}
+    ),
+    scored AS (
+        SELECT p1, p2, c,
+               ROUND(c * 1.0 * n.n_orders / (s1.s * s2.s), 6) AS lift
+        FROM pairs
+        JOIN support s1 ON s1.p = pairs.p1
+        JOIN support s2 ON s2.p = pairs.p2
+        CROSS JOIN n
+    )
+    SELECT p1, p2, c, lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2) AS INT
+           ) AS rnk
+    FROM scored
+    QUALIFY rnk <= {_RECO_K}
+    """,
+)
+def reco_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        spread(load_table(spark, sf_dir, "lineitem"), spark)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("o").alias("n_orders"))
+    support = li.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a = li.select("o", F.col("p").alias("p1"))
+    b = li.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _RECO_MIN_SUPPORT)
+    )
+    s1 = support.select(F.col("p").alias("p1"), F.col("s").alias("s1"))
+    s2 = support.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    scored = (
+        pairs.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "c",
+            F.round(
+                F.col("c") * 1.0 * F.col("n_orders")
+                / (F.col("s1") * F.col("s2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("lift").desc(), F.col("p1"), F.col("p2")
+    ).limit(_RECO_K)
+    w = W.orderBy(F.col("lift").desc(), F.col("p1"), F.col("p2"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "p1", "p2", "c", "lift", "rnk"
     )

@@ -699,3 +699,122 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return table.read().select("user_id", "ts", "event_id", "value")
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution: every purchase's value distributed over
+# the clicks in its trailing 1-hour window under three credit models
+# (first-touch, last-touch, linear). The (purchase, click) candidate
+# set is the same banded/windowed interval join the attribution
+# queries already use; the models differ only in the credit
+# expression, so all three are computed in ONE pass over the pair set
+# (no per-model re-join). Determinism: linear credit rounds
+# value/n_touches to 6 dp BEFORE the decimal-quantized sum, so both
+# engines aggregate identical summands in order-independent decimal.
+# --------------------------------------------------------------------------
+@query(
+    "ev_attribution_models",
+    survey="beyond:attribution-models,streaming:interval-join",
+    priority=60,
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT p.event_id, p.value, c.event_id AS click_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts, c.event_id
+               ) AS rn_first,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn_last,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+        FROM p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+    ),
+    credits AS (
+        SELECT 'first_touch' AS model, click_id,
+               CASE WHEN rn_first = 1 THEN value END AS credit
+        FROM pairs
+        UNION ALL
+        SELECT 'last_touch', click_id,
+               CASE WHEN rn_last = 1 THEN value END
+        FROM pairs
+        UNION ALL
+        SELECT 'linear', click_id, ROUND(value / n_touches, 6)
+        FROM pairs
+    )
+    SELECT model,
+           CAST(COUNT(credit) AS BIGINT) AS n_credited,
+           CAST(ROUND(SUM(CAST(credit AS DECIMAL(27, 6))), 4) AS DOUBLE)
+               AS credit_sum
+    FROM credits
+    GROUP BY model
+    """,
+)
+def ev_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"), F.col("value")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("ts")),
+    )
+    by_p = W.partitionBy("event_id")
+    pairs = pairs.select(
+        "event_id",
+        "value",
+        "click_id",
+        F.row_number()
+        .over(by_p.orderBy("c_ts", "click_id"))
+        .alias("rn_first"),
+        F.row_number()
+        .over(by_p.orderBy(F.desc("c_ts"), F.desc("click_id")))
+        .alias("rn_last"),
+        F.count(F.lit(1)).over(by_p).alias("n_touches"),
+    )
+    first = pairs.select(
+        F.lit("first_touch").alias("model"),
+        "click_id",
+        F.when(F.col("rn_first") == 1, F.col("value")).alias("credit"),
+    )
+    last = pairs.select(
+        F.lit("last_touch").alias("model"),
+        "click_id",
+        F.when(F.col("rn_last") == 1, F.col("value")).alias("credit"),
+    )
+    linear = pairs.select(
+        F.lit("linear").alias("model"),
+        "click_id",
+        F.round(F.col("value") / F.col("n_touches"), 6).alias("credit"),
+    )
+    return (
+        first.unionByName(last)
+        .unionByName(linear)
+        .groupBy("model")
+        .agg(
+            F.count("credit").alias("n_credited"),
+            F.round(
+                F.sum(F.col("credit").cast("decimal(27,6)")), 4
+            )
+            .cast("double")
+            .alias("credit_sum"),
+        )
+    )
