@@ -375,6 +375,8 @@ def test_cdc_apply_out_of_order_batches(spark, sf_small, tmp_path):
         .limit(3000)
         .collect()
     )
+    third = len(ev) // 3
+    assert third >= 100, "need a non-trivial corpus per chunk"
     # newest third lands in the FIRST file, oldest in the last
     src = tmp_path / "cdc_src"
     src.mkdir()
@@ -386,8 +388,12 @@ def test_cdc_apply_out_of_order_batches(spark, sf_small, tmp_path):
             T.StructField("value", T.DoubleType()),
         ]
     )
+    bounds = [0, third, 2 * third, len(ev)]
     for i in range(3):
-        chunk = spark.createDataFrame(ev[i * 1000 : (i + 1) * 1000], schema)
+        chunk = spark.createDataFrame(
+            ev[bounds[i] : bounds[i + 1]], schema
+        )
+        assert chunk.count() > 0
         chunk.coalesce(1).write.parquet(str(src / f"chunk{i}"))
     stream = (
         spark.readStream.schema(schema)
@@ -435,3 +441,85 @@ def test_cdc_apply_out_of_order_batches(spark, sf_small, tmp_path):
         for r in table.read().collect()
     }
     assert got2 == want
+
+
+def test_cdc_apply_checkpoint_resume(spark, sf_small, tmp_path):
+    """Restart semantics: a second availableNow run against the SAME
+    checkpoint must process only files added after the first run
+    (file-source exactly-once bookkeeping), and the state table must
+    end equal to the batch winner over ALL delivered rows."""
+    from pyspark.sql import types as T
+
+    from relational_query_engine_sql_spark.operators.mutation import (
+        ParquetTable,
+    )
+    from relational_query_engine_sql_spark.streaming import apply_cdc_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("event_id")
+        .limit(2000)
+        .collect()
+    )
+    half = len(ev) // 2
+    assert half >= 100, "need a non-trivial corpus per chunk"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "chunk*"))
+        )
+
+    table = ParquetTable(
+        spark, str(tmp_path / "state"), schema, keys=["user_id"]
+    )
+    table.init(spark.createDataFrame([], schema))
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(ev[:half], schema).coalesce(1).write.parquet(
+        str(src / "chunk0")
+    )
+    q1 = apply_cdc_stream(reader(), table, ckpt)
+    q1.awaitTermination()
+
+    spark.createDataFrame(ev[half:], schema).coalesce(1).write.parquet(
+        str(src / "chunk1")
+    )
+    q2 = apply_cdc_stream(reader(), table, ckpt)
+    q2.awaitTermination()
+    # the resumed run saw only the new file's rows
+    resumed_rows = sum(
+        p["numInputRows"] for p in q2.recentProgress
+    )
+    assert resumed_rows == len(ev) - half, resumed_rows
+
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in spark.createDataFrame(ev, schema)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("w")
+        )
+        .select("user_id", "w.ts", "w.event_id", "w.value")
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in table.read().collect()
+    }
+    assert got == want
