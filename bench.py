@@ -129,6 +129,8 @@ HEADLINE = [
     "dp_noisy_counts",
     "reco_copurchase_lift",
     "ev_attribution_models",
+    "ts_seasonal_decompose",
+    "s12_optimistic_retry",
 ]
 
 

@@ -209,6 +209,10 @@ class ParquetTable:
         self._swap_in(self.read().repartition(target_files))
 
 
+class CommitConflict(Exception):
+    """Optimistic-concurrency commit lost the race (version moved)."""
+
+
 class VersionedParquetTable(ParquetTable):
     """Snapshot-versioned variant: every write lands a NEW immutable
     version directory (``<path>/_v{n}``) instead of replacing the
@@ -287,6 +291,61 @@ class VersionedParquetTable(ParquetTable):
         for v in doomed:
             shutil.rmtree(self._vdir(v), ignore_errors=True)
         return doomed
+
+    # -- optimistic concurrency (Delta/Iceberg commit-protocol shape) --
+
+    def commit_as(self, df: DataFrame, expected_version: int | None) -> int:
+        """Compare-and-swap commit: land ``df`` as the next snapshot
+        IFF the table is still at ``expected_version`` (None = "I
+        expect an empty table"). The staged write happens before the
+        check-and-rename, so a losing writer pays the write but never
+        corrupts the chain — the rename onto an existing version
+        directory fails atomically, which IS the conflict detector (a
+        Delta deployment puts the same CAS on the commit-log entry; an
+        object store on a manifest PUT-if-absent). Raises
+        :class:`CommitConflict`; returns the committed version."""
+        staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+        writer = self._conform(df).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
+        os.makedirs(self.path, exist_ok=True)
+        target_v = 0 if expected_version is None else expected_version + 1
+        cur = self.current_version()
+        if cur != expected_version:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise CommitConflict(
+                f"expected v{expected_version}, table is at v{cur}"
+            )
+        try:
+            os.rename(staging, self._vdir(target_v))
+        except OSError as e:  # lost the race after the version check
+            shutil.rmtree(staging, ignore_errors=True)
+            raise CommitConflict(
+                f"v{target_v} committed concurrently"
+            ) from e
+        return target_v
+
+    def modify_with_retry(
+        self,
+        transform,
+        max_retries: int = 3,
+    ) -> int:
+        """Optimistic-concurrency loop: read the current snapshot,
+        apply ``transform(df) -> df``, CAS-commit; on conflict REBASE
+        by re-reading the new head and re-deriving — the standard
+        Delta/Iceberg writer loop. The transform must therefore be a
+        pure function of the snapshot (idempotent re-derivation), not
+        a closure over previously-read data. Returns the committed
+        version."""
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            out = transform(self.read(base))
+            try:
+                return self.commit_as(out, base)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} rebases")
 
 
 # --------------------------------------------------------------------------

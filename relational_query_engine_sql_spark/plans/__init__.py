@@ -263,6 +263,8 @@ ROUND6_QUEUE = [
     "dp_noisy_counts",
     "reco_copurchase_lift",
     "ev_attribution_models",
+    "ts_seasonal_decompose",
+    "s12_optimistic_retry",
     # audit backlog: registered in round 2-3 sessions, never staged
     "corpus_dedup_report",
     "ev_dau_mau",

@@ -694,3 +694,96 @@ def reco_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         "p1", "p2", "c", "lift", "rnk"
     )
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition (moving-average flavor) of the
+# hourly event-value series: trend = centered 25-hour moving average,
+# seasonal = per-hour-of-day mean deviation from trend, residual =
+# y − trend − seasonal. The distributed shape: ONE unpartitioned but
+# TINY series (hours, not events — the heavy shuffle is the hourly
+# pre-aggregate, keyed and map-side combinable; at 100 TB the series
+# a window ever sees is |hours|, bounded), then two keyed aggregates.
+# Numeric policy: the hourly series quantizes to DECIMAL(27,6) (sum
+# order free), the moving average divides ONE exact decimal sum as
+# double, deviations round to 6 dp BEFORE the seasonal mean (its sum
+# is again decimal-quantized), and every output rounds to 4 dp.
+# --------------------------------------------------------------------------
+@query(
+    "ts_seasonal_decompose",
+    survey="beyond:seasonal-decompose",
+    priority=60,
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 6) AS DOUBLE)
+                   AS y
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT h, y,
+               CASE WHEN COUNT(*) OVER w = 25 THEN
+                   CAST(SUM(CAST(y AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                   / 25.0
+               END AS trend
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    dev AS (
+        SELECT h, y, trend,
+               ROUND(y - trend, 6) AS d,
+               HOUR(h) AS hod
+        FROM trended WHERE trend IS NOT NULL
+    ),
+    seasonal AS (
+        SELECT hod,
+               CAST(SUM(CAST(d AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS s
+        FROM dev GROUP BY hod
+    )
+    SELECT dev.h, ROUND(dev.y, 4) AS y,
+           ROUND(dev.trend, 4) AS trend,
+           ROUND(seasonal.s, 4) AS seasonal,
+           ROUND(dev.y - dev.trend - seasonal.s, 4) AS residual
+    FROM dev JOIN seasonal ON dev.hod = seasonal.hod
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 6)
+        .cast("double")
+        .alias("y")
+    )
+    w = W.orderBy("h").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "h",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w) == 25,
+            F.sum(F.col("y").cast("decimal(27,6)")).over(w).cast("double")
+            / 25.0,
+        ).alias("trend"),
+    )
+    dev = trended.filter(F.col("trend").isNotNull()).select(
+        "h",
+        "y",
+        "trend",
+        F.round(F.col("y") - F.col("trend"), 6).alias("d"),
+        F.hour("h").alias("hod"),
+    )
+    seasonal = dev.groupBy("hod").agg(
+        (
+            F.sum(F.col("d").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    return dev.join(F.broadcast(seasonal), "hod").select(
+        "h",
+        F.round("y", 4).alias("y"),
+        F.round("trend", 4).alias("trend"),
+        F.round("s", 4).alias("seasonal"),
+        F.round(
+            F.col("y") - F.col("trend") - F.col("s"), 4
+        ).alias("residual"),
+    )

@@ -599,3 +599,64 @@ def mv_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_dec", 2).cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# S12 (beyond) — optimistic concurrency: the Delta/Iceberg writer
+# protocol on the versioned table. Two writers both prepare against
+# v0; A commits (v1), B's stale CAS MUST conflict, then B rebases by
+# re-deriving its change from the new head and commits v2. The final
+# state carries both changes — the oracle replays them as pure CASE
+# arithmetic. The conflict is asserted inside the query: if the CAS
+# ever stops conflicting, the query errors rather than silently
+# passing a broken protocol.
+# --------------------------------------------------------------------------
+@query(
+    "s12_optimistic_retry",
+    survey="beyond:optimistic-concurrency,S5",
+    priority=60,
+    oracle="""
+    SELECT c_custkey,
+           ROUND(c_acctbal
+                 + CASE WHEN c_custkey % 2 = 0 THEN 100.0 ELSE 0 END
+                 + CASE WHEN c_custkey % 3 = 0 THEN 50.0 ELSE 0 END,
+                 2) AS bal,
+           2 AS committed_version
+    FROM customer
+    """,
+)
+def s12_optimistic_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mutation import CommitConflict, VersionedParquetTable
+
+    src = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="rqe-occ-")
+    t = VersionedParquetTable(
+        spark, f"{root}/customer", src.schema, ["c_custkey"]
+    )
+    t.init(src)  # v0
+
+    def bump(df: DataFrame, mod: int, amount: float) -> DataFrame:
+        return df.withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % mod == 0,
+                F.col("c_acctbal") + amount,
+            ).otherwise(F.col("c_acctbal")),
+        )
+
+    base = t.read(0)
+    a_change = bump(base, 2, 100.0)
+    b_stale = bump(base, 3, 50.0)
+    assert t.commit_as(a_change, 0) == 1  # writer A wins
+    try:
+        t.commit_as(b_stale, 0)
+        raise AssertionError("stale CAS must conflict")  # pragma: no cover
+    except CommitConflict:
+        pass
+    v = t.modify_with_retry(lambda df: bump(df, 3, 50.0))
+    assert v == 2
+    return t.read().select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit(v).alias("committed_version"),
+    )

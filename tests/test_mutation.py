@@ -415,3 +415,36 @@ def test_merge_mixed_actions(spark, tmp_path):
         4: (40.0, "B"),   # untouched
         9: (99.0, "C"),   # inserted
     }
+
+
+def test_commit_conflict_preserves_chain(spark, sf_small, tmp_path):
+    """A losing CAS must leave no partial state: the staged write is
+    cleaned up, the version chain is untouched, and a rebase through
+    modify_with_retry lands exactly one new version."""
+    import os
+
+    from relational_query_engine_sql_spark.operators.mutation import (
+        CommitConflict,
+        VersionedParquetTable,
+    )
+    from relational_query_engine_sql_spark.sources import load_table
+
+    src = load_table(spark, sf_small, "nation")
+    t = VersionedParquetTable(
+        spark, str(tmp_path / "nation"), src.schema, ["n_nationkey"]
+    )
+    t.init(src)
+    base = t.read(0)
+    t.commit_as(base.limit(5), 0)
+    assert t.versions() == [0, 1]
+    try:
+        t.commit_as(base.limit(3), 0)
+        raise AssertionError("stale CAS must conflict")
+    except CommitConflict:
+        pass
+    assert t.versions() == [0, 1]  # chain untouched
+    # no staging litter
+    parent = os.path.dirname(str(tmp_path / "nation"))
+    assert not [p for p in os.listdir(parent) if ".staging-" in p]
+    v = t.modify_with_retry(lambda df: df.limit(2))
+    assert v == 2 and t.read().count() == 2
