@@ -131,6 +131,8 @@ HEADLINE = [
     "ev_attribution_models",
     "ts_seasonal_decompose",
     "s12_optimistic_retry",
+    "pipeline_training_manifest",
+    "sec_cleanroom_join",
 ]
 
 

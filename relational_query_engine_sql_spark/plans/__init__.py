@@ -265,6 +265,8 @@ ROUND6_QUEUE = [
     "ev_attribution_models",
     "ts_seasonal_decompose",
     "s12_optimistic_retry",
+    "pipeline_training_manifest",
+    "sec_cleanroom_join",
     # audit backlog: registered in round 2-3 sessions, never staged
     "corpus_dedup_report",
     "ev_dau_mau",

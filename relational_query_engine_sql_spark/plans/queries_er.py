@@ -300,3 +300,64 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_risky_rows"),
         F.min("grp").cast("long").alias("min_group"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clean-room join: two parties share only SALTED HASHES of the join
+# key (orders side and customer side both compute
+# md5(salt || custkey)), and the analysis joins on the token — the
+# standard privacy-preserving data-collaboration pattern. The point
+# the query proves: a deterministic keyed tokenization PRESERVES the
+# join (token equality ⟺ key equality, modulo negligible md5
+# collisions), so aggregates over the tokenized join equal the
+# raw-key join's aggregates. Plan shape is identical to the raw join
+# — the token is just as shuffle-keyable; revenue quantizes to
+# decimal before summing.
+# --------------------------------------------------------------------------
+@query(
+    "sec_cleanroom_join",
+    survey="beyond:cleanroom-join",
+    priority=60,
+    oracle="""
+    WITH a AS (
+        SELECT md5('cr-salt|' || CAST(o_custkey AS VARCHAR)) AS token,
+               o_totalprice
+        FROM orders
+    ),
+    b AS (
+        SELECT md5('cr-salt|' || CAST(c_custkey AS VARCHAR)) AS token,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT b.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(a.o_totalprice AS DECIMAL(27,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM a JOIN b USING (token)
+    GROUP BY b.c_mktsegment
+    """,
+)
+def sec_cleanroom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def token(col: str):
+        return F.md5(
+            F.concat(F.lit("cr-salt|"), F.col(col).cast("string"))
+        ).alias("token")
+
+    a = load_table(spark, sf_dir, "orders").select(
+        token("o_custkey"), "o_totalprice"
+    )
+    b = load_table(spark, sf_dir, "customer").select(
+        token("c_custkey"), "c_mktsegment"
+    )
+    return (
+        a.join(b, "token")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1324,3 +1324,126 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio("n_found", "n_cand").alias("precision"),
         ratio("n_found", "n_true").alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end training manifest: the full corpus pipeline as ONE
+# declarative plan — quality/language/dedup gates (clean_corpus) →
+# sliding-window chunking of the survivors → deterministic hash split
+# (md5 16-bit prefix: 80/10/10) → per-(split, lang) manifest of
+# document / chunk / token counts. This is the artifact a training
+# run actually consumes; every stage reuses the registered operator's
+# exact formulation, so the manifest doubles as a whole-pipeline
+# consistency anchor under the hash gate. All outputs are integer
+# aggregates — bit-deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_training_manifest",
+    survey="beyond:corpus-pipeline,beyond:chunking,beyond:splits",
+    priority=60,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, lang,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, text, lang, LEN(w) AS n_tokens, w
+        FROM t
+        WHERE LEN(w) >= 20
+          AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+              / LENGTH(text) >= 0.8
+    ),
+    voted AS (
+        SELECT doc_id, text, lang, n_tokens, w
+        FROM gated
+        WHERE ({_lang_case_sql()}) = 'en'
+    ),
+    hashed AS (
+        SELECT doc_id, lang, n_tokens, w,
+               md5(LOWER(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        FROM voted
+    ),
+    surv AS (
+        SELECT doc_id, lang, n_tokens, w
+        FROM hashed
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM hashed GROUP BY h)
+    ),
+    chunks AS (
+        SELECT doc_id, COUNT(*) AS n_chunks
+        FROM (
+            SELECT doc_id,
+                   UNNEST(generate_series(0, n_tokens - 1, 40)) AS s,
+                   n_tokens
+            FROM surv
+        ) st
+        WHERE s = 0 OR n_tokens - s > 10
+        GROUP BY doc_id
+    ),
+    split AS (
+        SELECT surv.doc_id, surv.lang, surv.n_tokens, chunks.n_chunks,
+               CASE WHEN u < 52429 THEN 'train'
+                    WHEN u < 58982 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM surv
+        JOIN chunks USING (doc_id)
+        JOIN (
+            SELECT doc_id,
+                   (strpos('0123456789abcdef',
+                           substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                  1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef',
+                             substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                    2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef',
+                             substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                    3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                    4, 1)) - 1) AS u
+            FROM surv
+        ) su USING (doc_id)
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM split
+    GROUP BY split, lang
+    """,
+)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.chunking import chunk_documents
+    from ..datapipe.pipeline import clean_corpus
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    surv = clean_corpus(docs).join(
+        docs.select("doc_id", "text", "lang"), "doc_id"
+    )
+    n_chunks = (
+        chunk_documents(surv, size=50, overlap=10)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(u < 52429, "train").when(u < 58982, "val").otherwise("test")
+    )
+    return (
+        surv.join(n_chunks, "doc_id")
+        .select("doc_id", "lang", "n_tokens", "n_chunks", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
