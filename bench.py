@@ -133,6 +133,7 @@ HEADLINE = [
     "s12_optimistic_retry",
     "pipeline_training_manifest",
     "sec_cleanroom_join",
+    "w11_rolling_median",
 ]
 
 

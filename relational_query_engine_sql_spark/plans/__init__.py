@@ -267,6 +267,7 @@ ROUND6_QUEUE = [
     "s12_optimistic_retry",
     "pipeline_training_manifest",
     "sec_cleanroom_join",
+    "w11_rolling_median",
     # audit backlog: registered in round 2-3 sessions, never staged
     "corpus_dedup_report",
     "ev_dau_mau",

@@ -624,3 +624,45 @@ def w10_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_corr"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# W11 (beyond) — rolling exact median: per-user trailing-20-event
+# median of value (ROWS frame, current row included). The robust
+# twin of the rolling mean the anomaly detector uses — medians resist
+# the value spikes that drag a mean-based baseline. Exact interpolated
+# percentile as a WINDOW aggregate (both engines define it by linear
+# interpolation); per-user frames keep the state bounded (≤ 20 rows)
+# and the shuffle keyed. Rounded 6 dp; raw values pass through
+# unrounded.
+# --------------------------------------------------------------------------
+@query(
+    "w11_rolling_median",
+    survey="beyond:rolling-median,W2",
+    priority=60,
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROUND(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+           ), 6) AS med20
+    FROM events
+    """,
+)
+def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(
+            F.expr("percentile(value, 0.5)").over(w), 6
+        ).alias("med20"),
+    )
