@@ -134,6 +134,8 @@ HEADLINE = [
     "pipeline_training_manifest",
     "sec_cleanroom_join",
     "w11_rolling_median",
+    "ts_downsample_m4",
+    "dq_psi_drift",
 ]
 
 

@@ -268,6 +268,8 @@ ROUND6_QUEUE = [
     "pipeline_training_manifest",
     "sec_cleanroom_join",
     "w11_rolling_median",
+    "ts_downsample_m4",
+    "dq_psi_drift",
     # audit backlog: registered in round 2-3 sessions, never staged
     "corpus_dedup_report",
     "ev_dau_mau",

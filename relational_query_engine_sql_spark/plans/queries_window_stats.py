@@ -666,3 +666,178 @@ def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(value, 0.5)").over(w), 6
         ).alias("med20"),
     )
+
+
+# --------------------------------------------------------------------------
+# M4 downsampling: the standard error-free line-chart reduction —
+# per (user, time-bucket), keep min / max / first / last of the
+# value series. One keyed aggregate with map-side combine (min_by /
+# max_by on the (ts, event_id) order for the endpoints), so a
+# billion-point series downsamples in a single shuffle to 4 values
+# per pixel-bucket; unlike averaging, the rendered line is pixel-
+# identical to the full series (Jugel et al., M4). All outputs are
+# raw passthrough values or integer counts — bit-deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "ts_downsample_m4",
+    survey="beyond:m4-downsample",
+    priority=60,
+    oracle="""
+    SELECT user_id,
+           date_trunc('day', ts) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           MIN_BY(value, CAST(epoch_us(ts) AS DECIMAL(38,0))
+                         * 1000000000 + event_id) AS v_first,
+           MAX_BY(value, CAST(epoch_us(ts) AS DECIMAL(38,0))
+                         * 1000000000 + event_id) AS v_last
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # composite (ts, event_id) order as one DECIMAL(38,0) scalar —
+    # DuckDB's min_by/max_by bind scalar keys only, and decimal128
+    # arithmetic is exact in both engines (event ids ≪ 10^9)
+    order = F.unix_micros("ts").cast("decimal(38,0)") * 1000000000 + F.col(
+        "event_id"
+    )
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min_by("value", order).alias("v_first"),
+        F.max_by("value", order).alias("v_last"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Population-stability-index drift monitor: deciles fitted on the
+# BASELINE half of the event stream (exact interpolated quantiles),
+# the CURRENT half bucketed against those frozen edges, PSI =
+# Σ (p_cur − p_base)·ln(p_cur / p_base). The standard ML-monitoring
+# number for "did the feature distribution move". Scale shape: edge
+# fitting is one aggregate (the 9 interior deciles broadcast as a
+# single array), bucketing is a JVM expression scan, and both count
+# passes are keyed aggregates. Determinism: proportions are exact
+# integer ratios; each PSI term rounds to 8 dp, the term SUM
+# quantizes to decimal (order-free), and the final PSI rounds to 6.
+# Laplace-style +1 smoothing keeps empty buckets out of ln().
+# --------------------------------------------------------------------------
+@query(
+    "dq_psi_drift",
+    survey="beyond:psi-drift",
+    priority=60,
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS tmid_us
+        FROM events
+    ),
+    tagged AS (
+        SELECT e.value,
+               CASE WHEN epoch_us(e.ts) < b.tmid_us
+                    THEN 'base' ELSE 'cur' END AS era
+        FROM events e CROSS JOIN bounds b
+    ),
+    edges AS (
+        SELECT quantile_cont(value,
+                   [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+        FROM tagged WHERE era = 'base'
+    ),
+    bucketed AS (
+        SELECT era,
+               1 + len(list_filter(e.q, x -> t.value >= x)) AS bkt
+        FROM tagged t CROSS JOIN edges e
+    ),
+    cnt AS (
+        SELECT bkt,
+               1 + COALESCE(SUM(CASE WHEN era = 'base' THEN 1 END), 0)
+                   AS n_base,
+               1 + COALESCE(SUM(CASE WHEN era = 'cur' THEN 1 END), 0)
+                   AS n_cur
+        FROM bucketed GROUP BY bkt
+    ),
+    tot AS (
+        SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM cnt
+    ),
+    terms AS (
+        SELECT ROUND(
+                   (n_cur * 1.0 / tc - n_base * 1.0 / tb)
+                   * LN((n_cur * 1.0 / tc) / (n_base * 1.0 / tb)), 8
+               ) AS term
+        FROM cnt CROSS JOIN tot
+    )
+    SELECT CAST(ROUND(SUM(CAST(term AS DECIMAL(27,10))), 6) AS DOUBLE)
+               AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM terms
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+        ).alias("tmid_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        F.when(F.unix_micros("ts") < F.col("tmid_us"), "base")
+        .otherwise("cur")
+        .alias("era"),
+    )
+    edges = (
+        tagged.filter(F.col("era") == "base")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.1,0.2,0.3,0.4,0.5,"
+                "0.6,0.7,0.8,0.9))"
+            ).alias("q")
+        )
+    )
+    bucketed = tagged.crossJoin(F.broadcast(edges)).select(
+        "era",
+        (
+            1
+            + F.size(
+                F.filter(F.col("q"), lambda x: F.col("value") >= x)
+            )
+        ).alias("bkt"),
+    )
+    cnt = bucketed.groupBy("bkt").agg(
+        (
+            1
+            + F.coalesce(
+                F.sum(F.when(F.col("era") == "base", 1)), F.lit(0)
+            )
+        ).alias("n_base"),
+        (
+            1
+            + F.coalesce(
+                F.sum(F.when(F.col("era") == "cur", 1)), F.lit(0)
+            )
+        ).alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("n_cur") / F.col("tc") - F.col("n_base") / F.col("tb"))
+            * F.log(
+                (F.col("n_cur") / F.col("tc"))
+                / (F.col("n_base") / F.col("tb"))
+            ),
+            8,
+        ).alias("term")
+    )
+    return terms.agg(
+        F.round(F.sum(F.col("term").cast("decimal(27,10)")), 6)
+        .cast("double")
+        .alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
