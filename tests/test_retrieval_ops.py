@@ -201,3 +201,16 @@ def test_survivorship_latest_nonnull_wins(spark, sf_small):
             assert r["c_acctbal"] == b["c_acctbal"]
         assert r["c_mktsegment"] == b["c_mktsegment"]
         assert r["c_name"] == b["c_name"]
+
+
+def test_driver_embedding_dim_matches_pq_constant(spark, sf_small):
+    """ann_pq_adc_topk pins dim=64 (TESTDATA.md contract) to avoid a
+    sizing job in the query; if a future data generation changes the
+    embedding width this must fail HERE, loudly, not as silently
+    truncated subvectors."""
+    from relational_query_engine_sql_spark.plans.queries_retrieval import (
+        _PQ_DIM,
+    )
+
+    first = load_table(spark, sf_small, "embeddings").first()
+    assert len(first["embedding"]) == _PQ_DIM
