@@ -136,6 +136,7 @@ HEADLINE = [
     "w11_rolling_median",
     "ts_downsample_m4",
     "dq_psi_drift",
+    "stats_bootstrap_ci",
 ]
 
 

@@ -313,14 +313,50 @@ ROUND6_PREFIX = [
     "ev_funnel",  # events/product analytics
 ]
 
+# Round-7 queue: ROUND6_PREFIX reached the ~50-query driver window,
+# so additions past that point stage here (all strict-sim green at
+# sf0.001 + sf0.01 when added; the whole registry was also validated
+# at sf0.1 this session).
+ROUND7_QUEUE = [
+    "stats_bootstrap_ci",
+]
+_unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
+assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"
+
+ROUND7_PREFIX = ROUND7_QUEUE + [
+    # family representatives (standing insurance slots)
+    "a1_pricing_summary",
+    "j1_join_dims",
+    "s5_upsert",
+    "u2_apply_trades",
+    "f4_ilike_search",
+    "o2_topk",
+    "e9_ledger_regex",
+    "w3_topn_per_group",
+    "tpch_q6_forecast_revenue",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "mm_decode_real",
+    "stream_tumbling_hourly",
+    "sketch_kmv_distinct",
+    "text_quality_metrics",
+    "src_csv_roundtrip",
+    "ev_funnel",
+    "graph_triangle_count",
+    "split_leakage_safe",
+    "dq_violation_counts",
+    "ext_rollup",
+]
+
 # Rotation self-advance: judged round N ⇒ current round is N+1.
 _ROTATIONS = {
     3: ROUND3_PREFIX,
     4: ROUND4_PREFIX,
     5: ROUND5_PREFIX,
     6: ROUND6_PREFIX,
+    7: ROUND7_PREFIX,
 }
 _current = _judged_round() + 1
-set_rotation(_ROTATIONS.get(min(_current, 6), ROUND6_PREFIX))
+set_rotation(_ROTATIONS.get(min(_current, 7), ROUND7_PREFIX))
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]

@@ -841,3 +841,132 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("psi"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for the mean of events.value —
+# THE bootstrap that works at 100 TB: instead of drawing B resamples
+# (B full shuffles), every row gets an independent Poisson(1) weight
+# per replicate, so all B replicate means accumulate in ONE pass with
+# map-side combine; replicate count explodes rows ×B but never
+# re-shuffles the data. Weights are hash-seeded (md5 16-bit uniform →
+# Poisson inverse CDF via fixed thresholds), making the whole
+# procedure bit-reproducible and cross-engine checkable — a real
+# deployment swaps the hash for an RNG and keeps the plan. Replicate
+# means quantize their weighted sums to decimal; the CI reads exact
+# interpolated percentiles off the B=50 replicate means.
+# --------------------------------------------------------------------------
+_BOOT_B = 50
+# P(Poisson(1) <= k) for k = 0..7; u above the last threshold → 8
+_POIS_CDF = [
+    0.36787944, 0.73575888, 0.91969860, 0.98101184,
+    0.99634015, 0.99940582, 0.99991676, 0.99998975,
+]
+
+
+def _boot_u_sql() -> str:
+    hx = "0123456789abcdef"
+    h = "md5('boot|' || CAST(event_id AS VARCHAR) || '|' || CAST(b AS VARCHAR))"
+    digits = " + ".join(
+        f"(strpos('{hx}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({digits}) + 0.5) / 65536.0"
+
+
+def _pois_case_sql(u: str) -> str:
+    clauses = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS_CDF)
+    )
+    return f"CASE {clauses} ELSE 8 END"
+
+
+@query(
+    "stats_bootstrap_ci",
+    survey="beyond:poisson-bootstrap",
+    priority=60,
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.event_id, e.value, b.b
+        FROM events e
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_BOOT_B - 1})) AS b) b
+    ),
+    weighted AS (
+        SELECT b, value, {_pois_case_sql(_boot_u_sql())} AS w
+        FROM reps
+    ),
+    rep_means AS (
+        SELECT b,
+               CAST(SUM(CAST(ROUND(w * value, 6) AS DECIMAL(27,6)))
+                    AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) AS m
+        FROM weighted GROUP BY b
+        HAVING SUM(w) > 0
+    ),
+    point AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean
+        FROM events
+    )
+    SELECT point.n, point.mean,
+           ROUND(quantile_cont(rep_means.m, 0.025), 4) AS lo95,
+           ROUND(quantile_cont(rep_means.m, 0.975), 4) AS hi95,
+           CAST(COUNT(rep_means.m) AS BIGINT) AS n_replicates
+    FROM rep_means CROSS JOIN point
+    GROUP BY point.n, point.mean
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    reps = ev.select("event_id", "value").crossJoin(
+        F.broadcast(
+            spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+        )
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("boot|"),
+            F.col("event_id").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        )
+    )
+    u = (F.conv(F.substring(h, 1, 4), 16, 10).cast("double") + 0.5) / 65536.0
+    w = F.lit(8)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], k).otherwise(w)
+    weighted = reps.select("b", "value", w.alias("w"))
+    rep_means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("value"), 6).cast(
+                    "decimal(27,6)"
+                )
+            )
+            .cast("double")
+            .alias("ws"),
+            F.sum("w").cast("double").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select("b", (F.col("ws") / F.col("wn")).alias("m"))
+    )
+    point = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+    return (
+        rep_means.crossJoin(F.broadcast(point))
+        .groupBy("n", "mean")
+        .agg(
+            F.round(F.expr("percentile(m, 0.025)"), 4).alias("lo95"),
+            F.round(F.expr("percentile(m, 0.975)"), 4).alias("hi95"),
+            F.count("m").alias("n_replicates"),
+        )
+        .select("n", "mean", "lo95", "hi95", "n_replicates")
+    )
