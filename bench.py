@@ -137,6 +137,8 @@ HEADLINE = [
     "ts_downsample_m4",
     "dq_psi_drift",
     "stats_bootstrap_ci",
+    "ev_cohort_ltv",
+    "stats_ab_welch",
 ]
 
 

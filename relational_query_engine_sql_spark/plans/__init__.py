@@ -319,6 +319,8 @@ ROUND6_PREFIX = [
 # at sf0.1 this session).
 ROUND7_QUEUE = [
     "stats_bootstrap_ci",
+    "ev_cohort_ltv",
+    "stats_ab_welch",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

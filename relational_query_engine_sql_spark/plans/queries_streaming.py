@@ -818,3 +818,67 @@ def ev_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credit_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve: users grouped by first-seen day (cohort), value
+# accumulated by cohort AGE — the revenue twin of the retention
+# matrix. Scale shape: first-seen is one keyed min-aggregate
+# broadcast back onto the stream... actually joined (the cohort table
+# is |users|, far smaller than events — at 100 TB it shuffles keyed
+# or broadcasts if it fits); the (cohort, age) rollup is map-side
+# combinable; the running cumulative LTV is a window over the tiny
+# (cohort × age) rollup, never over raw events. Determinism: daily
+# sums quantize to decimal; the cumulative sum adds decimals (exact,
+# order-fixed by the window), converting to rounded double only at
+# the edge.
+# --------------------------------------------------------------------------
+@query(
+    "ev_cohort_ltv",
+    survey="beyond:cohort-ltv",
+    priority=60,
+    oracle="""
+    WITH firstseen AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT f.cohort,
+               date_diff('day', f.cohort, date_trunc('day', e.ts)) AS age,
+               SUM(CAST(e.value AS DECIMAL(27,6))) AS v
+        FROM events e JOIN firstseen f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT cohort, CAST(age AS BIGINT) AS age,
+           CAST(ROUND(SUM(v) OVER (
+               PARTITION BY cohort ORDER BY age
+               ROWS UNBOUNDED PRECEDING
+           ), 4) AS DOUBLE) AS cum_value
+    FROM daily
+    """,
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort")
+    )
+    daily = (
+        ev.join(firstseen, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.date_trunc("day", "ts"), "cohort").cast(
+                "long"
+            ).alias("age"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("v"))
+    )
+    w = W.partitionBy("cohort").orderBy("age").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return daily.select(
+        "cohort",
+        "age",
+        F.round(F.sum("v").over(w), 4).cast("double").alias("cum_value"),
+    )

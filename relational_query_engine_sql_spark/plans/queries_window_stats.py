@@ -970,3 +970,111 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "mean", "lo95", "hi95", "n_replicates")
     )
+
+
+# --------------------------------------------------------------------------
+# Welch two-sample t-test: purchase vs click values — the A/B
+# comparison an experimentation platform runs per metric. One grouped
+# pass computes n, Σx, Σx² per arm (decimal-quantized — order-free),
+# the t statistic and Welch–Satterthwaite degrees of freedom are
+# scalar arithmetic on those three numbers per arm. At 100 TB this is
+# a single map-side-combinable aggregate; nothing else moves.
+# Variance via (Σx² − (Σx)²/n)/(n−1) on decimal-exact sums;
+# cancellation is benign at these magnitudes and identical in both
+# engines since the inputs are the identical decimals.
+# --------------------------------------------------------------------------
+@query(
+    "stats_ab_welch",
+    survey="beyond:ab-welch",
+    priority=60,
+    oracle="""
+    WITH arms AS (
+        SELECT event_type AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS s2
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY event_type
+    ),
+    stats AS (
+        SELECT arm, n, s1 / n AS m,
+               (s2 - s1 * s1 / n) / (n - 1) AS v
+        FROM arms
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 'purchase' THEN n END) AS n1,
+            MAX(CASE WHEN arm = 'purchase' THEN m END) AS m1,
+            MAX(CASE WHEN arm = 'purchase' THEN v END) AS v1,
+            MAX(CASE WHEN arm = 'click' THEN n END) AS n2,
+            MAX(CASE WHEN arm = 'click' THEN m END) AS m2,
+            MAX(CASE WHEN arm = 'click' THEN v END) AS v2
+        FROM stats
+    )
+    SELECT n1, n2,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(
+               POWER(v1 / n1 + v2 / n2, 2)
+               / (POWER(v1 / n1, 2) / (n1 - 1)
+                  + POWER(v2 / n2, 2) / (n2 - 1)),
+               2) AS welch_df
+    FROM wide
+    """,
+)
+def stats_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast(
+                "decimal(27,6)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    stats = arms.select(
+        "arm",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+    pick = lambda a, c: F.max(  # noqa: E731
+        F.when(F.col("arm") == a, F.col(c))
+    )
+    wide = stats.agg(
+        pick("purchase", "n").alias("n1"),
+        pick("purchase", "m").alias("m1"),
+        pick("purchase", "v").alias("v1"),
+        pick("click", "n").alias("n2"),
+        pick("click", "m").alias("m2"),
+        pick("click", "v").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return wide.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
