@@ -139,6 +139,7 @@ HEADLINE = [
     "stats_bootstrap_ci",
     "ev_cohort_ltv",
     "stats_ab_welch",
+    "eval_ann_recall",
 ]
 
 

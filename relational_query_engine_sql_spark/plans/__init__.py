@@ -321,6 +321,7 @@ ROUND7_QUEUE = [
     "stats_bootstrap_ci",
     "ev_cohort_ltv",
     "stats_ab_welch",
+    "eval_ann_recall",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

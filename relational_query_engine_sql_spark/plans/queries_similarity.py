@@ -80,11 +80,11 @@ def ann_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # IVF-bucketed ANN — nearest-centroid probe, search one bucket.
 # --------------------------------------------------------------------------
-@query(
-    "ann_ivf_topk",
-    survey="beyond:ann-ivf",
-    oracle=f"""
-    WITH pos1 AS (
+def _ivf_ctes(k: int) -> str:
+    """Shared IVF CTE chain (centroid probe → bucket-restricted exact
+    cosine → per-query top-``k`` as ``ivf``); reused by the ann query
+    and the recall eval so both see the identical formulation."""
+    return f"""pos1 AS (
         SELECT vec_id, label, embedding,
                UNNEST(generate_series(1, LEN(embedding))) AS pos
         FROM embeddings
@@ -130,14 +130,24 @@ def ann_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings e ON e.label = p.bucket
         JOIN q ON q.query_id = p.query_id
         WHERE e.vec_id <> p.query_id
-    )
-    SELECT query_id, vec_id, cos, rnk FROM (
-        SELECT query_id, vec_id, cos,
-               ROW_NUMBER() OVER (
-                   PARTITION BY query_id ORDER BY cos DESC, vec_id
-               ) AS rnk
-        FROM scored
-    ) t WHERE rnk <= 5
+    ),
+    ivf AS (
+        SELECT query_id, vec_id, cos, rnk FROM (
+            SELECT query_id, vec_id, cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, vec_id
+                   ) AS rnk
+            FROM scored
+        ) t WHERE rnk <= {k}
+    )"""
+
+
+@query(
+    "ann_ivf_topk",
+    survey="beyond:ann-ivf",
+    oracle=f"""
+    WITH {_ivf_ctes(5)}
+    SELECT query_id, vec_id, cos, rnk FROM ivf
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,5 +476,72 @@ def emb_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sqrt(F.sum((F.col("c") - F.col("g")) ** 2)), 6
             ).alias("dist_from_global"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation: IVF top-10 measured against the exact
+# brute-force top-10, per query — the recall@k number an ANN
+# deployment monitors when retuning bucket counts / probe width.
+# Both engines re-derive BOTH paths from the shared formulations
+# (the ivf CTE chain is literally the ann_ivf_topk oracle's), so the
+# eval row is itself hash-checked. Counts are integers; recall is
+# one division rounded to 2.
+# --------------------------------------------------------------------------
+_EVAL_K = 10
+
+
+@query(
+    "eval_ann_recall",
+    survey="beyond:ann-eval",
+    priority=60,
+    oracle=f"""
+    WITH {_ivf_ctes(_EVAL_K)},
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qe), 9) DESC,
+                       e.vec_id
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ) t WHERE rnk <= {_EVAL_K}
+    ),
+    hits AS (
+        SELECT exact.query_id, COUNT(*) AS n_hit
+        FROM exact JOIN ivf USING (query_id, vec_id)
+        GROUP BY exact.query_id
+    )
+    SELECT q.query_id,
+           {_EVAL_K} AS k,
+           CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(hits.n_hit, 0) / {_EVAL_K}.0, 2) AS recall
+    FROM q LEFT JOIN hits USING (query_id)
+    """,
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(emb)
+    exact = cosine_topk(emb, qdf, k=_EVAL_K).select("query_id", "vec_id")
+    ivf = ivf_topk(emb, qdf, k=_EVAL_K).select("query_id", "vec_id")
+    hits = (
+        exact.join(ivf, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        qdf.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(_EVAL_K).alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / float(_EVAL_K), 2
+            ).alias("recall"),
         )
     )
