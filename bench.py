@@ -140,6 +140,7 @@ HEADLINE = [
     "ev_cohort_ltv",
     "stats_ab_welch",
     "eval_ann_recall",
+    "dedup_incremental_ingest",
 ]
 
 

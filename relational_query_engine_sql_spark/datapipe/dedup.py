@@ -304,3 +304,44 @@ def containment_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         .filter(cont >= threshold)
         .select("d1", "d2", cont.alias("containment"))
     )
+
+
+def lsh_candidates_between(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    n_hashes: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Asymmetric banded LSH: candidates between an INCOMING batch and
+    the EXISTING corpus only — the daily-ingest dedup shape. The
+    corpus side's band keys are an index that persists across ingests
+    (here recomputed; a deployment stores them partitioned by band
+    key), and the join is new×old on (band, key) — old×old pairs are
+    never generated, so ingest cost scales with the batch, not the
+    corpus. Output: distinct (d1=old id, d2=new id).
+    """
+    rows_per_band = n_hashes // bands
+
+    def band_keys(sig: DataFrame, out: str) -> DataFrame:
+        keys = F.array(
+            *[
+                F.concat(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col("id").alias(out), F.posexplode(keys).alias("band", "key")
+        )
+
+    new_b = band_keys(sig_new, "d2")
+    old_b = band_keys(sig_old, "d1")
+    return (
+        old_b.join(new_b, ["band", "key"])
+        .select("d1", "d2")
+        .distinct()
+    )

@@ -1447,3 +1447,100 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest dedup: a NEW document batch screened against the
+# EXISTING corpus — the shape a daily pipeline actually runs. The
+# asymmetric LSH join (datapipe/dedup.py:lsh_candidates_between)
+# generates candidates new×old ONLY, so ingest cost scales with the
+# batch, never the corpus; verification is the same exact-Jaccard
+# pass over the union shingle table restricted to candidates. The
+# derived batch: every 20th document (offset +7) re-ingested with an
+# extra trailing word — near-dup of its source, not byte-identical —
+# under ids + 5,000,000.
+# --------------------------------------------------------------------------
+_ING_OFFSET = 5_000_000
+
+
+@query(
+    "dedup_incremental_ingest",
+    survey="beyond:incremental-dedup",
+    priority=60,
+    oracle=rf"""
+    WITH corpus AS (
+        SELECT doc_id AS id, text, 0 AS is_new FROM documents
+        UNION ALL
+        SELECT doc_id + {_ING_OFFSET}, text || ' freshly ingested', 1
+        FROM documents WHERE doc_id % 20 = 7
+    ),
+    words AS (
+        SELECT id, is_new, string_split_regex(trim(text), '\s+') AS w
+        FROM corpus
+    ),
+    idx AS (
+        SELECT id, is_new, w, UNNEST(generate_series(1, LEN(w) - 2)) AS i
+        FROM words
+    ),
+    sh AS (
+        SELECT DISTINCT id, is_new, array_to_string(w[i:i+2], ' ') AS sh
+        FROM idx
+    ),
+    counts AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    sig AS (
+        SELECT id, is_new,
+               MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+               MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3
+        FROM sh GROUP BY id, is_new
+    ),
+    bands AS (
+        SELECT id, is_new, 0 AS band, h0 || h1 AS key FROM sig
+        UNION ALL
+        SELECT id, is_new, 1, h2 || h3 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT o.id AS d1, n.id AS d2
+        FROM bands o
+        JOIN bands n ON o.band = n.band AND o.key = n.key
+        WHERE o.is_new = 0 AND n.is_new = 1
+    ),
+    common AS (
+        SELECT a.id AS d1, b.id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        WHERE a.is_new = 0 AND b.is_new = 1
+        GROUP BY a.id, b.id
+    )
+    SELECT common.d1 AS corpus_id, common.d2 AS new_id,
+           ROUND(c * 1.0 / (n1.n + n2.n - c), 6) AS jaccard
+    FROM common
+    JOIN cand ON common.d1 = cand.d1 AND common.d2 = cand.d2
+    JOIN counts n1 ON common.d1 = n1.id
+    JOIN counts n2 ON common.d2 = n2.id
+    WHERE c * 1.0 / (n1.n + n2.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import lsh_candidates_between
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    batch = docs.filter(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + _ING_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" freshly ingested")).alias("text"),
+    )
+    sh_old = shingles(docs)
+    sh_new = shingles(batch)
+    sig_old = minhash_signature(sh_old)
+    sig_new = minhash_signature(sh_new)
+    cand = lsh_candidates_between(sig_new, sig_old)
+    sh_all = sh_old.unionByName(sh_new)
+    counts = sig_old.select("id", "n").unionByName(
+        sig_new.select("id", "n")
+    )
+    pairs = jaccard_pairs(
+        sh_all, JACCARD_THRESHOLD, candidates=cand, counts=counts
+    )
+    return pairs.select(
+        F.col("d1").alias("corpus_id"),
+        F.col("d2").alias("new_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
