@@ -141,6 +141,7 @@ HEADLINE = [
     "stats_ab_welch",
     "eval_ann_recall",
     "dedup_incremental_ingest",
+    "ann_ivf_multiprobe",
 ]
 
 

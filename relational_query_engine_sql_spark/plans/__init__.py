@@ -323,6 +323,7 @@ ROUND7_QUEUE = [
     "stats_ab_welch",
     "eval_ann_recall",
     "dedup_incremental_ingest",
+    "ann_ivf_multiprobe",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -545,3 +545,24 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multiprobe IVF: the recall/cost knob — search the top-2 centroid
+# buckets instead of 1, closing the Voronoi-boundary miss gap for
+# ~2× candidate scan. Same shared CTE chain with the probe rank
+# widened; at 100 TB nprobe is the dial an ANN deployment turns when
+# eval_ann_recall dips.
+# --------------------------------------------------------------------------
+@query(
+    "ann_ivf_multiprobe",
+    survey="beyond:ann-ivf-multiprobe",
+    priority=60,
+    oracle=f"""
+    WITH {_ivf_ctes(5).replace(") t WHERE r = 1", ") t WHERE r <= 2")}
+    SELECT query_id, vec_id, cos, rnk FROM ivf
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _queries_df(emb), k=5, nprobe=2)
