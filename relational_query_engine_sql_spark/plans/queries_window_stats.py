@@ -865,10 +865,17 @@ _POIS_CDF = [
 
 
 def _boot_u_sql() -> str:
+    # hash-budget trick: one md5 digest carries EIGHT independent
+    # 16-bit uniforms (32 hex chars / 4), so replicate b reads slice
+    # b%8 of digest b//8 — 7 hashes per row for B=50 instead of 50.
     hx = "0123456789abcdef"
-    h = "md5('boot|' || CAST(event_id AS VARCHAR) || '|' || CAST(b AS VARCHAR))"
+    h = (
+        "md5('boot|' || CAST(event_id AS VARCHAR) || '|'"
+        " || CAST(b // 8 AS VARCHAR))"
+    )
     digits = " + ".join(
-        f"(strpos('{hx}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        f"(strpos('{hx}', substr({h}, (b % 8) * 4 + {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
         for i in range(4)
     )
     return f"(({digits}) + 0.5) / 65536.0"
@@ -918,7 +925,11 @@ def _pois_case_sql(u: str) -> str:
     """,
 )
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from ..sources import spread
+
+    # spread BEFORE the ×B replicate explode — the single-file local
+    # scan would otherwise hash 5M weight rows on one core
+    ev = spread(load_table(spark, sf_dir, "events"), spark)
     reps = ev.select("event_id", "value").crossJoin(
         F.broadcast(
             spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
@@ -929,10 +940,11 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("boot|"),
             F.col("event_id").cast("string"),
             F.lit("|"),
-            F.col("b").cast("string"),
+            F.floor(F.col("b") / 8).cast("long").cast("string"),
         )
     )
-    u = (F.conv(F.substring(h, 1, 4), 16, 10).cast("double") + 0.5) / 65536.0
+    slice4 = F.substring(h, (F.col("b") % 8) * 4 + 1, 4)
+    u = (F.conv(slice4, 16, 10).cast("double") + 0.5) / 65536.0
     w = F.lit(8)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         w = F.when(u < _POIS_CDF[k], k).otherwise(w)
