@@ -66,3 +66,45 @@ def test_prior_bench_none_when_no_prior(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "1")
     prior, rnd = bench._prior_bench(str(tmp_path), "0.1")
     assert prior is None and rnd is None
+
+
+def test_rotation_prefixes_cover_whole_registry():
+    """Every registered query must be either driver-checked (a row in
+    CORRECTNESS_r01/r02) or staged in some round's prefix — a query
+    that is neither would never earn a hard correctness row."""
+    import json
+    import os
+
+    import relational_query_engine_sql_spark.plans as P
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for name in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(here, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                checked |= set(json.load(f))
+    staged = (
+        set(P.ROUND3_PREFIX)
+        | set(P.ROUND4_PREFIX)
+        | set(P.ROUND5_PREFIX)
+        | set(P.ROUND6_PREFIX)
+        | set(P.ROUND7_PREFIX)
+    )
+    orphans = set(P.all_queries()) - checked - staged
+    assert not orphans, f"queries with no path to a driver row: {orphans}"
+
+
+def test_rotation_self_advance_tracks_verdict_round():
+    """judged round N ⇒ the installed rotation is round N+1's prefix;
+    unknown/high rounds fall back to the newest staged prefix."""
+    import relational_query_engine_sql_spark.plans as P
+
+    assert P._ROTATIONS[P._judged_round() + 1 if P._judged_round() + 1
+                        in P._ROTATIONS else max(P._ROTATIONS)]
+    # prefix ordering actually installed: the exported head equals the
+    # active rotation's head
+    active = P._ROTATIONS.get(
+        min(P._judged_round() + 1, max(P._ROTATIONS))
+    )
+    assert list(P.all_queries())[: len(active)] == active
