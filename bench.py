@@ -210,6 +210,23 @@ def _prior_bench(here: str, sf: str) -> tuple[dict | None, int | None]:
             continue
         if isinstance(prior.get("parsed"), dict):
             prior = {**prior, **prior["parsed"]}
+        elif prior.get("parsed") is None and isinstance(prior.get("tail"), str):
+            # Truncated artifact (round 3): the driver captured only
+            # the tail of the JSON line. The per-query pairs that DID
+            # survive are still usable priors — regex them out and keep
+            # only names that are real registered queries (the tail
+            # also contains "sf"/"value" pairs that would otherwise
+            # masquerade as queries).
+            known = set(plans.all_queries())
+            recovered = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(
+                    r'"([A-Za-z0-9_]+)":\s*(\d+(?:\.\d+)?)', prior["tail"]
+                )
+                if m.group(1) in known
+            }
+            if recovered:
+                prior = {**prior, "queries": recovered}
         if str(prior.get("sf")) == sf and isinstance(prior.get("queries"), dict):
             return prior, rnd
     return None, None
@@ -326,20 +343,55 @@ def main() -> None:
         # drift went unflagged.
         print(f"REGRESSION-CHECK SKIPPED: no prior-round bench at sf={sf}",
               file=sys.stderr)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **({"failures": failures} if failures else {}),
+        # always present so every BENCH_r{N}.json shows whether
+        # the round-over-round check ran and what it saw.
+        "regressions": regressions,
+        "regression_baseline_round": prior_round,
+    }
+    # The driver captures only the LAST ~1.6 KB of stdout; round 3's
+    # artifact lost the headline because the single full-payload line
+    # (~4 KB and growing with the query list) overflowed that tail
+    # buffer. Emit the full line FIRST (humans, logs, local runs),
+    # persist the full payload to bench_full.json, and finish with a
+    # compact summary line sized to always fit the tail capture —
+    # headline total, failure/regression status, and the slowest
+    # queries — so truncation can never eat the round's number again.
+    print(json.dumps(payload))
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    try:
+        with open(full_path, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError as ex:
+        print(f"BENCH could not write {full_path}: {ex}", file=sys.stderr)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"failures": failures} if failures else {}),
-                # always present so every BENCH_r{N}.json shows whether
-                # the round-over-round check ran and what it saw.
+                "sf": payload["sf"],
+                "n_queries": len(timings),
+                "n_failures": len(failures),
+                **({"failures": sorted(failures)} if failures else {}),
                 "regressions": regressions,
                 "regression_baseline_round": prior_round,
-            }
+                "slowest": slowest,
+                "queries_full": "bench_full.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -156,21 +156,17 @@ def minhash_signature(
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidates(
+def lsh_band_keys(
     sig: DataFrame,
     n_hashes: int = DEFAULT_MINHASHES,
     bands: int = DEFAULT_BANDS,
+    id_out: str = "id",
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band key become candidate pairs.
-
-    Each band key is the concat of rows_per_band signature columns; the
-    join is an equi-join on (band, key) — this is what keeps near-dup
-    detection sub-quadratic at 100 TB. Output: distinct (d1, d2), d1<d2.
-    """
+    """(id, band, key) rows — one per (doc, band). One posexplode pass
+    instead of a union of per-band branches: same rows, but the
+    signature subtree is scanned once and the plan stays a single
+    narrow chain."""
     rows_per_band = n_hashes // bands
-    # one posexplode pass instead of a union of per-band branches —
-    # same rows, but the signature subtree is scanned once and the plan
-    # stays a single narrow chain (fewer stages to schedule and codegen)
     band_keys = F.array(
         *[
             F.concat(
@@ -182,9 +178,58 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    all_bands = sig.select(
-        F.col("id"), F.posexplode(band_keys).alias("band", "key")
+    return sig.select(
+        F.col("id").alias(id_out), F.posexplode(band_keys).alias("band", "key")
     )
+
+
+def lsh_bucket_audit(
+    sig: DataFrame,
+    max_bucket_size: int,
+    n_hashes: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """The band buckets the ``max_bucket_size`` cap would spill:
+    (band, key, n_ids) for every bucket larger than the cap. A
+    production run logs/persists this as the audit trail for capped
+    candidates — a huge bucket means thousands of near-identical
+    documents, which exact dedup on content hash already collapses
+    far more cheaply than m²/2 pair verification would."""
+    return (
+        lsh_band_keys(sig, n_hashes, bands)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket_size)
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    n_hashes: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band key become candidate pairs.
+
+    Each band key is the concat of rows_per_band signature columns; the
+    join is an equi-join on (band, key) — this is what keeps near-dup
+    detection sub-quadratic at 100 TB. ``max_bucket_size`` guards the
+    degenerate corpus (mass-identical boilerplate): a band bucket of m
+    ids emits m²/2 pairs, so one 1M-doc bucket alone is 5·10¹¹ pairs.
+    Buckets above the cap are excluded here (recoverable via
+    :func:`lsh_bucket_audit`); their members are exact duplicates of
+    each other with overwhelming probability, which the cheap
+    content-hash pass catches. Output: distinct (d1, d2), d1<d2.
+    """
+    all_bands = lsh_band_keys(sig, n_hashes, bands)
+    if max_bucket_size is not None:
+        ok = (
+            all_bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "key")
+        )
+        all_bands = all_bands.join(ok, ["band", "key"], "left_semi")
     a = all_bands.select(F.col("id").alias("d1"), "band", "key")
     b_ = all_bands.select(F.col("id").alias("d2"), "band", "key")
     return (
@@ -203,12 +248,19 @@ def minhash_lsh_dedup(
     n: int = DEFAULT_SHINGLE,
     n_hashes: int = DEFAULT_MINHASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
-    candidates → exact-Jaccard verification. Output: (d1, d2, jaccard)."""
-    sh = shingles(df, id_col, text_col, n)
-    sig = minhash_signature(sh, n_hashes)
-    cand = lsh_candidates(sig, n_hashes, bands)
+    candidates → exact-Jaccard verification. Output: (d1, d2, jaccard).
+
+    The shingle and signature frames are each consumed by TWO branches
+    of the DAG (sh → signature + verification; sig → banding + counts),
+    so both get an eager lineage cut — without it every branch re-runs
+    the tokenize/explode/groupBy subtree, which round 3 measured as
+    ~half the query's cost (same rule as operators/graph.py:62)."""
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sig = minhash_signature(sh, n_hashes).localCheckpoint(eager=True)
+    cand = lsh_candidates(sig, n_hashes, bands, max_bucket_size)
     return jaccard_pairs(
         sh, threshold, candidates=cand, counts=sig.select("id", "n")
     )
@@ -311,6 +363,7 @@ def lsh_candidates_between(
     sig_old: DataFrame,
     n_hashes: int = DEFAULT_MINHASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Asymmetric banded LSH: candidates between an INCOMING batch and
     the EXISTING corpus only — the daily-ingest dedup shape. The
@@ -318,28 +371,21 @@ def lsh_candidates_between(
     (here recomputed; a deployment stores them partitioned by band
     key), and the join is new×old on (band, key) — old×old pairs are
     never generated, so ingest cost scales with the batch, not the
-    corpus. Output: distinct (d1=old id, d2=new id).
+    corpus. ``max_bucket_size`` caps the CORPUS side of each band
+    bucket (the side that can be degenerate at scale); capped buckets
+    are recoverable via :func:`lsh_bucket_audit` on ``sig_old``.
+    Output: distinct (d1=old id, d2=new id).
     """
-    rows_per_band = n_hashes // bands
-
-    def band_keys(sig: DataFrame, out: str) -> DataFrame:
-        keys = F.array(
-            *[
-                F.concat(
-                    *[
-                        F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
-                )
-                for b in range(bands)
-            ]
+    new_b = lsh_band_keys(sig_new, n_hashes, bands, id_out="d2")
+    old_b = lsh_band_keys(sig_old, n_hashes, bands, id_out="d1")
+    if max_bucket_size is not None:
+        ok = (
+            old_b.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "key")
         )
-        return sig.select(
-            F.col("id").alias(out), F.posexplode(keys).alias("band", "key")
-        )
-
-    new_b = band_keys(sig_new, "d2")
-    old_b = band_keys(sig_old, "d1")
+        old_b = old_b.join(ok, ["band", "key"], "left_semi")
     return (
         old_b.join(new_b, ["band", "key"])
         .select("d1", "d2")

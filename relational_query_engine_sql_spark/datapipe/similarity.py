@@ -520,12 +520,31 @@ def pq_codebook(
     m·k rows — broadcast-sized by construction (k ≤ 256 keeps codes
     one byte wide, the whole point of PQ).
     """
-    seed = emb.filter(F.col(id_col) < k)
+    # Seed from the k SMALLEST ids, not `id < k`: a corpus whose id
+    # space starts above k would otherwise yield an empty codebook and
+    # every downstream PQ query would return empty silently. The
+    # TakeOrderedAndProject limit is scale-safe (per-partition top-k,
+    # no global sort), and for a dense 0-based id space the assigned
+    # codes equal the ids, so existing oracles are unchanged.
+    seed_ids = emb.select(id_col).orderBy(id_col).limit(k)
+    seed = emb.join(F.broadcast(seed_ids), id_col, "left_semi")
     if dsub is None:
         dsub = _dsub(emb, m, vec_col)
-    return pq_subvectors(seed, m, dsub, id_col, vec_col).select(
-        "sub", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cent")
+    code = (
+        F.row_number().over(W.partitionBy("sub").orderBy(id_col)) - 1
+    ).alias("code")
+    codebook = (
+        pq_subvectors(seed, m, dsub, id_col, vec_col)
+        .select("sub", code, F.col("sv").alias("cent"))
+        # tiny (m·k rows) and consumed by ≥2 broadcast joins downstream
+        .localCheckpoint(eager=True)
     )
+    n = codebook.count()
+    assert n == m * k, (
+        f"PQ codebook has {n} rows, expected m*k={m * k} — the corpus "
+        f"has fewer than k={k} vectors or duplicate ids"
+    )
+    return codebook
 
 
 def _dsub(emb: DataFrame, m: int, vec_col: str) -> int:

@@ -80,10 +80,13 @@ def ann_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # IVF-bucketed ANN — nearest-centroid probe, search one bucket.
 # --------------------------------------------------------------------------
-def _ivf_ctes(k: int) -> str:
+def _ivf_ctes(k: int, nprobe: int = 1) -> str:
     """Shared IVF CTE chain (centroid probe → bucket-restricted exact
     cosine → per-query top-``k`` as ``ivf``); reused by the ann query
-    and the recall eval so both see the identical formulation."""
+    and the recall eval so both see the identical formulation.
+    ``nprobe`` widens the centroid probe (multiprobe) — a parameter,
+    not a post-hoc text patch, so oracle and Spark plan can never
+    silently diverge on probe width."""
     return f"""pos1 AS (
         SELECT vec_id, label, embedding,
                UNNEST(generate_series(1, LEN(embedding))) AS pos
@@ -116,7 +119,7 @@ def _ivf_ctes(k: int) -> str:
                        PARTITION BY query_id ORDER BY ccos DESC, bucket
                    ) AS r
             FROM qc
-        ) t WHERE r = 1
+        ) t WHERE r <= {nprobe}
     ),
     q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -559,7 +562,7 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="beyond:ann-ivf-multiprobe",
     priority=60,
     oracle=f"""
-    WITH {_ivf_ctes(5).replace(") t WHERE r = 1", ") t WHERE r <= 2")}
+    WITH {_ivf_ctes(5, nprobe=2)}
     SELECT query_id, vec_id, cos, rnk FROM ivf
     """,
 )

@@ -1527,9 +1527,15 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _ING_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" freshly ingested")).alias("text"),
     )
-    sh_old = shingles(docs)
-    sh_new = shingles(batch)
-    sig_old = minhash_signature(sh_old)
+    # Both corpus-side frames feed two DAG branches (sh_old → signature
+    # + verification union; sig_old → banded candidates + counts), so
+    # cut lineage once — round 3 measured the duplicated shingle
+    # subtree as the bulk of this query's 11.8s. The batch side is
+    # 1/20th the size; checkpointing it costs nothing and saves its
+    # own double evaluation.
+    sh_old = shingles(docs).localCheckpoint(eager=True)
+    sh_new = shingles(batch).localCheckpoint(eager=True)
+    sig_old = minhash_signature(sh_old).localCheckpoint(eager=True)
     sig_new = minhash_signature(sh_new)
     cand = lsh_candidates_between(sig_new, sig_old)
     sh_all = sh_old.unionByName(sh_new)

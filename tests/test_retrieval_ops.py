@@ -214,3 +214,32 @@ def test_driver_embedding_dim_matches_pq_constant(spark, sf_small):
 
     first = load_table(spark, sf_small, "embeddings").first()
     assert len(first["embedding"]) == _PQ_DIM
+
+
+def test_pq_codebook_survives_shifted_id_space(spark, sf_small):
+    """pq_codebook seeds from the k SMALLEST ids, not `id < k`: a
+    corpus whose ids start above k (a sharded export, a snapshot with
+    reassigned ids) must still produce a full m*k codebook — the old
+    filter-based seed returned an EMPTY codebook there and every PQ
+    query downstream silently returned no rows."""
+    import pytest
+
+    from relational_query_engine_sql_spark.datapipe.similarity import (
+        pq_codebook,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    cb = pq_codebook(shifted, m=8, k=16, dsub=8)
+    assert cb.count() == 8 * 16
+    codes = sorted(
+        r["code"] for r in cb.filter(F.col("sub") == 0).collect()
+    )
+    assert codes == list(range(16))
+
+    # and a corpus with fewer than k vectors fails LOUDLY, not empty
+    tiny = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(AssertionError, match="fewer than k"):
+        pq_codebook(tiny, m=8, k=16, dsub=8)

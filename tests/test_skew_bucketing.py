@@ -103,3 +103,49 @@ def test_aqe_splits_skewed_join_partitions(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert re.search(r"SortMergeJoin\(skew=true\)", plan), plan[:500]
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """A mass-identical corpus (10k copies of one boilerplate doc plus
+    a handful of genuine near-dup pairs) puts every copy in ONE band
+    bucket — uncapped that bucket alone is 10k²/2 ≈ 5·10⁷ candidate
+    pairs. With max_bucket_size the capped run must (a) finish fast,
+    (b) still find the genuine near-dups outside the hot bucket, and
+    (c) surface the spilled bucket in the audit frame with its true
+    member count."""
+    import time
+
+    from relational_query_engine_sql_spark.datapipe.dedup import (
+        lsh_bucket_audit,
+        minhash_lsh_dedup,
+        minhash_signature,
+        shingles,
+    )
+
+    boiler = "all rights reserved subscribe to our newsletter for updates " * 4
+    rows = [(i, boiler) for i in range(10_000)]
+    # two genuine near-dup pairs with distinct shingle sets
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "pack my box with five dozen liquor jugs before the long winter night"
+    rows += [
+        (20_000, a),
+        (20_001, a + " again"),
+        (30_000, b),
+        (30_001, b + " indeed"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_dedup(docs, threshold=0.4, max_bucket_size=100)
+    found = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    took = time.perf_counter() - t0
+    assert (20_000, 20_001) in found
+    assert (30_000, 30_001) in found
+    # no pair from the capped boilerplate bucket
+    assert not any(d1 < 10_000 for d1, _ in found)
+    assert took < 60, f"capped run took {took:.1f}s — cap not effective"
+
+    sig = minhash_signature(shingles(docs))
+    audit = lsh_bucket_audit(sig, max_bucket_size=100).collect()
+    assert audit, "hot bucket missing from audit"
+    assert max(r["n_ids"] for r in audit) == 10_000
