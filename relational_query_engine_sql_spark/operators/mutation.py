@@ -28,6 +28,58 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def merge_frame(
+    schema: T.StructType,
+    keys: list[str],
+    target: DataFrame,
+    source: DataFrame,
+    update_assign: dict[str, Column] | None = None,
+    update_cond: Column | None = None,
+    delete_cond: Column | None = None,
+) -> DataFrame:
+    """Row-fate logic of MERGE INTO as a pure frame transform: one
+    keyed full-outer join decides every row's fate — matched+
+    delete_cond rows drop, matched+update_cond rows take the
+    assignments, other matched rows pass through, unmatched source
+    rows insert, unmatched target rows keep. Single shuffle on the key
+    regardless of how many actions fire. Shared by the full-rewrite
+    backend (:class:`ParquetTable`) and the file-pruned copy-on-write
+    backend (:class:`~.txnlog.TxnLogTable`), which applies it to the
+    affected-file region only."""
+    src_cols = [c for c in source.columns if c not in keys]
+    s = source.select(
+        *keys,
+        F.lit(True).alias("_src"),
+        *[F.col(c).alias(f"_s_{c}") for c in src_cols],
+    )
+    t = target.withColumn("_tgt", F.lit(True))
+    joined = t.join(s, keys, "full_outer")
+    matched = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
+    delete_hit = (
+        matched & delete_cond if delete_cond is not None else F.lit(False)
+    )
+    update_hit = matched & (
+        update_cond if update_cond is not None else F.lit(True)
+    )
+    assigns = update_assign or {}
+    out_cols = []
+    for f in schema.fields:
+        c = f.name
+        if c in keys:
+            out_cols.append(F.col(c))
+            continue
+        insert_val = (
+            F.col(f"_s_{c}") if c in src_cols else F.lit(None).cast(f.dataType)
+        )
+        val = (
+            F.when(F.col("_tgt").isNull(), insert_val)
+            .when(update_hit & ~delete_hit, assigns.get(c, F.col(c)))
+            .otherwise(F.col(c))
+        )
+        out_cols.append(val.alias(c))
+    return joined.filter(~delete_hit).select(*out_cols)
+
+
 class ParquetTable:
     """A keyed, mutable table backed by a parquet directory.
 
@@ -140,39 +192,17 @@ class ParquetTable:
         update_cond: Column | None = None,
         delete_cond: Column | None = None,
     ) -> None:
-        target = self.read()
-        src_cols = [c for c in source.columns if c not in self.keys]
-        s = source.select(
-            *self.keys,
-            F.lit(True).alias("_src"),
-            *[F.col(c).alias(f"_s_{c}") for c in src_cols],
-        )
-        t = target.withColumn("_tgt", F.lit(True))
-        joined = t.join(s, self.keys, "full_outer")
-        matched = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
-        delete_hit = (
-            matched & delete_cond if delete_cond is not None else F.lit(False)
-        )
-        update_hit = matched & (
-            update_cond if update_cond is not None else F.lit(True)
-        )
-        assigns = update_assign or {}
-        out_cols = []
-        for f in self.schema.fields:
-            c = f.name
-            if c in self.keys:
-                out_cols.append(F.col(c))
-                continue
-            insert_val = (
-                F.col(f"_s_{c}") if c in src_cols else F.lit(None).cast(f.dataType)
+        self._swap_in(
+            merge_frame(
+                self.schema,
+                self.keys,
+                self.read(),
+                source,
+                update_assign,
+                update_cond,
+                delete_cond,
             )
-            val = (
-                F.when(F.col("_tgt").isNull(), insert_val)
-                .when(update_hit & ~delete_hit, assigns.get(c, F.col(c)))
-                .otherwise(F.col(c))
-            )
-            out_cols.append(val.alias(c))
-        self._swap_in(joined.filter(~delete_hit).select(*out_cols))
+        )
 
     # S7 — DELETE WHERE (src/routes/stocks.js:187-189, lists.js:661-666).
     def delete(self, condition: Column) -> None:

@@ -324,6 +324,12 @@ ROUND7_QUEUE = [
     "eval_ann_recall",
     "dedup_incremental_ingest",
     "ann_ivf_multiprobe",
+    # round-4 session additions (strict-sim green at sf0.001 + sf0.01
+    # when added): the transaction-log table backend
+    "s13_txnlog_merge_mixed",
+    "s14_txnlog_optimistic_retry",
+    "s15_txnlog_time_travel",
+    "maintenance_txnlog_history",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -660,3 +660,200 @@ def s12_optimistic_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("bal"),
         F.lit(v).alias("committed_version"),
     )
+
+
+# --------------------------------------------------------------------------
+# S13-S15 + txnlog maintenance — the SAME reference mutation semantics
+# (ON CONFLICT DO UPDATE sql/schema.sql:101-110; MERGE superset of
+# lists.js:483-491 / stocks.js:187-189) on the transaction-log backend
+# (operators/txnlog.py): immutable data files + JSON commit log,
+# file-level copy-on-write with key-stats pruning, CAS commits. Each
+# query reuses its full-rewrite twin's oracle, so a green row is a
+# hash-level proof the two backends implement identical semantics —
+# the "both backends" gate for the mutation family.
+# --------------------------------------------------------------------------
+def _clone_txn(
+    spark: SparkSession, sf_dir: str, name: str, keys: list[str]
+):
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, name)
+    root = tempfile.mkdtemp(prefix=f"rqe-txn-{name}-")
+    table = TxnLogTable(spark, f"{root}/{name}", src.schema, keys)
+    table.init(src)
+    return table
+
+
+@query(
+    "s13_txnlog_merge_mixed",
+    survey="S4,S5,S7,ext:merge,beyond:txnlog",
+    priority=60,
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 AND c_mktsegment = 'BUILDING'
+                THEN ROUND(c_acctbal + 1000, 2) ELSE c_acctbal END
+               AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 3
+    UNION ALL
+    SELECT 90001, 'Customer#MERGE1', CAST(0 AS INTEGER), 111.25, 'BUILDING'
+    UNION ALL
+    SELECT 90002, 'Customer#MERGE2', CAST(1 AS INTEGER), 222.5, 'MACHINERY'
+    """,
+)
+def s13_txnlog_merge_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _clone_txn(spark, sf_dir, "customer", ["c_custkey"])
+    cust = load_table(spark, sf_dir, "customer")
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("U").alias("flag"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    dele = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey", F.lit("D").alias("flag"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    new = spark.createDataFrame(
+        [
+            (90001, "I", "Customer#MERGE1", 0, 111.25, "BUILDING"),
+            (90002, "I", "Customer#MERGE2", 1, 222.5, "MACHINERY"),
+        ],
+        schema=upd.schema,
+    )
+    t.merge(
+        upd.unionByName(dele).unionByName(new),
+        update_assign={
+            "c_acctbal": F.round(F.col("c_acctbal") + 1000, 2)
+        },
+        update_cond=(F.col("_s_flag") == "U")
+        & (F.col("c_mktsegment") == "BUILDING"),
+        delete_cond=F.col("_s_flag") == "D",
+    )
+    return t.read()
+
+
+@query(
+    "s14_txnlog_optimistic_retry",
+    survey="beyond:optimistic-concurrency,beyond:txnlog,S5",
+    priority=60,
+    oracle="""
+    SELECT c_custkey,
+           ROUND(c_acctbal
+                 + CASE WHEN c_custkey % 2 = 0 THEN 100.0 ELSE 0 END
+                 + CASE WHEN c_custkey % 3 = 0 THEN 50.0 ELSE 0 END,
+                 2) AS bal,
+           2 AS committed_version
+    FROM customer
+    """,
+)
+def s14_txnlog_optimistic_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s12's two-writer CAS race, on the commit-log backend: the
+    conflict detector is open(log-entry, 'x') instead of a version-
+    directory rename — the protocol Delta puts on its log entry."""
+    from ..operators.mutation import CommitConflict
+
+    t = _clone_txn(spark, sf_dir, "customer", ["c_custkey"])
+
+    def bump(df: DataFrame, mod: int, amount: float) -> DataFrame:
+        return df.withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % mod == 0,
+                F.col("c_acctbal") + amount,
+            ).otherwise(F.col("c_acctbal")),
+        )
+
+    base = t.read(0)
+    assert t.commit_as(bump(base, 2, 100.0), 0) == 1  # writer A wins
+    try:
+        t.commit_as(bump(base, 3, 50.0), 0)
+        raise AssertionError("stale CAS must conflict")  # pragma: no cover
+    except CommitConflict:
+        pass
+    v = t.modify_with_retry(lambda df: bump(df, 3, 50.0))
+    assert v == 2
+    return t.read().select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit(v).alias("committed_version"),
+    )
+
+
+@query(
+    "s15_txnlog_time_travel",
+    survey="beyond:time-travel,beyond:txnlog,S5",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def s15_txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s10's snapshot time travel on the commit-log backend, with the
+    write PRUNED: the table lands as four key-range files and the
+    upsert touches keys in one range, so three files must survive by
+    identity — asserted in-query. The oracle (untouched supplier)
+    hash-proves v0 replay; the assert proves the 100 TB property (a
+    narrow upsert is not a table rewrite)."""
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="rqe-txn-tt-")
+    t = TxnLogTable(spark, f"{root}/supplier", src.schema, ["s_suppkey"])
+    t.init(src.repartitionByRange(4, "s_suppkey"))
+    before = set(t._live())
+
+    low = src.orderBy("s_suppkey").limit(2)
+    t.upsert(low.withColumn("s_acctbal", F.col("s_acctbal") + 100.0))
+    survivors = before & set(t._live())
+    assert len(survivors) >= len(before) - 1, (
+        f"pruned upsert rewrote {len(before) - len(survivors)} of "
+        f"{len(before)} files — file skipping is broken"
+    )
+    return t.read(version=0).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@query(
+    "maintenance_txnlog_history",
+    survey="beyond:txnlog,beyond:maintenance",
+    priority=60,
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 'init', 0),
+        (1, 'append', 0),
+        (2, 'upsert', 1),
+        (3, 'delete_keys', 1),
+        (4, 'compact', 3)
+    ) AS h(version, op, n_remove)
+    """,
+)
+def maintenance_txnlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log itself as a query: a scripted mutation sequence
+    whose per-commit REMOVE counts are fully determined by the
+    file-skipping rules (the append's key range is disjoint from the
+    init's, so the upsert/delete rewrite exactly one file; compact
+    rewrites the three live files). A hash-green row pins the commit
+    protocol's observable behavior, not just the table contents."""
+    from ..operators.txnlog import TxnLogTable
+
+    nat = load_table(spark, sf_dir, "nation")
+    root = tempfile.mkdtemp(prefix="rqe-txn-hist-")
+    t = TxnLogTable(spark, f"{root}/nation", nat.schema, ["n_nationkey"])
+    t.init(nat.coalesce(1))  # v0: one file, keys 0..24
+    shifted = nat.select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        "n_name", "n_regionkey",
+    )
+    t.append(shifted.coalesce(1))  # v1: one file, keys 1000..1024
+    t.upsert(  # v2: overlaps ONLY the appended file
+        spark.createDataFrame([(1001, "UPDATED", 0)], nat.schema)
+    )
+    t.delete_keys(  # v3: key 1002 lives only in v2's kept-rows file
+        spark.createDataFrame([(1002,)], "n_nationkey int")
+    )
+    t.compact(1)  # v4: rewrites the 3 live files into 1
+    return spark.createDataFrame(
+        [(h["version"], h["op"], h["n_remove"]) for h in t.history()],
+        "version int, op string, n_remove int",
+    )

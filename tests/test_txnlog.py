@@ -1,0 +1,211 @@
+"""TxnLogTable: the Delta-protocol-shaped file-level copy-on-write
+backend (operators/txnlog.py). Three properties matter:
+
+1. PARITY — every mutation produces exactly the rows ParquetTable's
+   full-rewrite backend produces (same scenario, both backends, sorted
+   rows equal).
+2. PRUNING — a keyed write rewrites only the files whose key range can
+   contain the incoming keys; everything else survives by file
+   identity (the 100 TB property: a 10-row upsert is not a 100 TB
+   rewrite).
+3. PROTOCOL — CAS commits conflict correctly, time travel replays any
+   retained snapshot, checkpoints don't change replay results, vacuum
+   deletes only unreferenced files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from relational_query_engine_sql_spark.operators.mutation import (
+    CommitConflict,
+    ParquetTable,
+)
+from relational_query_engine_sql_spark.operators.txnlog import TxnLogTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(
+        [(int(k), g, float(v)) for k, g, v in pairs], SCHEMA
+    )
+
+
+@pytest.fixture()
+def base(spark):
+    return _rows(
+        spark, [(i, "even" if i % 2 == 0 else "odd", i * 1.0) for i in range(100)]
+    )
+
+
+def _collect(t):
+    return sorted(tuple(r) for r in t.read().collect())
+
+
+def test_mutation_parity_with_full_rewrite_backend(spark, base, tmp_path):
+    """The same mutation script on both backends ends in identical
+    tables at every step."""
+    a = ParquetTable(spark, str(tmp_path / "a"), SCHEMA, ["k"])
+    b = TxnLogTable(spark, str(tmp_path / "b"), SCHEMA, ["k"])
+    for t in (a, b):
+        t.init(base)
+
+    steps = [
+        lambda t: t.append(_rows(spark, [(200, "new", 1.0), (201, "new", 2.0)])),
+        lambda t: t.insert_ignore(
+            _rows(spark, [(0, "dupe", -1.0), (300, "new", 3.0)])
+        ),
+        lambda t: t.upsert(
+            _rows(spark, [(1, "upd", 11.0), (400, "ins", 4.0)])
+        ),
+        lambda t: t.update(
+            F.col("grp") == "even", {"val": F.col("val") + 1000.0}
+        ),
+        lambda t: t.delete(F.col("k").between(90, 99)),
+        lambda t: t.delete_keys(
+            _rows(spark, [(2, "x", 0.0), (4, "x", 0.0)]).select("k")
+        ),
+        lambda t: t.merge(
+            _rows(spark, [(3, "merged", 33.0), (500, "merged", 55.0)]),
+            update_assign={"grp": F.lit("merged"), "val": F.col("_s_val")},
+            delete_cond=F.col("k") == 500,
+        ),
+        lambda t: t.compact(2),
+    ]
+    for i, step in enumerate(steps):
+        step(a)
+        step(b)
+        assert _collect(a) == _collect(b), f"diverged at step {i}"
+    # merge: k=3 updated, k=500 insert branch (unmatched → insert, the
+    # delete_cond only applies to matched rows)
+    final = dict(((r[0]), (r[1], r[2])) for r in _collect(b))
+    assert final[3] == ("merged", 33.0)
+    assert 500 in final
+
+
+def test_keyed_write_rewrites_only_overlapping_files(spark, tmp_path):
+    """Three appends land three disjoint key-range file sets; an
+    upsert inside ONE range must remove/add only in that range —
+    the other files survive by identity."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            _rows(spark, [(lo + i, "g", 1.0) for i in range(100)]).coalesce(1)
+        )
+    before = set(t._live())
+    assert len(before) == 3
+    low_files = {
+        p for p, m in t._live().items() if m["stats"] and m["stats"][0] < 1000
+    }
+    assert len(low_files) == 1
+
+    t.upsert(_rows(spark, [(5, "upd", 9.0), (7, "upd", 9.0)]))
+    after = set(t._live())
+    # the two non-overlapping files are still live, untouched
+    assert (before - low_files) <= after
+    # the low-range file was rewritten away
+    assert not (low_files & after)
+    assert t.read().filter(F.col("grp") == "upd").count() == 2
+    assert t.read().count() == 300
+
+
+def test_append_adds_files_without_rewrite(spark, base, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    before = set(t._live())
+    t.append(_rows(spark, [(999, "new", 9.0)]))
+    after = set(t._live())
+    assert before <= after and len(after) > len(before)
+
+
+def test_cas_conflict_and_retry(spark, base, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    v = t.current_version()
+    t.commit_as(t.read().filter(F.col("k") < 50), v)
+    with pytest.raises(CommitConflict):
+        t.commit_as(t.read(v).filter(F.col("k") >= 50), v)
+    # the loser's rebase path: re-derive from the new head
+    got = t.modify_with_retry(lambda df: df.filter(F.col("k") < 10))
+    assert got == t.current_version()
+    assert t.read().count() == 10
+
+
+def test_time_travel_and_history(spark, base, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # v0
+    t.delete(F.col("k") >= 50)  # v1
+    t.upsert(_rows(spark, [(0, "zero", 0.5)]))  # v2
+    assert t.read(0).count() == 100
+    assert t.read(1).count() == 50
+    assert t.read().filter(F.col("grp") == "zero").count() == 1
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["init", "delete", "upsert"]
+    with pytest.raises(ValueError, match="no such version"):
+        t.read(99)
+
+
+def test_checkpoint_replay_matches_incremental(spark, base, tmp_path):
+    """Cross CHECKPOINT_EVERY commits; the checkpointed replay must
+    yield the same live set (and rows) as a from-zero replay."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    for i in range(12):
+        t.upsert(_rows(spark, [(i, f"u{i}", float(i))]))
+    v = t.current_version()
+    assert v == 12
+    ckpts = [
+        f
+        for f in os.listdir(t._log_dir())
+        if f.endswith(".checkpoint.json")
+    ]
+    assert ckpts, "no checkpoint written across 12 commits"
+    # replay from zero by hiding the checkpoint files
+    from_ckpt = t._live(v)
+    for c in ckpts:
+        os.rename(
+            os.path.join(t._log_dir(), c), os.path.join(t._log_dir(), c + ".bak")
+        )
+    from_zero = t._live(v)
+    for c in ckpts:
+        os.rename(
+            os.path.join(t._log_dir(), c + ".bak"), os.path.join(t._log_dir(), c)
+        )
+    assert from_ckpt == from_zero
+    assert t.read().filter(F.col("grp").startswith("u")).count() == 12
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, base, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    t.compact(1)  # v1 rewrites everything → v0's files unreferenced
+    t.append(_rows(spark, [(999, "new", 9.0)]))  # v2
+    live_now = set(t._live())
+    removed = t.vacuum(keep_last=2)  # keeps v1, v2
+    assert removed, "vacuum removed nothing"
+    assert not (set(removed) & live_now)
+    for rel in live_now:
+        assert os.path.exists(os.path.join(t.path, rel))
+    # current read unaffected; vacuumed snapshot fails loudly
+    assert t.read().count() == 101
+    with pytest.raises(Exception):
+        t.read(0).count()
+
+
+def test_zero_row_parts_never_enter_the_log(spark, base, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    # 8-partition write of 3 rows → most part files empty
+    t.init(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]).repartition(8))
+    assert all(m["rows"] > 0 for m in t._live().values())
+    assert t.read().count() == 3
