@@ -142,6 +142,11 @@ HEADLINE = [
     "eval_ann_recall",
     "dedup_incremental_ingest",
     "ann_ivf_multiprobe",
+    # round 4 additions: transaction-log backend + S8 chart sink
+    "s13_txnlog_merge_mixed",
+    "s15_txnlog_time_travel",
+    "maintenance_txnlog_history",
+    "s8_chart_daily_close",
 ]
 
 

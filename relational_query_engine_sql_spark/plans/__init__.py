@@ -330,6 +330,10 @@ ROUND7_QUEUE = [
     "s14_txnlog_optimistic_retry",
     "s15_txnlog_time_travel",
     "maintenance_txnlog_history",
+    "s8_chart_daily_close",  # S8 closed fully: SVG line-chart sink
+    "corpus_domain_gate",  # source-level quality gating
+    "text_bpe_pair_freq",  # BPE merge-candidate counting
+    "text_hot_span_scrub",  # Lee-et-al-style hot-span coverage
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

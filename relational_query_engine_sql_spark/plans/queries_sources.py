@@ -218,3 +218,62 @@ def src_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("amounts.total").alias("price"),
         F.col("header.status").alias("status"),
     )
+
+
+# --------------------------------------------------------------------------
+# S8 — chart sink, full analog (src/routes/chart.js:9-66): the daily
+# close series for one key over a date range (timestamp::date BETWEEN,
+# ORDER BY, last-60 slice — chart.js:13-27), rendered to an 800×400
+# line-chart FILE by sources/chart_sink.py (SVG instead of the
+# reference's QuickChart PNG round-trip — deterministic and
+# dependency-free; the query result is what the driver hash-checks,
+# the file write is the sink side-effect exactly like the CSV export).
+# --------------------------------------------------------------------------
+@query(
+    "s8_chart_daily_close",
+    survey="S8,F2,O1,O4",
+    priority=60,
+    oracle="""
+    SELECT day, close FROM (
+        SELECT CAST(ts AS DATE) AS day,
+               MAX_BY(value, printf('%020d%020d', epoch_us(ts), event_id))
+                   AS close
+        FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-12-31'
+        GROUP BY 1
+        ORDER BY day DESC LIMIT 60
+    ) t ORDER BY day
+    """,
+)
+def s8_chart_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..sources.chart_sink import write_chart
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").cast("date").between("2024-01-01", "2024-12-31")
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("close")
+        )
+    )
+    sliced = (
+        series.orderBy(F.col("day").desc())
+        .limit(60)
+        .orderBy(F.col("day").asc())
+    )
+    out = write_chart(
+        sliced,
+        _tf.mkdtemp(prefix="rqe-chart-"),
+        "purchase_2024",
+        "day",
+        "close",
+        "PURCHASE Price",
+    )
+    assert out.endswith(".svg")
+    return sliced

@@ -1550,3 +1550,203 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("new_id"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-level quality gating (beyond; the Common-Crawl pipeline
+# idiom): corpus curation decides keep/drop at the SOURCE level —
+# a domain whose documents are consistently short/low-quality is
+# dropped wholesale, which removes spam far more cheaply than per-doc
+# classification. One keyed aggregate over the corpus; at 100 TB the
+# per-source row count is bounded by the domain space, not the corpus.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_domain_gate",
+    survey="beyond:domain-gating",
+    priority=60,
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(ROUND(AVG(CAST(n_chars AS DECIMAL(27,6))), 2) AS DOUBLE)
+               AS avg_chars,
+           ROUND(SUM(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS pct_short,
+           CASE WHEN COUNT(*) < 3
+                  OR SUM(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*) > 0.2
+                THEN 'drop' ELSE 'keep' END AS gate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    short = F.sum(F.when(F.col("n_chars") < 150, 1).otherwise(0))
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("decimal(27,6)")), 2)
+        .cast("double")
+        .alias("avg_chars"),
+        F.round(short / F.count(F.lit(1)), 6).alias("pct_short"),
+    )
+    gate = F.when(
+        (F.col("n_docs") < 3) | (F.col("pct_short") > 0.2), "drop"
+    ).otherwise("keep")
+    return agg.select(
+        "source", "n_docs", "avg_chars", "pct_short", gate.alias("gate")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting (beyond; the tokenizer-training
+# primitive): frequency of every adjacent CHARACTER pair across the
+# corpus, weighted by word frequency — one BPE training round's "which
+# pair merges next" table. Distributed the way a real tokenizer
+# trainer shards it: aggregate the word VOCABULARY first (corpus-size
+# shuffle collapses to vocab-size), then explode each distinct word's
+# character pairs once and weight by its count. Top-30 with explicit
+# pair tiebreak.
+# --------------------------------------------------------------------------
+@query(
+    "text_bpe_pair_freq",
+    survey="beyond:tokenizer-bpe",
+    priority=60,
+    oracle=r"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS wc FROM (
+            SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+        FROM words, UNNEST(generate_series(1, LEN(w) - 1)) AS t(i)
+        WHERE LEN(w) >= 2
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 30
+    """,
+)
+def text_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.textstats import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-hot span scrubbing (beyond; the exact-substring-dedup shape
+# from "Deduplicating Training Data Makes Language Models Better",
+# Lee et al. 2022, simplified to hot-n-gram coverage): a 3-gram
+# appearing in >= 3 distinct documents marks its token positions as
+# boilerplate; the per-doc scrub report counts tokens covered by any
+# hot-gram occurrence. All set algebra on (doc, position) pairs —
+# explode, one distinct, keyed counts; the full text never shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "text_hot_span_scrub",
+    survey="beyond:hot-span-scrub",
+    priority=60,
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(text), '\s+')) AS tok,
+               UNNEST(generate_series(
+                   1, LEN(string_split_regex(trim(text), '\s+')))) AS pos
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS INT) AS start,
+               array_to_string(w[i:i+2], ' ') AS gram
+        FROM words, UNNEST(generate_series(1, LEN(w) - 2)) AS t(i)
+    ),
+    hot AS (
+        SELECT gram FROM grams
+        GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, CAST(p AS INT) AS pos
+        FROM grams g JOIN hot USING (gram),
+             UNNEST(generate_series(g.start, g.start + 2)) AS c(p)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(COALESCE(MAX(c.n), 0) AS INT) AS n_scrubbed
+    FROM toks t
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n FROM covered GROUP BY doc_id
+    ) c ON t.doc_id = c.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def text_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.textstats import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    w = docs.select(F.col("doc_id"), tokens("text").alias("w"))
+    n_tokens = w.select(
+        "doc_id", F.size("w").cast("int").alias("n_tokens")
+    )
+    idxs = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.array_join(F.slice("w", i, 3), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.start", "g.gram")
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("gram")
+    )
+    covered = (
+        grams.join(hot, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + 2)
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_scrubbed"))
+    )
+    return n_tokens.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_scrubbed", F.lit(0)).alias("n_scrubbed"),
+    )

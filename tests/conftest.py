@@ -10,10 +10,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from relational_query_engine_sql_spark.session import get_spark  # noqa: E402
 
 SF_SMALL = "/root/testdata/sf0.001"
-# overridable so the full differential suite can run at a larger scale
-# factor (e.g. SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1) before a
-# round closes
-SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+# CI default is the smallest SF so `pytest tests/ -q` stays under the
+# 5-minute budget as the registry grows (the differential suite is
+# ~253 parameterized cases). The STRICT gate at the driver's sf0.01
+# is tools/driver_sim.py (hash compare, no float tolerance) — run it
+# before a round closes; this suite's job in CI is catching breakage
+# fast. Override for a full-scale pass:
+#   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 python -m pytest tests/
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -102,3 +102,37 @@ def test_symbol_registry(spark, csv_dir):
         r["symbol"] for r in stocks.select("symbol").distinct().collect()
     )
     assert reg == expect
+
+
+def test_chart_sink_renders_bounded_svg(spark, sf_small, tmp_path):
+    """S8 analog (reference chart.js): the sink writes a parseable SVG
+    whose polyline has exactly min(rows, max_points) points, sliced to
+    the LAST max_points labels like the reference's MAX_POINTS cap."""
+    import xml.etree.ElementTree as ET
+
+    from relational_query_engine_sql_spark.sources.chart_sink import (
+        render_line_svg,
+        write_chart,
+    )
+
+    series = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", float(d)) for d in range(1, 31)],
+        "day string, close double",
+    )
+    path = write_chart(
+        series, str(tmp_path), "t", "day", "close", "T", max_points=10
+    )
+    root = ET.parse(path).getroot()
+    assert root.tag.endswith("svg")
+    d = next(
+        e.get("d") for e in root.iter() if e.tag.endswith("path")
+    )
+    assert d.count("L") + d.count("M") == 10  # last 10 points only
+    texts = [e.text for e in root.iter() if e.tag.endswith("text")]
+    assert "2024-01-30" in texts and "2024-01-21" in texts
+    assert "2024-01-01" not in texts
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no points"):
+        render_line_svg([], "empty")

@@ -626,11 +626,23 @@ class TestVideoSceneCuts:
 
 class TestRotationSelfAdvance:
     def test_judged_round_parses_verdict(self):
+        import os
+        import re
+
         from relational_query_engine_sql_spark.plans import _judged_round
 
-        # VERDICT.md at repo root currently says round 2 (written at
-        # the start of round 3); the parser must track it
-        assert _judged_round() == 2
+        # the parser must agree with the VERDICT.md actually on disk
+        # (pinning a literal round number here breaks every time the
+        # driver writes the next verdict — round-3's lesson)
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "VERDICT.md",
+        )
+        with open(path, encoding="utf-8") as f:
+            m = re.search(r"round\s+(\d+)", f.readline())
+        assert m, "VERDICT.md first line must name the judged round"
+        assert _judged_round() == int(m.group(1))
+        assert _judged_round() >= 2
 
     def test_current_prefix_matches_judged_round(self):
         from relational_query_engine_sql_spark import plans

@@ -523,3 +523,93 @@ def test_cdc_apply_checkpoint_resume(spark, sf_small, tmp_path):
         for r in table.read().collect()
     }
     assert got == want
+
+
+def test_tumbling_file_sink_checkpoint_restart(spark, sf_small, tmp_path):
+    """The full production topology for stream_tumbling_hourly: file
+    SOURCE → watermarked tumbling aggregate → append-mode parquet
+    SINK, with a driver restart in the middle (second availableNow run
+    against the same checkpoint). Proves the three things the
+    registry's batch-equivalent row claims: (1) the resumed run reads
+    only files added after the restart, (2) windows STRADDLING the
+    restart are completed from checkpointed state, not dropped or
+    double-counted, (3) the emitted window set equals the batch
+    aggregate over everything delivered."""
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("ts", "event_type", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .limit(3000)
+        .collect()
+    )
+    half = len(ev) // 2
+    schema = "ts timestamp, event_type string, value double, event_id long"
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "chunk*"))
+        )
+        q = (
+            tumbling_aggregate(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: the time-ordered first half
+    spark.createDataFrame(ev[:half], schema).coalesce(1).write.parquet(
+        str(src / "chunk0")
+    )
+    run()
+
+    # restart: second half plus a far-future sentinel that pushes the
+    # watermark past every real window so append mode finalizes them
+    # (the sentinel's own window stays in state, never emitted)
+    spark.createDataFrame(ev[half:], schema).coalesce(1).write.parquet(
+        str(src / "chunk1")
+    )
+    max_ts = max(r["ts"] for r in ev)
+    import datetime
+
+    sentinel = [
+        (max_ts + datetime.timedelta(hours=10), "sentinel", 0.0, -1)
+    ]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(
+        str(src / "chunk2")
+    )
+    q2 = run()
+    resumed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert resumed == len(ev) - half + 1, (
+        f"resume re-read old files: {resumed} rows"
+    )
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in tumbling_aggregate(
+            spark.createDataFrame(ev, schema)
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 5
+    # straddle sanity: at least one emitted window mixes rows from
+    # both runs (the checkpointed-state completion path actually ran)
+    mid_ts = ev[half]["ts"]
+    straddled = [
+        ws
+        for (ws, _t) in want
+        if ws <= mid_ts < ws + datetime.timedelta(hours=1)
+    ]
+    assert straddled, "no window straddles the restart boundary"
