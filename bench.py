@@ -390,8 +390,11 @@ def main() -> None:
                 "sf": payload["sf"],
                 "n_queries": len(timings),
                 "n_failures": len(failures),
-                **({"failures": sorted(failures)} if failures else {}),
-                "regressions": regressions,
+                # cap the name list so a catastrophic run can't bloat
+                # the summary line past the driver's tail capture
+                **({"failures": sorted(failures)[:10]} if failures else {}),
+                "n_regressions": len(regressions),
+                "regressions": dict(sorted(regressions.items())[:10]),
                 "regression_baseline_round": prior_round,
                 "slowest": slowest,
                 "queries_full": "bench_full.json",

@@ -1750,3 +1750,106 @@ def text_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.coalesce("n_scrubbed", F.lit(0)).alias("n_scrubbed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted LSH index cycle (beyond): the deployment shape
+# lsh_candidates_between's docstring promises — the corpus's band keys
+# live in a TABLE that persists across ingests (here the round-4
+# transaction-log format, so the daily append is a file-add commit,
+# never a rewrite), each incoming batch PROBES the stored index
+# instead of recomputing corpus signatures, and after screening the
+# batch's own keys are appended for the next cycle. In-query asserts
+# pin the protocol (append-only commits, index growth == batch keys);
+# the oracle checks the probe's candidate pairs.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_index_persisted",
+    survey="beyond:incremental-dedup,beyond:txnlog",
+    priority=60,
+    oracle=rf"""
+    WITH corpus AS (
+        SELECT doc_id AS id, text, 0 AS is_new FROM documents
+        UNION ALL
+        SELECT doc_id + {_ING_OFFSET}, text || ' freshly ingested', 1
+        FROM documents WHERE doc_id % 20 = 7
+    ),
+    words AS (
+        SELECT id, is_new, string_split_regex(trim(text), '\s+') AS w
+        FROM corpus
+    ),
+    idx AS (
+        SELECT id, is_new, w, UNNEST(generate_series(1, LEN(w) - 2)) AS i
+        FROM words
+    ),
+    sh AS (
+        SELECT DISTINCT id, is_new, array_to_string(w[i:i+2], ' ') AS sh
+        FROM idx
+    ),
+    sig AS (
+        SELECT id, is_new,
+               MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+               MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3
+        FROM sh GROUP BY id, is_new
+    ),
+    bands AS (
+        SELECT id, is_new, 0 AS band, h0 || h1 AS key FROM sig
+        UNION ALL
+        SELECT id, is_new, 1, h2 || h3 FROM sig
+    )
+    SELECT DISTINCT o.id AS corpus_id, n.id AS new_id
+    FROM bands o
+    JOIN bands n ON o.band = n.band AND o.key = n.key
+    WHERE o.is_new = 0 AND n.is_new = 1
+    """,
+)
+def dedup_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from pyspark.sql import types as T
+
+    from ..datapipe.dedup import lsh_band_keys
+    from ..operators.txnlog import TxnLogTable
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    batch = docs.filter(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + _ING_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" freshly ingested")).alias("text"),
+    )
+    index_schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("id", T.LongType()),
+        ]
+    )
+    root = _tf.mkdtemp(prefix="rqe-lsh-index-")
+    index = TxnLogTable(
+        spark, f"{root}/lsh_index", index_schema, keys=["band", "key", "id"]
+    )
+    # cycle day 0: corpus band keys land once (one-time build cost)
+    index.init(lsh_band_keys(minhash_signature(shingles(docs))))
+    n_before = index.read().count()
+
+    # cycle day 1: probe the STORED index — corpus signatures are read,
+    # not recomputed — then append the batch's keys for day 2
+    batch_keys = lsh_band_keys(
+        minhash_signature(shingles(batch)), id_out="d2"
+    ).localCheckpoint(eager=True)  # probed AND appended: cut once
+    cand = (
+        index.read()
+        .withColumnRenamed("id", "d1")
+        .join(batch_keys, ["band", "key"])
+        .select(
+            F.col("d1").alias("corpus_id"), F.col("d2").alias("new_id")
+        )
+        .distinct()
+    )
+    index.append(batch_keys.select("band", "key", F.col("d2").alias("id")))
+    assert index.current_version() == 1, "append must be one commit"
+    n_after = index.read().count()
+    n_batch = batch_keys.count()
+    assert n_after == n_before + n_batch, (
+        f"index grew {n_after - n_before}, expected {n_batch}"
+    )
+    return cand

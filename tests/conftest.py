@@ -19,9 +19,21 @@ SF_SMALL = "/root/testdata/sf0.001"
 #   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 python -m pytest tests/
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
 
+# Hypothesis example count for the Spark-heavy property tests (each
+# example is 1-4 full Spark jobs, so examples dominate those tests'
+# wall time). CI default keeps the property checks meaningful while
+# fitting the time budget; the pre-round-close full pass raises it:
+#   SPARK_GRAFT_PROP_EXAMPLES=10 python -m pytest tests/ -q
+PROP_EXAMPLES = int(os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "4"))
+
 
 @pytest.fixture(scope="session")
 def spark():
+    # 8 threads, 8 shuffle partitions: measured sweet spot. 16 threads
+    # doubled defaultParallelism and with it the per-stage task count
+    # of every tiny test job — the iterative tests (connected
+    # components, range joins) got ~2x SLOWER, costing more than the
+    # pooled parity suite gained.
     s = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
     yield s
 

@@ -108,3 +108,26 @@ def test_rotation_self_advance_tracks_verdict_round():
         min(P._judged_round() + 1, max(P._ROTATIONS))
     )
     assert list(P.all_queries())[: len(active)] == active
+
+
+def test_prior_bench_recovers_queries_from_truncated_tail(
+    tmp_path, monkeypatch
+):
+    """Round 3's driver artifact was truncated (parsed: null, only the
+    tail of the JSON line captured). The detector must regex real
+    query timings out of the tail — and must NOT mistake wrapper pairs
+    like "sf": 0.1 for queries."""
+    tail = (
+        '.62, "a1_pricing_summary": 1.234, "j1_join_dims": 0.5, '
+        '"not_a_query": 9.9, "sf": 0.1, "regressions": {}}\n'
+    )
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"n": 3, "rc": 0, "sf": 0.1, "tail": tail, "parsed": None})
+    )
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "4")
+    prior, rnd = bench._prior_bench(str(tmp_path), "0.1")
+    assert rnd == 3
+    assert prior["queries"] == {
+        "a1_pricing_summary": 1.234,
+        "j1_join_dims": 0.5,
+    }

@@ -157,6 +157,8 @@ def test_chunking_suppresses_suffix_only_tail(spark):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import PROP_EXAMPLES
+
 
 def _uf_components(edges, nodes):
     parent = {n: n for n in nodes}
@@ -175,7 +177,7 @@ def _uf_components(edges, nodes):
 
 
 @settings(
-    max_examples=8,
+    max_examples=PROP_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -205,7 +207,7 @@ def test_cc_matches_union_find(spark, edges):
 
 
 @settings(
-    max_examples=8,
+    max_examples=PROP_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -267,7 +269,7 @@ def test_range_join_matches_naive_property(spark, pts, spans, band):
 
 
 @settings(
-    max_examples=8,
+    max_examples=PROP_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

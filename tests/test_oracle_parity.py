@@ -9,6 +9,7 @@ tolerance, everything else exact).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -109,15 +110,54 @@ def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
 
 _ORACLES = plans.all_oracles()
 
+# Serial parametrized mode (one pytest case per query — better
+# isolation and -x bisection) is opt-in; the default pools the cases
+# across threads because the registry crossed the point where 260+
+# serial Spark-job+DuckDB round-trips alone blow the CI time budget.
+# Spark job submission is thread-safe (each toPandas is an independent
+# job; local[32] schedules them concurrently) and each worker opens
+# its own DuckDB connection.
+_SERIAL = bool(os.environ.get("SPARK_GRAFT_PARITY_SERIAL"))
 
+
+def _run_case(spark, sf_oracle: str, name: str) -> str | None:
+    """One query-vs-oracle compare; returns an error string or None."""
+    try:
+        q = plans.get(name)
+        spark_pdf = q.fn(spark, sf_oracle).toPandas()
+        con = _duck(sf_oracle)
+        try:
+            oracle_pdf = con.sql(q.oracle).df()
+        finally:
+            con.close()
+        _compare(spark_pdf, oracle_pdf, name)
+        return None
+    except Exception as ex:  # noqa: BLE001 — reported, not swallowed
+        return f"{name}: {type(ex).__name__}: {ex}"
+
+
+@pytest.mark.skipif(not _SERIAL, reason="pooled mode (default) covers this")
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(spark, sf_oracle, name):
-    q = plans.get(name)
-    spark_pdf = q.fn(spark, sf_oracle).toPandas()
-    con = _duck(sf_oracle)
-    oracle_pdf = con.sql(q.oracle).df()
-    con.close()
-    _compare(spark_pdf, oracle_pdf, name)
+    err = _run_case(spark, sf_oracle, name)
+    assert err is None, err
+
+
+@pytest.mark.skipif(_SERIAL, reason="serial mode covers this")
+def test_all_queries_match_oracle_pooled(spark, sf_oracle):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(_ORACLES)
+    workers = int(os.environ.get("SPARK_GRAFT_PARITY_THREADS", "8"))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        results = list(
+            ex.map(lambda n: _run_case(spark, sf_oracle, n), names)
+        )
+    failures = [r for r in results if r is not None]
+    assert not failures, (
+        f"{len(failures)}/{len(names)} parity failures:\n"
+        + "\n".join(failures[:20])
+    )
 
 
 def test_all_queries_have_entries():

@@ -13,6 +13,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import PROP_EXAMPLES
+
 from relational_query_engine_sql_spark.operators.trading import _fold_position
 
 # --- pure fold properties --------------------------------------------------
@@ -129,7 +131,7 @@ def kv_table_factory(spark, tmp_path_factory):
 
 @given(first=kv_rows, second=kv_rows)
 @settings(
-    max_examples=10,
+    max_examples=PROP_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
