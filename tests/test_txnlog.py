@@ -209,3 +209,37 @@ def test_zero_row_parts_never_enter_the_log(spark, base, tmp_path):
     t.init(_rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]).repartition(8))
     assert all(m["rows"] > 0 for m in t._live().values())
     assert t.read().count() == 3
+
+
+def test_concurrent_writers_serialize_through_cas(spark, base, tmp_path):
+    """Two real threads hammer modify_with_retry concurrently (each
+    increments a disjoint key range 5 times). The CAS log must
+    serialize them: versions stay gapless 0..10, every commit lands,
+    and the final table carries BOTH writers' full increment sets —
+    no lost update, the anomaly the protocol exists to prevent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # v0, vals 0..99
+
+    def writer(mod: int):
+        def bump(df):
+            return df.withColumn(
+                "val",
+                F.when(
+                    F.col("k") % 2 == mod, F.col("val") + 1.0
+                ).otherwise(F.col("val")),
+            )
+
+        for _ in range(5):
+            t.modify_with_retry(bump, max_retries=20)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(writer, m) for m in (0, 1)]
+        for f in futs:
+            f.result()  # surface any CommitConflict exhaustion
+
+    assert t.versions() == list(range(11))  # gapless: 10 commits + init
+    rows = {r["k"]: r["val"] for r in t.read().collect()}
+    for k in range(100):
+        assert rows[k] == k * 1.0 + 5.0, (k, rows[k])
