@@ -92,7 +92,23 @@ class TxnLogTable(ParquetTable):
     time travel, ``history()``, ``vacuum()``), different write
     mechanics: append-only data files, file-level copy-on-write,
     CAS commits.
+
+    ``partition_by`` is intentionally NOT honored here: hive directory
+    layout is the OTHER mechanism for skipping data, and this format's
+    per-file key stats subsume it for keyed writes (Delta likewise
+    leans on stats over physical partitioning). Passing it raises so a
+    caller migrating from ParquetTable can't silently lose pruning
+    they expected.
     """
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        if self.partition_by:
+            raise ValueError(
+                "TxnLogTable skips files via per-file key stats; "
+                "partition_by is not supported — drop it or use "
+                "ParquetTable(partition_by=...)"
+            )
 
     # -- log bookkeeping (driver-side metadata only) ------------------------
 
