@@ -85,6 +85,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = None,
     counts: DataFrame | None = None,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over document pairs.
 
@@ -106,6 +107,17 @@ def jaccard_pairs(
         )
         sh = sh.join(keep, "sh", "left_semi")
         counts = None  # the cap changes per-doc counts; recompute
+
+    # sh feeds up to THREE branches (counts + both self-join sides) —
+    # cut lineage once so the tokenize/explode subtree isn't evaluated
+    # per branch. Default: materialize on the exact path only; the LSH
+    # path's callers already checkpointed sh before banding, and a
+    # second checkpoint would re-copy the data. ``materialize`` forces
+    # either way (False when the caller checkpointed sh itself).
+    if materialize is None:
+        materialize = candidates is None
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
 
     if counts is None:
         counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -338,6 +350,9 @@ def containment_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     would come from LSH exactly as the Jaccard path does.
     Output: (d1, d2, containment) with containment >= threshold.
     """
+    # sh feeds counts + both self-join sides — same lineage cut as the
+    # exact jaccard path
+    sh = sh.localCheckpoint(eager=True)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("d1"), "sh")
     b = sh.select(F.col("id").alias("d2"), "sh")

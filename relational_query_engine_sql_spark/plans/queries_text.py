@@ -336,8 +336,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    sh = shingles(docs)
-    sig = minhash_signature(sh)
+    # sh feeds signature + both verification sides, sig feeds banding +
+    # counts — cut lineage once per frame (same rule as
+    # datapipe.dedup.minhash_lsh_dedup and operators/graph.py:62)
+    sh = shingles(docs).localCheckpoint(eager=True)
+    sig = minhash_signature(sh).localCheckpoint(eager=True)
     cand = lsh_candidates(sig)
     pairs = jaccard_pairs(
         sh, JACCARD_THRESHOLD, candidates=cand, counts=sig.select("id", "n")
@@ -1302,12 +1305,25 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    sh = shingles(docs)
-    sig = minhash_signature(sh)
-    cand = lsh_candidates(sig)
-    true_pairs = jaccard_pairs(
-        sh, JACCARD_THRESHOLD, counts=sig.select("id", "n")
-    ).select("d1", "d2")
+    # the eval compares TWO full pipelines over the same shingle and
+    # signature frames — without the lineage cuts each pipeline
+    # re-evaluates them independently
+    sh = shingles(docs).localCheckpoint(eager=True)
+    sig = minhash_signature(sh).localCheckpoint(eager=True)
+    # cand is consumed 3x (found's semi-join + its own count + found's
+    # count path) and true_pairs 2x — materialize both pair lists so
+    # the banding and verification joins run once each
+    cand = lsh_candidates(sig).localCheckpoint(eager=True)
+    true_pairs = (
+        jaccard_pairs(
+            sh,
+            JACCARD_THRESHOLD,
+            counts=sig.select("id", "n"),
+            materialize=False,  # sh is checkpointed above
+        )
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
     found = true_pairs.join(cand, ["d1", "d2"], "left_semi")
     counts3 = (
         true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
