@@ -206,3 +206,30 @@ def repetition_metrics(
             ).alias("dup_bigram_ratio"),
         )
     )
+
+
+def nfc_normalize(col: str | Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF.
+
+    Web-crawled corpora mix composed and decomposed forms of the same
+    grapheme ('é' as U+00E9 vs 'e'+U+0301); exact dedup, shingling and
+    tokenization all treat them as different bytes unless the corpus
+    is normalized first, so NFC is the canonical first pass of a text
+    pipeline. Spark has no built-in NFC expression — this is the
+    legitimate Python-UDF case: a scalar, stateless, Arrow-batched
+    transform (unicodedata.normalize is C-backed; the batch transfer,
+    not the loop, is the cost). Exactly matches DuckDB's
+    ``nfc_normalize``, so queries built on it remain hash-oracle-able.
+    """
+    import pandas as pd  # noqa: F401  (signature typing)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pd.Series -> pd.Series
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)

@@ -1869,3 +1869,46 @@ def dedup_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"index grew {n_after - n_before}, expected {n_batch}"
     )
     return cand
+
+
+# --------------------------------------------------------------------------
+# Unicode NFC normalization (beyond; the canonical first pass of a
+# web-corpus pipeline): composed vs decomposed grapheme forms ('é' as
+# U+00E9 vs 'e'+U+0301) break exact dedup/shingling/tokenization at
+# the byte level. Spark has no built-in NFC expression, so this is
+# the repo's one legitimate scalar Python-UDF text path — Arrow-
+# batched pandas UDF over C-backed unicodedata.normalize — and it
+# stays hash-oracle-able because DuckDB's nfc_normalize implements
+# the same Unicode standard. The synthetic corpus is ASCII, so the
+# query plants decomposed sequences first (every 'a' gains a
+# combining acute) in BOTH engines; NFC must then recompose them
+# (len_nfc < len_decomposed wherever an 'a' existed).
+# --------------------------------------------------------------------------
+@query(
+    "text_nfc_normalize",
+    survey="beyond:unicode-nfc",
+    priority=60,
+    oracle="""
+    WITH decomposed AS (
+        SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(t) AS INT) AS len_decomposed,
+           CAST(LENGTH(nfc_normalize(t)) AS INT) AS len_nfc,
+           md5(nfc_normalize(t)) AS nfc_md5
+    FROM decomposed
+    """,
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.textstats import nfc_normalize
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    t = F.regexp_replace(F.col("text"), "a", "a\u0301")
+    nfc = nfc_normalize(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("int").alias("len_decomposed"),
+        F.length(nfc).cast("int").alias("len_nfc"),
+        F.md5(F.encode(nfc, "UTF-8")).alias("nfc_md5"),
+    )

@@ -212,3 +212,32 @@ def test_negative_pairs_are_valid_and_deterministic(spark, sf_small):
     # pure function of the corpus: two runs agree exactly
     b = q.fn(spark, sf_small)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_nfc_normalize_unifies_composed_and_decomposed(spark):
+    """The motivating property: the same word in composed (U+00E9) and
+    decomposed ('e'+U+0301) forms hashes differently raw, identically
+    after NFC — so exact dedup catches the pair only post-normalize."""
+    from pyspark.sql import functions as F
+
+    from relational_query_engine_sql_spark.datapipe.dedup import exact_dedup
+    from relational_query_engine_sql_spark.datapipe.textstats import (
+        nfc_normalize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "caf\u00e9 au lait"), (2, "cafe\u0301 au lait")],  # composed / decomposed — escapes, not raw bytes, so an NFC-normalizing editor can't silently merge them
+        "doc_id long, text string",
+    )
+    raw = exact_dedup(docs).collect()
+    assert len(raw) == 2  # byte-different → not deduped
+    normed = docs.select(
+        "doc_id", nfc_normalize("text").alias("text")
+    )
+    post = exact_dedup(normed).collect()
+    assert len(post) == 1 and post[0]["n_copies"] == 2
+    # NULL passes through
+    nul = spark.createDataFrame(
+        [(3, None)], "doc_id long, text string"
+    ).select(nfc_normalize("text").alias("t"))
+    assert nul.first()["t"] is None
