@@ -163,9 +163,66 @@ class TxnLogTable(ParquetTable):
                         "rows": a["add"]["rows"],
                         "stats": a["add"].get("stats"),
                     }
-                else:
+                elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
+                # "metadata" actions don't touch the file set
         return live
+
+    # -- schema evolution (Delta metadata-action shape) ---------------------
+
+    def _schema_at(self, version: int | None):
+        """Effective schema at ``version``: the newest metadata action
+        at or before it, else the constructor schema. Metadata lives
+        in the log (never in checkpoints), so the walk scans commit
+        entries newest-first — KB of driver-side JSON."""
+        import pyspark.sql.types as T
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return self._base_schema
+        for v in range(version, -1, -1):
+            if not os.path.exists(self._log_path(v)):
+                continue
+            with open(self._log_path(v), encoding="utf-8") as f:
+                entry = json.load(f)
+            for a in entry["actions"]:
+                if "metadata" in a:
+                    return T.StructType.fromJson(a["metadata"]["schema"])
+        return self._base_schema
+
+    @property
+    def schema(self):
+        return self._schema_at(None)
+
+    @schema.setter
+    def schema(self, value) -> None:
+        # ParquetTable.__init__ assigns self.schema; the pre-evolution
+        # baseline lands here
+        self._base_schema = value
+
+    def add_columns(self, fields: dict[str, str]) -> int:
+        """Widen the table schema — a METADATA-ONLY commit, zero data
+        rewritten (the Delta ALTER TABLE ADD COLUMNS shape). Existing
+        files simply read the new columns as NULL (parquet scan with
+        an explicit superset schema); subsequent writes carry them.
+        Returns the committed version."""
+        import pyspark.sql.types as T
+
+        cur = self.schema
+        for name in fields:
+            if name in cur.fieldNames():
+                raise ValueError(f"column exists: {name}")
+        new = T.StructType(
+            list(cur.fields)
+            + [
+                T.StructField(n, T._parse_datatype_string(dt))
+                for n, dt in fields.items()
+            ]
+        )
+        return self._commit(
+            "add_columns", [{"metadata": {"schema": new.jsonValue()}}]
+        )
 
     def history(self) -> list[dict]:
         """One {version, op, n_add, n_remove} row per commit."""
@@ -187,11 +244,14 @@ class TxnLogTable(ParquetTable):
     # -- read ---------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
+        # schema resolves AT the requested version, so time travel to a
+        # pre-evolution snapshot shows the schema of that era
+        schema = self._schema_at(version)
         live = self._live(version)
         if not live:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, p) for p in live]
-        return self.spark.read.schema(self.schema).parquet(*paths)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def file_count(self) -> int:
         return len(self._live())

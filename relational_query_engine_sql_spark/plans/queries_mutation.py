@@ -857,3 +857,44 @@ def maintenance_txnlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(h["version"], h["op"], h["n_remove"]) for h in t.history()],
         "version int, op string, n_remove int",
     )
+
+
+@query(
+    "s16_txnlog_schema_evolution",
+    survey="beyond:schema-evolution,beyond:txnlog",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+           CASE WHEN s_acctbal >= 5000 THEN 'gold'
+                WHEN s_acctbal >= 0 THEN 'std'
+                ELSE 'watch' END AS tier
+    FROM supplier
+    """,
+)
+def s16_txnlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS on the commit-log backend as a
+    metadata-only commit (zero files rewritten — asserted), then a
+    conditional UPDATE fills the new column: the add-column +
+    backfill cycle every warehouse runs. Old rows read NULL until the
+    backfill; the oracle is the tier CASE over the original table."""
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="rqe-txn-evo-")
+    t = TxnLogTable(spark, f"{root}/supplier", src.schema, ["s_suppkey"])
+    t.init(src)
+    files_before = set(t._live())
+    t.add_columns({"tier": "string"})
+    assert set(t._live()) == files_before, "add_columns rewrote data"
+    assert t.read().filter(F.col("tier").isNotNull()).count() == 0
+    t.update(
+        F.lit(True),
+        {
+            "tier": F.when(F.col("s_acctbal") >= 5000, "gold")
+            .when(F.col("s_acctbal") >= 0, "std")
+            .otherwise("watch")
+        },
+    )
+    return t.read().select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal", "tier"
+    )

@@ -243,3 +243,54 @@ def test_concurrent_writers_serialize_through_cas(spark, base, tmp_path):
     rows = {r["k"]: r["val"] for r in t.read().collect()}
     for k in range(100):
         assert rows[k] == k * 1.0 + 5.0, (k, rows[k])
+
+
+def test_schema_evolution_metadata_only_commit(spark, base, tmp_path):
+    """ALTER TABLE ADD COLUMNS as a metadata-only commit: zero files
+    rewritten, old files read the new column as NULL, new writes carry
+    it, and time travel to a pre-evolution version shows that era's
+    schema."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # v0
+    files_before = set(t._live())
+    v = t.add_columns({"score": "double"})  # v1: metadata only
+    assert v == 1
+    assert set(t._live()) == files_before  # no data churn
+
+    assert t.schema.fieldNames() == ["k", "grp", "val", "score"]
+    assert t.read().filter(F.col("score").isNull()).count() == 100
+
+    # new writes carry the column; old rows keep NULL
+    t.upsert(
+        spark.createDataFrame([(1, "upd", 1.0, 9.5)], t.schema)
+    )
+    got = {r["k"]: r["score"] for r in t.read().collect()}
+    assert got[1] == 9.5 and got[2] is None
+
+    # pre-evolution time travel: old schema, old width
+    old = t.read(0)
+    assert old.schema.fieldNames() == ["k", "grp", "val"]
+    assert old.count() == 100
+
+    # duplicate add fails loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="column exists"):
+        t.add_columns({"score": "double"})
+
+
+def test_schema_evolution_survives_checkpoint_replay(spark, base, tmp_path):
+    """Metadata actions live only in the log; a checkpoint written
+    AFTER evolution must not lose the schema (checkpoints carry the
+    file set, the schema walk reads commits)."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    t.add_columns({"extra": "string"})
+    for i in range(10):  # cross CHECKPOINT_EVERY
+        t.upsert(
+            spark.createDataFrame([(i, "u", 0.0, f"x{i}")], t.schema)
+        )
+    assert t.current_version() == 11
+    assert t.schema.fieldNames()[-1] == "extra"
+    rows = {r["k"]: r["extra"] for r in t.read().collect()}
+    assert rows[3] == "x3" and rows[50] is None
