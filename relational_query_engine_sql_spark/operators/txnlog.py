@@ -461,11 +461,28 @@ class TxnLogTable(ParquetTable):
         )
         self._rewrite("merge", affected, out)
 
-    def compact(self, target_files: int) -> None:
+    def compact(
+        self, target_files: int, cluster_by: list[str] | None = None
+    ) -> None:
+        """Small-files compaction; with ``cluster_by``, a CLUSTERED
+        rewrite (Delta OPTIMIZE ZORDER / liquid-clustering shape):
+        range-partition + sort on the cluster columns so each output
+        file owns a disjoint value range. When the cluster key IS the
+        table key, the per-file stats this format already logs become
+        maximally selective — a keyed write then prunes to exactly one
+        file instead of every file overlapping a broad hash-mixed
+        range. This composes the two halves (stats skipping + layout)
+        the same way a lakehouse does."""
         live = list(self._live())
-        self._rewrite(
-            "compact", live, self._read_files(live).repartition(target_files)
-        )
+        df = self._read_files(live)
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            df = df.repartition(target_files)
+        self._rewrite("compact", live, df)
 
     # -- optimistic concurrency / retention ----------------------------------
 

@@ -337,6 +337,7 @@ ROUND7_QUEUE = [
     "dedup_index_persisted",  # LSH index as a persisted txnlog table
     "text_nfc_normalize",  # Arrow-UDF NFC vs DuckDB nfc_normalize
     "s16_txnlog_schema_evolution",  # metadata-only ADD COLUMNS + backfill
+    "maintenance_txnlog_cluster",  # clustered compaction -> 1-file pruning
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -898,3 +898,39 @@ def s16_txnlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal", "tier"
     )
+
+
+@query(
+    "maintenance_txnlog_cluster",
+    survey="beyond:txnlog,beyond:zorder-layout",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def maintenance_txnlog_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered compaction (OPTIMIZE ZORDER shape) on the commit-log
+    backend: four hash-mixed appends (suppkey % 4 slices) give every
+    file a near-full key range, so a point-keyed write would rewrite
+    all of them; compact(cluster_by=key) range-sorts the rewrite and
+    the same probe prunes to one file. Both facts asserted in-query;
+    the oracle pins content preservation across the clustered
+    rewrite."""
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="rqe-txn-cluster-")
+    t = TxnLogTable(spark, f"{root}/supplier", src.schema, ["s_suppkey"])
+    for m in range(4):
+        t.append(src.filter(F.col("s_suppkey") % 4 == m).coalesce(1))
+    mid = src.agg(
+        F.percentile_approx("s_suppkey", 0.5).alias("m")
+    ).first()["m"]
+    probe = spark.createDataFrame([(int(mid),)], "s_suppkey long")
+    assert len(t._affected(probe)) == 4, "expected hash-mixed ranges"
+    t.compact(4, cluster_by=["s_suppkey"])
+    n = len(t._affected(probe))
+    assert n == 1, f"clustered probe hit {n} files"
+    return t.read().select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

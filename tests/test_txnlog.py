@@ -294,3 +294,36 @@ def test_schema_evolution_survives_checkpoint_replay(spark, base, tmp_path):
     assert t.schema.fieldNames()[-1] == "extra"
     rows = {r["k"]: r["extra"] for r in t.read().collect()}
     assert rows[3] == "x3" and rows[50] is None
+
+
+def test_clustered_compaction_tightens_pruning(spark, tmp_path):
+    """Hash-mixed appends give every file a near-full key range, so a
+    keyed upsert must rewrite everything; compact(cluster_by=key)
+    range-sorts the rewrite so file ranges become disjoint and the
+    same upsert prunes to ONE file — stats skipping and layout
+    composing, the lakehouse OPTIMIZE ZORDER effect."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    # 4 hash-mixed appends: each carries keys spanning ~the full range
+    for m in range(4):
+        t.append(
+            _rows(
+                spark,
+                [(i * 4 + m, "g", 1.0) for i in range(250)],
+            ).coalesce(1)
+        )
+    wide = t._affected(
+        spark.createDataFrame([(500,)], "k long").select("k")
+    )
+    assert len(wide) == 4  # every file overlaps key 500
+
+    t.compact(4, cluster_by=["k"])
+    ranges = sorted(
+        tuple(m["stats"]) for m in t._live().values() if m["stats"]
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint file ranges after clustering
+    narrow = t._affected(
+        spark.createDataFrame([(500,)], "k long").select("k")
+    )
+    assert len(narrow) == 1  # now prunes to a single file
+    assert t.read().count() == 1000
