@@ -161,10 +161,10 @@ def test_checkpoint_replay_matches_incremental(spark, base, tmp_path):
     yield the same live set (and rows) as a from-zero replay."""
     t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
     t.init(base)
-    for i in range(12):
+    for i in range(10):  # v10 crosses CHECKPOINT_EVERY
         t.upsert(_rows(spark, [(i, f"u{i}", float(i))]))
     v = t.current_version()
-    assert v == 12
+    assert v == 10
     ckpts = [
         f
         for f in os.listdir(t._log_dir())
@@ -183,7 +183,7 @@ def test_checkpoint_replay_matches_incremental(spark, base, tmp_path):
             os.path.join(t._log_dir(), c + ".bak"), os.path.join(t._log_dir(), c)
         )
     assert from_ckpt == from_zero
-    assert t.read().filter(F.col("grp").startswith("u")).count() == 12
+    assert t.read().filter(F.col("grp").startswith("u")).count() == 10
 
 
 def test_vacuum_removes_only_unreferenced_files(spark, base, tmp_path):
@@ -286,11 +286,11 @@ def test_schema_evolution_survives_checkpoint_replay(spark, base, tmp_path):
     t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
     t.init(base)
     t.add_columns({"extra": "string"})
-    for i in range(10):  # cross CHECKPOINT_EVERY
+    for i in range(9):  # v10 crosses CHECKPOINT_EVERY
         t.upsert(
             spark.createDataFrame([(i, "u", 0.0, f"x{i}")], t.schema)
         )
-    assert t.current_version() == 11
+    assert t.current_version() == 10
     assert t.schema.fieldNames()[-1] == "extra"
     rows = {r["k"]: r["extra"] for r in t.read().collect()}
     assert rows[3] == "x3" and rows[50] is None
