@@ -166,6 +166,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     nprobe: int = 1,
+    filter_cond=None,
 ) -> DataFrame:
     """IVF-bucketed ANN: nearest-centroid probe, then exact cosine
     within the probed bucket(s) only.
@@ -210,7 +211,16 @@ def ivf_topk(
         .select("query_id", "bucket")
     )
 
-    # exact cosine within the probed bucket.
+    # exact cosine within the probed bucket. ``filter_cond`` is the
+    # FILTERED vector-search path (metadata predicate AND nearest-k):
+    # pre-filtering — the predicate restricts the candidate scan
+    # before scoring, so cost tracks the filtered set, while the
+    # centroid probe stays global (selectivity doesn't move Voronoi
+    # cells). The standard caveat applies and is the caller's knob:
+    # under very selective filters raise nprobe, since the k nearest
+    # FILTERED vectors may live outside the top-1 bucket.
+    if filter_cond is not None:
+        emb = emb.filter(filter_cond)
     cand = emb.select(
         F.col(id_col),
         F.col(bucket_col).alias("bucket"),

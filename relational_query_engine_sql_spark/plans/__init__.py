@@ -338,6 +338,7 @@ ROUND7_QUEUE = [
     "text_nfc_normalize",  # Arrow-UDF NFC vs DuckDB nfc_normalize
     "s16_txnlog_schema_evolution",  # metadata-only ADD COLUMNS + backfill
     "maintenance_txnlog_cluster",  # clustered compaction -> 1-file pruning
+    "ann_ivf_filtered",  # filtered vector search (predicate AND knn)
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

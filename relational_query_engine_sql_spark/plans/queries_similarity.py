@@ -80,13 +80,15 @@ def ann_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # IVF-bucketed ANN — nearest-centroid probe, search one bucket.
 # --------------------------------------------------------------------------
-def _ivf_ctes(k: int, nprobe: int = 1) -> str:
+def _ivf_ctes(k: int, nprobe: int = 1, pred: str = "") -> str:
     """Shared IVF CTE chain (centroid probe → bucket-restricted exact
     cosine → per-query top-``k`` as ``ivf``); reused by the ann query
     and the recall eval so both see the identical formulation.
-    ``nprobe`` widens the centroid probe (multiprobe) — a parameter,
-    not a post-hoc text patch, so oracle and Spark plan can never
-    silently diverge on probe width."""
+    ``nprobe`` widens the centroid probe (multiprobe) and ``pred``
+    restricts the candidate scan (filtered vector search; centroids
+    stay global) — parameters, not post-hoc text patches, so oracle
+    and Spark plan can never silently diverge."""
+    pred_sql = f" AND ({pred})" if pred else ""
     return f"""pos1 AS (
         SELECT vec_id, label, embedding,
                UNNEST(generate_series(1, LEN(embedding))) AS pos
@@ -132,7 +134,7 @@ def _ivf_ctes(k: int, nprobe: int = 1) -> str:
         FROM probe p
         JOIN embeddings e ON e.label = p.bucket
         JOIN q ON q.query_id = p.query_id
-        WHERE e.vec_id <> p.query_id
+        WHERE e.vec_id <> p.query_id{pred_sql}
     ),
     ivf AS (
         SELECT query_id, vec_id, cos, rnk FROM (
@@ -569,3 +571,33 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _queries_df(emb), k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Filtered vector search (beyond): metadata predicate AND nearest-k —
+# "similar documents that are ALSO in the allowed subset", the shape
+# every RAG deployment with tenancy/language/recency filters runs.
+# Pre-filtering: the predicate restricts the candidate scan before
+# scoring (cost tracks the filtered set), the centroid probe stays
+# global, and nprobe=2 compensates for the thinner buckets — under a
+# selective filter the k nearest SURVIVING vectors often live outside
+# the top-1 Voronoi cell, which is exactly why the knob exists.
+# --------------------------------------------------------------------------
+@query(
+    "ann_ivf_filtered",
+    survey="beyond:ann-filtered",
+    priority=60,
+    oracle=f"""
+    WITH {_ivf_ctes(5, nprobe=2, pred="e.vec_id % 3 = 0")}
+    SELECT query_id, vec_id, cos, rnk FROM ivf
+    """,
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        _queries_df(emb),
+        k=5,
+        nprobe=2,
+        filter_cond=F.col("vec_id") % 3 == 0,
+    )
