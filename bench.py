@@ -147,6 +147,15 @@ HEADLINE = [
     "s15_txnlog_time_travel",
     "maintenance_txnlog_history",
     "s8_chart_daily_close",
+    # round 4 continued: txnlog depth + pipeline ops
+    "s16_txnlog_schema_evolution",
+    "maintenance_txnlog_cluster",
+    "dedup_index_persisted",
+    "corpus_domain_gate",
+    "text_bpe_pair_freq",
+    "text_hot_span_scrub",
+    "text_nfc_normalize",
+    "ann_ivf_filtered",
 ]
 
 
