@@ -55,8 +55,13 @@ def merge_frame(
     t = target.withColumn("_tgt", F.lit(True))
     joined = t.join(s, keys, "full_outer")
     matched = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
+    # WHEN MATCHED AND <cond> THEN DELETE fires only where the
+    # condition IS TRUE — coalesce keeps a NULL-evaluating condition
+    # from silently deleting the row via the ~delete_hit filter below
     delete_hit = (
-        matched & delete_cond if delete_cond is not None else F.lit(False)
+        F.coalesce(matched & delete_cond, F.lit(False))
+        if delete_cond is not None
+        else F.lit(False)
     )
     update_hit = matched & (
         update_cond if update_cond is not None else F.lit(True)
@@ -206,7 +211,14 @@ class ParquetTable:
 
     # S7 — DELETE WHERE (src/routes/stocks.js:187-189, lists.js:661-666).
     def delete(self, condition: Column) -> None:
-        self._swap_in(self.read().filter(~condition))
+        # SQL DELETE removes rows where the predicate IS TRUE; a NULL
+        # predicate (e.g. `val < 0` on a NULL val) must KEEP the row.
+        # A bare filter(~condition) silently deletes those rows —
+        # three-valued logic makes ~NULL also NULL, and filters drop
+        # NULL — so survivorship is NOT(pred IS TRUE), not ~pred.
+        self._swap_in(
+            self.read().filter(~F.coalesce(condition, F.lit(False)))
+        )
 
     # S7 variant — delete by key set (anti-join rewrite).
     def delete_keys(self, keys_df: DataFrame) -> None:

@@ -435,7 +435,13 @@ class TxnLogTable(ParquetTable):
         affected = self._files_matching(condition)
         if not affected:
             return
-        out = self._read_files(affected).filter(~condition)
+        # NOT(pred IS TRUE), not ~pred: a NULL-evaluating predicate
+        # keeps its row (SQL DELETE semantics) — matters exactly when
+        # a rewritten file carries both matching and NULL-predicate
+        # rows (same fix as ParquetTable.delete)
+        out = self._read_files(affected).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
         self._rewrite("delete", affected, out)
 
     def merge(

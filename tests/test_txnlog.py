@@ -81,6 +81,21 @@ def test_mutation_parity_with_full_rewrite_backend(spark, base, tmp_path):
             update_assign={"grp": F.lit("merged"), "val": F.col("_s_val")},
             delete_cond=F.col("k") == 500,
         ),
+        # NULL semantics: NULL-valued rows land in the SAME file as a
+        # genuine delete match, so the file-targeted rewrite must keep
+        # the NULL-predicate rows while dropping the match (NULL is
+        # not TRUE) — the three-valued-logic spot this test originally
+        # caught as a live bug in filter(~condition)
+        lambda t: t.append(
+            spark.createDataFrame(
+                [(699, "neg", -5.0), (700, None, None), (701, "nv", None)],
+                SCHEMA,
+            ).coalesce(1)
+        ),
+        lambda t: t.update(
+            F.col("val") > 1e5, {"grp": F.lit("rich")}
+        ),
+        lambda t: t.delete(F.col("val") < 0),
         lambda t: t.compact(2),
     ]
     for i, step in enumerate(steps):
@@ -92,6 +107,8 @@ def test_mutation_parity_with_full_rewrite_backend(spark, base, tmp_path):
     final = dict(((r[0]), (r[1], r[2])) for r in _collect(b))
     assert final[3] == ("merged", 33.0)
     assert 500 in final
+    # NULL-predicate rows survived the delete, the true match did not
+    assert 700 in final and 701 in final and 699 not in final
 
 
 def test_keyed_write_rewrites_only_overlapping_files(spark, tmp_path):
