@@ -156,6 +156,7 @@ HEADLINE = [
     "text_hot_span_scrub",
     "text_nfc_normalize",
     "ann_ivf_filtered",
+    "stream_tumbling_live",
 ]
 
 

@@ -882,3 +882,53 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age",
         F.round(F.sum("v").over(w), 4).cast("double").alias("cum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# LIVE streaming execution as a driver-checked row (closing the "the
+# registry's streaming rows are batch-equivalents" gap): this query
+# EXECUTES Structured Streaming — file source over the events parquet
+# (one micro-batch per file, availableNow trigger), watermarked
+# tumbling aggregate, complete-mode memory sink with a real
+# checkpoint — then returns the sink contents. The oracle is the
+# SAME batch SQL as stream_tumbling_hourly, so a green row is a
+# hash-level proof of the batch≡stream equivalence the other
+# streaming rows claim (the restart/exactly-once half of that claim
+# is pinned in tests/test_streaming.py's checkpoint-restart tests).
+# --------------------------------------------------------------------------
+@query(
+    "stream_tumbling_live",
+    survey="streaming:tumbling,streaming:live-exec",
+    priority=60,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.events import read_events_stream
+
+    name = f"tumbling_live_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_aggregate(read_events_stream(spark, sf_dir), window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="rqe-stream-live-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None, "stream produced no progress"
+    return spark.table(name)
