@@ -344,3 +344,75 @@ def test_clustered_compaction_tightens_pruning(spark, tmp_path):
     )
     assert len(narrow) == 1  # now prunes to a single file
     assert t.read().count() == 1000
+
+
+# -- randomized cross-backend parity -----------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import PROP_EXAMPLES
+
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["append", "upsert", "delete_cond", "delete_keys",
+             "update", "insert_ignore", "compact"]
+        ),
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=min(PROP_EXAMPLES, 2),  # each example ≈ 8 Spark jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_random_mutation_sequence_parity(spark, tmp_path_factory, ops):
+    """Any random mutation sequence must leave both backends with
+    identical rows — the deterministic parity test caught a live
+    NULL-DELETE bug; this hunts order-dependent ones (pruning after
+    compaction, upsert-after-delete on skipped files, NULL rows
+    surviving arbitrary predicate mixes)."""
+    base = _rows(
+        spark,
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(60)],
+    ).unionByName(
+        spark.createDataFrame([(900, None, None), (901, "nv", None)], SCHEMA)
+    )
+    root = tmp_path_factory.mktemp("randpar")
+    a = ParquetTable(spark, str(root / "a"), SCHEMA, ["k"])
+    b = TxnLogTable(spark, str(root / "b"), SCHEMA, ["k"])
+    for t in (a, b):
+        t.init(base)
+
+    def apply(t, op, x):
+        if op == "append":
+            t.append(_rows(spark, [(1000 + x, "app", float(x))]))
+        elif op == "upsert":
+            t.upsert(_rows(spark, [(x % 80, "ups", float(x))]))
+        elif op == "delete_cond":
+            t.delete(F.col("val") < float(x % 50))
+        elif op == "delete_keys":
+            t.delete_keys(
+                spark.createDataFrame([(x % 80,)], "k long")
+            )
+        elif op == "update":
+            t.update(
+                F.col("k") % 7 == x % 7, {"val": F.col("val") + 0.5}
+            )
+        elif op == "insert_ignore":
+            t.insert_ignore(
+                _rows(spark, [(x % 80, "ign", -1.0), (2000 + x, "ign", 1.0)])
+            )
+        elif op == "compact":
+            t.compact(2)
+
+    for op, x in ops:
+        apply(a, op, x)
+        apply(b, op, x)
+    assert _collect(a) == _collect(b), f"diverged after {ops}"
