@@ -536,8 +536,7 @@ def pq_codebook(
     # TakeOrderedAndProject limit is scale-safe (per-partition top-k,
     # no global sort), and for a dense 0-based id space the assigned
     # codes equal the ids, so existing oracles are unchanged.
-    seed_ids = emb.select(id_col).orderBy(id_col).limit(k)
-    seed = emb.join(F.broadcast(seed_ids), id_col, "left_semi")
+    seed = emb.orderBy(id_col).limit(k)  # TakeOrderedAndProject, k rows
     if dsub is None:
         dsub = _dsub(emb, m, vec_col)
     code = (
