@@ -613,3 +613,59 @@ def test_tumbling_file_sink_checkpoint_restart(spark, sf_small, tmp_path):
         if ws <= mid_ts < ws + datetime.timedelta(hours=1)
     ]
     assert straddled, "no window straddles the restart boundary"
+
+
+def test_stream_ingest_into_txnlog_table(spark, sf_small, tmp_path):
+    """Streaming ingest landing in the COMMIT-LOG backend: each
+    micro-batch's insert_ignore becomes one append-only commit (no
+    table rewrite), redelivery through a fresh checkpoint is a no-op
+    (idempotent sink on event_id), and the commit history records the
+    batch structure — streaming exactly-once meeting the txnlog ACID
+    surface."""
+    from pyspark.sql import types as T
+
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+    from relational_query_engine_sql_spark.streaming import (
+        EVENTS_TABLE_SCHEMA,
+    )
+
+    schema = T.StructType(
+        [f for f in EVENTS_TABLE_SCHEMA.fields]
+    )
+    t = TxnLogTable(
+        spark, str(tmp_path / "state"), schema, keys=["event_id"]
+    )
+    t.init(spark.createDataFrame([], schema))
+
+    stream = read_events_stream(spark, sf_small).select(
+        *[f.name for f in schema.fields]
+    )
+    q = ingest_stream_to_table(stream, t, str(tmp_path / "ck1"))
+    q.awaitTermination()
+    want = load_table(spark, sf_small, "events").count()
+    assert t.read().count() == want
+
+    ops = [h["op"] for h in t.history()]
+    assert ops[0] == "init" and "insert_ignore" in ops
+    # append-only: no commit removed a file
+    assert all(h["n_remove"] == 0 for h in t.history())
+
+    # full redelivery via a FRESH checkpoint → idempotent no-op
+    v_before = t.current_version()
+    q2 = ingest_stream_to_table(
+        read_events_stream(spark, sf_small).select(
+            *[f.name for f in schema.fields]
+        ),
+        t,
+        str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination()
+    assert t.read().count() == want
+    # no new data landed — at most bookkeeping-free versions
+    assert all(
+        h["n_add"] == 0
+        for h in t.history()
+        if h["version"] > v_before
+    )
