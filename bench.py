@@ -157,6 +157,7 @@ HEADLINE = [
     "text_nfc_normalize",
     "ann_ivf_filtered",
     "stream_tumbling_live",
+    "s8_chart_forecast",
 ]
 
 

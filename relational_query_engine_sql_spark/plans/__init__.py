@@ -340,6 +340,7 @@ ROUND7_QUEUE = [
     "maintenance_txnlog_cluster",  # clustered compaction -> 1-file pruning
     "ann_ivf_filtered",  # filtered vector search (predicate AND knn)
     "stream_tumbling_live",  # LIVE Structured Streaming execution row
+    "s8_chart_forecast",  # prediction chart (history + dashed forecast)
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -251,3 +251,78 @@ def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum("se").cast("double") / F.count(F.lit(1))), 4
         ).alias("rmse"),
     )
+
+
+# --------------------------------------------------------------------------
+# S8 (prediction chart) — the reference's SECOND chart route
+# (src/routes/chart.js:67-158): last-50 historical daily closes for
+# one series PLUS the 30-day linear-regression forecast, rendered as
+# one two-dataset line chart (history solid, prediction dashed) and
+# written to a file. The data side — the part the driver hash-checks —
+# is the long (day, series, value) union built from the SAME fit CTE
+# as u1/e10; the render is sources/chart_sink.render_series_svg.
+# --------------------------------------------------------------------------
+@query(
+    "s8_chart_forecast",
+    survey="S8,U1,E10",
+    priority=60,
+    oracle=_FIT_CTE
+    + """
+    , hist AS (
+        SELECT d AS day, 'hist' AS series, ROUND(close, 6) AS value
+        FROM indexed WHERE event_type = 'purchase'
+    ),
+    pred AS (
+        SELECT CAST(f.last_t + s.step * INTERVAL 1 DAY AS DATE) AS day,
+               'pred' AS series,
+               ROUND(f.intercept + f.slope * (f.n_obs - 1 + s.step), 6)
+                   AS value
+        FROM fit f
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 30)) AS step) s
+        WHERE f.event_type = 'purchase'
+    )
+    SELECT * FROM hist UNION ALL SELECT * FROM pred
+    """,
+)
+def s8_chart_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from pyspark.sql import Window as W
+
+    from ..operators.forecast import forecast_horizon
+    from ..operators.returns import daily_close_panel
+    from ..sources.chart_sink import write_forecast_chart
+
+    ev = load_table(spark, sf_dir, "events")
+    panel = daily_close_panel(
+        ev, key="event_type", ts_col="ts", value_col="value"
+    ).filter(F.col("event_type") == "purchase")
+    # the reference's LIMIT 50 (chart.js:74-79): last 50 days
+    w_desc = W.partitionBy("event_type").orderBy(F.col("d").desc())
+    hist = (
+        panel.withColumn("_r", F.row_number().over(w_desc))
+        .filter(F.col("_r") <= 50)
+        .select(
+            F.col("d").alias("day"),
+            F.lit("hist").alias("series"),
+            F.round(F.col("close"), 6).alias("value"),
+        )
+    )
+    fc = forecast_horizon(_fit(spark, sf_dir), key="event_type")
+    pred = fc.filter(F.col("event_type") == "purchase").select(
+        F.col("forecast_day").alias("day"),
+        F.lit("pred").alias("series"),
+        F.round("predicted", 6).alias("value"),
+    )
+    out = hist.unionByName(pred)
+    path = write_forecast_chart(
+        out,
+        _tf.mkdtemp(prefix="rqe-chart-pred-"),
+        "purchase_pred",
+        "day",
+        "series",
+        "value",
+        "PURCHASE Historical + Predicted",
+    )
+    assert path.endswith(".svg")
+    return out

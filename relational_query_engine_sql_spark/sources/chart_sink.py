@@ -107,3 +107,112 @@ def write_chart(
     with open(path, "w", encoding="utf-8") as f:
         f.write(svg)
     return path
+
+
+PALETTE = ["blue", "green", "red", "orange"]
+
+
+def render_series_svg(
+    labels: list[str],
+    series: list[tuple[str, list[float | None], bool]],
+    title: str,
+    width: int = 900,
+    height: int = 450,
+) -> str:
+    """Multi-dataset line chart over one shared label axis — the
+    reference's prediction chart (chart.js:113-152: historical solid
+    line + forecast dashed line, each None-padded outside its span).
+    ``series``: (name, values aligned to labels with None gaps,
+    dashed)."""
+    if not labels:
+        raise ValueError("no labels to chart")
+    pad = 50
+    vals = [v for _, vs, _ in series for v in vs if v is not None]
+    if not vals:
+        raise ValueError("no points to chart")
+    lo, hi = min(vals), max(vals)
+    span = (hi - lo) or 1.0
+    w_in, h_in = width - 2 * pad, height - 2 * pad
+
+    def px(i: int) -> float:
+        return pad + (w_in * i / max(len(labels) - 1, 1))
+
+    def py(v: float) -> float:
+        return pad + h_in * (1 - (v - lo) / span)
+
+    paths, legends = [], []
+    for s_i, (name, values, dashed) in enumerate(series):
+        color = PALETTE[s_i % len(PALETTE)]
+        d, pen_down = [], False
+        for i, v in enumerate(values):
+            if v is None:
+                pen_down = False
+                continue
+            d.append(f"{'L' if pen_down else 'M'}{px(i):.2f},{py(v):.2f}")
+            pen_down = True
+        dash = ' stroke-dasharray="4 4"' if dashed else ""
+        paths.append(
+            f'<path d="{" ".join(d)}" fill="none" stroke="{color}" '
+            f'stroke-width="2"{dash}/>'
+        )
+        legends.append(
+            f'<text x="{width - pad:.0f}" y="{pad + 16 * s_i:.0f}" '
+            f'font-size="12" text-anchor="end" fill="{color}">{name}</text>'
+        )
+    label_ids = sorted({0, len(labels) // 2, len(labels) - 1})
+    ticks = "".join(
+        f'<text x="{px(i):.2f}" y="{height - pad / 2:.2f}" '
+        f'font-size="12" text-anchor="middle">{labels[i]}</text>'
+        for i in label_ids
+    )
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">'
+        f'<rect width="{width}" height="{height}" fill="white"/>'
+        f'<text x="{width / 2:.0f}" y="{pad / 2:.0f}" font-size="16" '
+        f'text-anchor="middle">{title}</text>'
+        f'<line x1="{pad}" y1="{height - pad}" x2="{width - pad}" '
+        f'y2="{height - pad}" stroke="black"/>'
+        f'<line x1="{pad}" y1="{pad}" x2="{pad}" y2="{height - pad}" '
+        f'stroke="black"/>'
+        f"{''.join(paths)}{''.join(legends)}{ticks}</svg>"
+    )
+
+
+def write_forecast_chart(
+    long_df: DataFrame,
+    out_dir: str,
+    name: str,
+    label_col: str,
+    series_col: str,
+    value_col: str,
+    title: str,
+    dashed_series: tuple[str, ...] = ("pred",),
+    max_points: int = 90,
+) -> str:
+    """Render a LONG (label, series, value) frame — e.g. history +
+    forecast — to one multi-line SVG. Bounded collect: ≤ max_points
+    labels (history cap + horizon, the reference's 50+30)."""
+    rows = (
+        long_df.orderBy(long_df[label_col].desc())
+        .limit(max_points)
+        .orderBy(long_df[label_col].asc())
+        .collect()
+    )
+    labels = sorted({str(r[label_col]) for r in rows})
+    names = sorted({r[series_col] for r in rows})
+    by = {(str(r[label_col]), r[series_col]): float(r[value_col]) for r in rows}
+    series = [
+        (
+            n,
+            [by.get((lab, n)) for lab in labels],
+            n in dashed_series,
+        )
+        for n in names
+    ]
+    svg = render_series_svg(labels, series, title)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{name}.svg")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(svg)
+    return path

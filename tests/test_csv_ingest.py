@@ -136,3 +136,32 @@ def test_chart_sink_renders_bounded_svg(spark, sf_small, tmp_path):
 
     with pytest.raises(ValueError, match="no points"):
         render_line_svg([], "empty")
+
+
+def test_forecast_chart_renders_two_series(spark, tmp_path):
+    """Prediction-chart analog: one solid history path, one dashed
+    forecast path, shared label axis, legend per series."""
+    import xml.etree.ElementTree as ET
+
+    from relational_query_engine_sql_spark.sources.chart_sink import (
+        write_forecast_chart,
+    )
+
+    rows = [(f"2024-01-{d:02d}", "hist", float(d)) for d in range(1, 11)]
+    rows += [(f"2024-02-{d:02d}", "pred", 10.0 + d) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "day string, series string, value double")
+    path = write_forecast_chart(
+        df, str(tmp_path), "p", "day", "series", "value", "T"
+    )
+    root = ET.parse(path).getroot()
+    paths = [e for e in root.iter() if e.tag.endswith("path")]
+    assert len(paths) == 2
+    dashed = [e for e in paths if e.get("stroke-dasharray")]
+    assert len(dashed) == 1  # exactly the pred series
+    # hist path has 10 points, pred 5 — each a single pen stroke
+    strokes = sorted(
+        e.get("d").count("L") + e.get("d").count("M") for e in paths
+    )
+    assert strokes == [5, 10]
+    texts = [e.text for e in root.iter() if e.tag.endswith("text")]
+    assert "hist" in texts and "pred" in texts
