@@ -158,6 +158,7 @@ HEADLINE = [
     "ann_ivf_filtered",
     "stream_tumbling_live",
     "s8_chart_forecast",
+    "s17_txnlog_merge_on_read",
 ]
 
 

@@ -162,6 +162,7 @@ class TxnLogTable(ParquetTable):
                     live[a["add"]["path"]] = {
                         "rows": a["add"]["rows"],
                         "stats": a["add"].get("stats"),
+                        **({"dv": True} if a["add"].get("dv") else {}),
                     }
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
@@ -243,32 +244,66 @@ class TxnLogTable(ParquetTable):
 
     # -- read ---------------------------------------------------------------
 
+    def _dv_schema(self):
+        import pyspark.sql.types as T
+
+        base = self.schema
+        return T.StructType([base[k] for k in self.keys])
+
+    def _split_live(self, version: int | None = None):
+        """(data_files, dv_files) live at ``version``."""
+        live = self._live(version)
+        data = {p: m for p, m in live.items() if not m.get("dv")}
+        dvs = {p: m for p, m in live.items() if m.get("dv")}
+        return data, dvs
+
     def read(self, version: int | None = None) -> DataFrame:
         # schema resolves AT the requested version, so time travel to a
         # pre-evolution snapshot shows the schema of that era
         schema = self._schema_at(version)
-        live = self._live(version)
-        if not live:
+        data, dvs = self._split_live(version)
+        if not data:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, p) for p in live]
-        return self.spark.read.schema(schema).parquet(*paths)
+        base = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, p) for p in data]
+        )
+        if dvs:
+            # merge-on-read: tombstoned keys are subtracted at scan
+            # time by ONE anti-join against the (tiny) union of live
+            # deletion-vector files — a Delta/Iceberg v2 DV read
+            tomb = self.spark.read.schema(self._dv_schema()).parquet(
+                *[os.path.join(self.path, p) for p in dvs]
+            )
+            base = base.join(F.broadcast(tomb), self.keys, "left_anti")
+        return base
 
     def file_count(self) -> int:
         return len(self._live())
 
     # -- write mechanics ----------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[dict]:
+    def _write_files(
+        self, df: DataFrame, dv: bool = False
+    ) -> list[dict]:
         """Write ``df`` as immutable parquet files under data/ and
         return their add-actions with per-file rowcount + key min/max
         stats (one aggregate over just the new files — the same
-        write-time stats pass Delta does)."""
+        write-time stats pass Delta does). ``dv=True`` writes a
+        DELETION-VECTOR file (key columns only) and tags the action so
+        replay can tell data from tombstones."""
         rel_dir = f"data/{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, rel_dir)
-        self._conform(df).write.mode("error").parquet(out_dir)
+        if dv:
+            schema = self._dv_schema()
+            df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            ).write.mode("error").parquet(out_dir)
+        else:
+            schema = self.schema
+            self._conform(df).write.mode("error").parquet(out_dir)
         k0 = self.keys[0]
         stat_rows = (
-            self.spark.read.schema(self.schema)
+            self.spark.read.schema(schema)
             .parquet(out_dir)
             .groupBy(F.input_file_name().alias("_f"))
             .agg(
@@ -281,15 +316,14 @@ class TxnLogTable(ParquetTable):
         adds = []
         for r in stat_rows:
             base = os.path.basename(r["_f"].split("?", 1)[0])
-            adds.append(
-                {
-                    "add": {
-                        "path": f"{rel_dir}/{base}",
-                        "rows": r["_rows"],
-                        "stats": [_js(r["_mn"]), _js(r["_mx"])],
-                    }
-                }
-            )
+            action = {
+                "path": f"{rel_dir}/{base}",
+                "rows": r["_rows"],
+                "stats": [_js(r["_mn"]), _js(r["_mx"])],
+            }
+            if dv:
+                action["dv"] = True
+            adds.append({"add": action})
         # zero-row part files never make it into the log; scrub them
         # so vacuum doesn't have to know about them
         logged = {os.path.basename(a["add"]["path"]) for a in adds}
@@ -341,9 +375,10 @@ class TxnLogTable(ParquetTable):
         if bounds["lo"] is None:
             return []
         lo, hi = _js(bounds["lo"]), _js(bounds["hi"])
+        data, _ = self._split_live()
         return [
             p
-            for p, meta in self._live().items()
+            for p, meta in data.items()
             if _overlaps(meta.get("stats"), lo, hi)
         ]
 
@@ -354,13 +389,63 @@ class TxnLogTable(ParquetTable):
             *[os.path.join(self.path, p) for p in relpaths]
         )
 
-    def _rewrite(self, op: str, doomed: list[str], out: DataFrame) -> int:
+    def _read_files_mor(self, relpaths: list[str]) -> DataFrame:
+        """Read data files with merge-on-read applied: live deletion
+        vectors are subtracted, so rewrites never re-materialize
+        tombstoned rows (which would resurrect as duplicates once a
+        later write shrinks the DV)."""
+        df = self._read_files(relpaths)
+        _, dvs = self._split_live()
+        if dvs:
+            tomb = self.spark.read.schema(self._dv_schema()).parquet(
+                *[os.path.join(self.path, p) for p in dvs]
+            )
+            df = df.join(F.broadcast(tomb), self.keys, "left_anti")
+        return df
+
+    def _dv_shrink_actions(self, incoming_keys: DataFrame) -> list[dict]:
+        """Remove incoming keys from any overlapping live deletion
+        vector (remove+add actions, folded into the caller's commit so
+        the write and its DV shrink are atomic). A write of a key must
+        clear that key's tombstone or the new row would be invisible.
+        Stats-pruned: only DV files whose key range overlaps the
+        incoming keys are rewritten."""
+        _, dvs = self._split_live()
+        if not dvs:
+            return []
+        k0 = self.keys[0]
+        bounds = incoming_keys.agg(
+            F.min(k0).alias("lo"), F.max(k0).alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return []
+        lo, hi = _js(bounds["lo"]), _js(bounds["hi"])
+        actions: list[dict] = []
+        for relpath, meta in dvs.items():
+            if not _overlaps(meta.get("stats"), lo, hi):
+                continue
+            kept = self.spark.read.schema(self._dv_schema()).parquet(
+                os.path.join(self.path, relpath)
+            ).join(F.broadcast(incoming_keys), self.keys, "left_anti")
+            actions.append({"remove": {"path": relpath}})
+            actions.extend(self._write_files(kept, dv=True))
+        return actions
+
+    def _rewrite(
+        self,
+        op: str,
+        doomed: list[str],
+        out: DataFrame,
+        extra: list[dict] | None = None,
+    ) -> int:
         """Copy-on-write commit: replace ``doomed`` files with ``out``
         (remove+add in ONE atomic log entry — readers never see a
-        half-applied mutation)."""
+        half-applied mutation). ``extra`` actions (e.g. a DV shrink)
+        ride the same commit."""
+        extra = extra or []
         adds = self._write_files(out)
         removes = [{"remove": {"path": p}} for p in doomed]
-        return self._commit(op, removes + adds)
+        return self._commit(op, removes + adds + extra)
 
     # -- mutations (same surface as ParquetTable) ---------------------------
 
@@ -369,41 +454,77 @@ class TxnLogTable(ParquetTable):
 
     def append(self, rows: DataFrame) -> None:
         # append-only: new files, zero rewrite — the op Versioned
-        # ParquetTable pays a full table copy for.
-        self._commit("append", self._write_files(rows))
+        # ParquetTable pays a full table copy for. A DV shrink rides
+        # along if any appended key is currently tombstoned.
+        shrink = self._dv_shrink_actions(
+            self._conform(rows).select(*self.keys)
+        )
+        self._commit("append", self._write_files(rows) + shrink)
 
     def insert_ignore(self, rows: DataFrame) -> int:
         incoming = self._conform(rows).dropDuplicates(self.keys)
         affected = self._affected(incoming.select(self.keys[0]))
+        # existence is judged on the MOR view: a DV-deleted key is NOT
+        # existing, so re-inserting it must succeed
         fresh = incoming.join(
-            self._read_files(affected).select(self.keys), self.keys, "left_anti"
+            self._read_files_mor(affected).select(self.keys),
+            self.keys,
+            "left_anti",
         )
         n = fresh.count()
         if n:
-            self._commit("insert_ignore", self._write_files(fresh))
+            shrink = self._dv_shrink_actions(fresh.select(*self.keys))
+            self._commit(
+                "insert_ignore", self._write_files(fresh) + shrink
+            )
         return n
 
     def upsert(self, rows: DataFrame) -> None:
         incoming = self._conform(rows).dropDuplicates(self.keys)
         affected = self._affected(incoming.select(self.keys[0]))
-        kept = self._read_files(affected).join(
+        kept = self._read_files_mor(affected).join(
             incoming.select(self.keys), self.keys, "left_anti"
         )
-        self._rewrite("upsert", affected, kept.unionByName(incoming))
+        self._rewrite(
+            "upsert",
+            affected,
+            kept.unionByName(incoming),
+            extra=self._dv_shrink_actions(incoming.select(*self.keys)),
+        )
 
     def delete_keys(self, keys_df: DataFrame) -> None:
         affected = self._affected(keys_df.select(self.keys[0]))
         if not affected:
             return
-        out = self._read_files(affected).join(keys_df, self.keys, "left_anti")
+        out = self._read_files_mor(affected).join(
+            keys_df, self.keys, "left_anti"
+        )
         self._rewrite("delete_keys", affected, out)
+
+    def delete_keys_deferred(self, keys_df: DataFrame) -> None:
+        """Merge-on-read DELETE (Delta/Iceberg v2 deletion-vector
+        shape): commit a tombstone file of the deleted KEYS — zero
+        data files touched, so the delete is metadata-speed no matter
+        how large the table — and let every read subtract it with one
+        broadcast anti-join. ``compact()`` (or any rewrite touching
+        the region) later materializes the delete and drops inert
+        tombstones; a subsequent write of a tombstoned key atomically
+        shrinks the DV so the new row is visible."""
+        dv = (
+            keys_df.select(
+                *[F.col(k) for k in self.keys]
+            ).dropDuplicates(self.keys)
+        )
+        adds = self._write_files(dv, dv=True)
+        if adds:
+            self._commit("delete_keys_deferred", adds)
 
     def _files_matching(self, condition: Column) -> list[str]:
         """Live files that contain at least one row matching an
         arbitrary predicate. One filtered metadata-projection scan —
         parquet row-group stats make it cheap — returning file NAMES
         to the driver, never rows."""
-        live = list(self._live())
+        live = list(self._split_live()[0])
         if not live:
             return []
         hit_files = {
@@ -420,7 +541,7 @@ class TxnLogTable(ParquetTable):
         affected = self._files_matching(condition)
         if not affected:
             return
-        df = self._read_files(affected)
+        df = self._read_files_mor(affected)
         out = df.select(
             *[
                 F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -439,7 +560,7 @@ class TxnLogTable(ParquetTable):
         # keeps its row (SQL DELETE semantics) — matters exactly when
         # a rewritten file carries both matching and NULL-predicate
         # rows (same fix as ParquetTable.delete)
-        out = self._read_files(affected).filter(
+        out = self._read_files_mor(affected).filter(
             ~F.coalesce(condition, F.lit(False))
         )
         self._rewrite("delete", affected, out)
@@ -459,13 +580,18 @@ class TxnLogTable(ParquetTable):
         out = merge_frame(
             self.schema,
             self.keys,
-            self._read_files(affected),
+            self._read_files_mor(affected),
             source,
             update_assign,
             update_cond,
             delete_cond,
         )
-        self._rewrite("merge", affected, out)
+        self._rewrite(
+            "merge",
+            affected,
+            out,
+            extra=self._dv_shrink_actions(source.select(*self.keys)),
+        )
 
     def compact(
         self, target_files: int, cluster_by: list[str] | None = None
@@ -479,8 +605,9 @@ class TxnLogTable(ParquetTable):
         file instead of every file overlapping a broad hash-mixed
         range. This composes the two halves (stats skipping + layout)
         the same way a lakehouse does."""
-        live = list(self._live())
-        df = self._read_files(live)
+        data, dvs = self._split_live()
+        live = list(data) + list(dvs)
+        df = self._read_files_mor(list(data))
         if cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(

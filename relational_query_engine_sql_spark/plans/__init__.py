@@ -341,6 +341,7 @@ ROUND7_QUEUE = [
     "ann_ivf_filtered",  # filtered vector search (predicate AND knn)
     "stream_tumbling_live",  # LIVE Structured Streaming execution row
     "s8_chart_forecast",  # prediction chart (history + dashed forecast)
+    "s17_txnlog_merge_on_read",  # deletion-vector (MOR) delete cycle
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -934,3 +934,50 @@ def maintenance_txnlog_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+@query(
+    "s17_txnlog_merge_on_read",
+    survey="beyond:txnlog,beyond:deletion-vectors,S5,S7",
+    priority=60,
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 11 = 3 AND c_custkey % 2 = 0
+                THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 11 = 3 AND c_custkey % 2 = 0
+                THEN 'REACTIVATED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    WHERE c_custkey % 11 <> 3 OR c_custkey % 2 = 0
+    """,
+)
+def s17_txnlog_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector cycle (Delta/Iceberg v2 merge-on-read):
+    delete_keys_deferred tombstones every 11th customer WITHOUT
+    touching a data file (asserted — the delete is metadata-speed at
+    any table size), reads subtract the DV via one broadcast
+    anti-join, and upserting the even half back atomically shrinks the
+    DV so exactly those rows resurrect. The oracle replays the
+    survivor set + reactivation in pure SQL."""
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="rqe-txn-mor-")
+    t = TxnLogTable(spark, f"{root}/customer", src.schema, ["c_custkey"])
+    t.init(src)
+    data_before = set(t._split_live()[0])
+    doomed = src.filter(F.col("c_custkey") % 11 == 3).select("c_custkey")
+    t.delete_keys_deferred(doomed)
+    assert set(t._split_live()[0]) == data_before, (
+        "deferred delete touched data files"
+    )
+    back = src.filter(
+        (F.col("c_custkey") % 11 == 3) & (F.col("c_custkey") % 2 == 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("REACTIVATED").alias("c_mktsegment"),
+    )
+    t.upsert(back)
+    return t.read()

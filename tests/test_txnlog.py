@@ -416,3 +416,91 @@ def test_random_mutation_sequence_parity(spark, tmp_path_factory, ops):
         apply(a, op, x)
         apply(b, op, x)
     assert _collect(a) == _collect(b), f"diverged after {ops}"
+
+
+# -- merge-on-read deletion vectors ------------------------------------------
+
+
+def test_deferred_delete_is_metadata_only_and_read_applies_it(
+    spark, base, tmp_path
+):
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    data_before, _ = t._split_live()
+    t.delete_keys_deferred(
+        spark.createDataFrame([(3,), (7,), (11,)], "k long")
+    )
+    data_after, dvs = t._split_live()
+    assert data_after == data_before  # zero data files touched
+    assert len(dvs) >= 1
+    got = {r["k"] for r in t.read().collect()}
+    assert got == set(range(100)) - {3, 7, 11}
+    # time travel BEFORE the delete still sees everything
+    assert t.read(0).count() == 100
+
+
+def test_write_of_tombstoned_key_resurrects_it_exactly_once(
+    spark, base, tmp_path
+):
+    """The resurrect hazard: upsert/append/insert_ignore of a DV'd key
+    must atomically shrink the DV — the new row is visible, exactly
+    once, and other tombstones stay."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    t.delete_keys_deferred(
+        spark.createDataFrame([(5,), (6,)], "k long")
+    )
+    t.upsert(_rows(spark, [(5, "back", 55.0)]))
+    rows = {r["k"]: (r["grp"], r["val"]) for r in t.read().collect()}
+    assert rows[5] == ("back", 55.0)  # resurrected, once
+    assert 6 not in rows  # unrelated tombstone intact
+    assert t.read().count() == 99
+
+    # insert_ignore treats a DV-deleted key as absent
+    n = t.insert_ignore(_rows(spark, [(6, "back6", 66.0)]))
+    assert n == 1
+    assert t.read().filter(F.col("k") == 6).count() == 1
+
+
+def test_rewrites_never_rematerialize_tombstoned_rows(spark, base, tmp_path):
+    """A CoW rewrite over a region with tombstones must not carry the
+    zombie rows into the new file (they would resurrect as DUPLICATES
+    when a later write shrinks the DV)."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base.coalesce(1))  # one file: every rewrite covers key 5
+    t.delete_keys_deferred(spark.createDataFrame([(5,)], "k long"))
+    t.upsert(_rows(spark, [(50, "upd", 1.0)]))  # rewrite same file
+    # now resurrect key 5 — exactly one row may appear
+    t.append(_rows(spark, [(5, "back", 5.5)]))
+    assert t.read().filter(F.col("k") == 5).count() == 1
+
+
+def test_compact_materializes_deletes_and_clears_dvs(spark, base, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    t.delete_keys_deferred(
+        spark.createDataFrame([(1,), (2,)], "k long")
+    )
+    t.compact(2)
+    data, dvs = t._split_live()
+    assert not dvs  # tombstones applied and dropped
+    assert len(data) == 2
+    assert t.read().count() == 98
+    got = {r["k"] for r in t.read().collect()}
+    assert 1 not in got and 2 not in got
+
+
+def test_deferred_delete_parity_with_cow_delete(spark, base, tmp_path):
+    """MOR and CoW deletes converge to identical tables."""
+    a = TxnLogTable(spark, str(tmp_path / "a"), SCHEMA, ["k"])
+    b = TxnLogTable(spark, str(tmp_path / "b"), SCHEMA, ["k"])
+    keys = spark.createDataFrame([(10,), (20,), (30,)], "k long")
+    for t in (a, b):
+        t.init(base)
+    a.delete_keys(keys)
+    b.delete_keys_deferred(keys)
+    assert _collect(a) == _collect(b)
+    # and after each mutates further identically
+    for t in (a, b):
+        t.upsert(_rows(spark, [(20, "back", 2.0), (40, "upd", 4.0)]))
+    assert _collect(a) == _collect(b)
