@@ -88,6 +88,82 @@ def kmv_sketch(df: DataFrame, key: str, k: int = 64) -> DataFrame:
     )
 
 
+HLL_P = 8  # 2^8 = 256 registers: one 2-hex-char bucket slice
+HLL_M = 1 << HLL_P
+HLL_TAIL_HEX = 15  # 60 bits of rho material after the bucket slice
+HLL_RHO_CAP = 4 * HLL_TAIL_HEX + 1  # all-zero tail
+
+
+def hll_sketch(df: DataFrame, key: str) -> DataFrame:
+    """HyperLogLog register table of ``key``: (bucket, r) with r the
+    max first-1-bit position observed in that bucket. At most HLL_M
+    rows however large the input — and because max is associative the
+    partial registers build map-side, so the shuffle moves ≤ HLL_M
+    rows per task (the same bounded-state story as the CMS above; no
+    pre-distinct is needed or wanted, since a distinct would shuffle
+    every key).
+
+    rho is computed with PORTABLE string ops on the hex digest — 4
+    bits per leading '0' hex char, plus 3/2/1/0 more for a first
+    non-zero digit of 1 / 2-3 / 4-7 / 8-f — never engine-private bit
+    intrinsics, so the DuckDB oracle reproduces every register
+    bit-for-bit and the driver hash-compares the sketch like an exact
+    query (Spark's own ``approx_count_distinct`` HLL stays rows-only
+    for exactly this reason).
+    """
+    parts = df.select(_key_hash(F.col(key)).alias("h")).select(
+        F.substring("h", 1, 2).alias("bucket"),
+        F.expr(
+            f"trim(LEADING '0' FROM substring(h, 3, {HLL_TAIL_HEX}))"
+        ).alias("stripped"),
+    )
+    first = F.substring(F.col("stripped"), 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    r = (
+        F.when(F.col("stripped") == "", F.lit(HLL_RHO_CAP))
+        .otherwise(
+            4 * (F.lit(HLL_TAIL_HEX) - F.length("stripped")) + extra + 1
+        )
+        .cast("int")
+    )
+    return (
+        parts.select("bucket", r.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register tables: per-bucket max — the distributive
+    law that lets 1000 executors sketch locally and ship ≤ HLL_M rows
+    each. ``sketch_hll_merge`` hash-proves it cross-engine."""
+    return (
+        a.unionByName(b).groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(registers: list[int], m: int = HLL_M) -> float:
+    """Driver-side cardinality estimate from collected register
+    values (absent buckets are 0). Standard HLL: harmonic mean with
+    the small-range linear-counting correction. Exposed for tests and
+    interactive use; the registered queries return the registers
+    themselves (exactly comparable), not the float."""
+    import math
+
+    v = m - len(registers)  # empty registers
+    s = sum(2.0**-r for r in registers) + v  # 2^-0 = 1 per empty
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / s
+    if e <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return e
+
+
 def kmv_estimate(hashes: list[str], k: int) -> float:
     """Driver-side estimate from a collected KMV sketch: distinct ≈
     (k-1) / fraction(h_k). Exposed for tests and interactive use; the

@@ -342,6 +342,8 @@ ROUND7_QUEUE = [
     "stream_tumbling_live",  # LIVE Structured Streaming execution row
     "s8_chart_forecast",  # prediction chart (history + dashed forecast)
     "s17_txnlog_merge_on_read",  # deletion-vector (MOR) delete cycle
+    "sketch_hll_registers",  # portable HLL register table, exact oracle
+    "sketch_hll_merge",  # HLL per-bucket-max distributive law
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

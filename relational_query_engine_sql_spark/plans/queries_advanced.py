@@ -658,6 +658,7 @@ def reco_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load_table(spark, sf_dir, "lineitem"), spark)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)  # consumed by n/support/both join sides
     )
     n = li.agg(F.countDistinct("o").alias("n_orders"))
     support = li.groupBy("p").agg(F.count(F.lit(1)).alias("s"))

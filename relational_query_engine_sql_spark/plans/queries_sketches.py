@@ -49,8 +49,10 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles ≤1 024 cells however large lineitem is."""
     li = load_table(spark, sf_dir, "lineitem")
     sketch = cms_build(li, "l_partkey")
-    exact = li.groupBy(F.col("l_partkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("exact_cnt")
+    exact = (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)  # probed by the estimate AND re-joined
     )
     est = cms_estimate(exact.select("k"), sketch, "k")
     return (
@@ -157,3 +159,84 @@ def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("i", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog under the oracle gate. Unlike ext_approx_distinct
+# (Spark's engine-private HLL registers, rows-only checked), this is
+# the PORTABLE register table: bucket = first 2 hex chars of the md5
+# digest (2^8 = 256 registers), rho = first-1-bit position of the
+# next 60 bits computed with pure string ops — so DuckDB rebuilds the
+# identical registers and the driver hash-compares a cardinality
+# sketch exactly. The register table is the ≤256-row state a
+# distributed COUNT(DISTINCT) estimator ships between sites;
+# tests/test_sketches.py pins the estimate it yields to within the
+# published 1.04/sqrt(m) error envelope.
+# --------------------------------------------------------------------------
+_HLL_REG_SQL = """
+    WITH keys AS (
+        SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+        FROM lineitem
+    ),
+    parts AS (
+        SELECT substr(h, 1, 2) AS bucket,
+               ltrim(substr(h, 3, 15), '0') AS stripped
+        FROM keys
+    ),
+    rho AS (
+        SELECT bucket,
+               CASE WHEN stripped = '' THEN 61
+                    ELSE 4 * (15 - length(stripped))
+                         + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                                WHEN substr(stripped, 1, 1) IN ('2', '3')
+                                    THEN 2
+                                WHEN substr(stripped, 1, 1)
+                                    IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1
+               END AS r
+        FROM parts
+    )
+    SELECT bucket, CAST(MAX(r) AS INT) AS r FROM rho GROUP BY bucket
+"""
+
+
+@query(
+    "sketch_hll_registers",
+    survey="beyond:sketch-hll",
+    priority=60,
+    oracle=_HLL_REG_SQL,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.sketches import hll_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return hll_sketch(li, "l_partkey")
+
+
+# --------------------------------------------------------------------------
+# HLL mergeability under the oracle gate: independent register tables
+# per shard (l_orderkey % 4 — shards share part keys, so the merge
+# must take the max, not the sum), merged by per-bucket max, must be
+# IDENTICAL to the direct whole-table registers. max is the
+# associative/commutative/idempotent monoid that makes HLL the
+# canonical distributed-distinct sketch; proven cross-engine here.
+# --------------------------------------------------------------------------
+@query(
+    "sketch_hll_merge",
+    survey="beyond:sketch-hll-merge",
+    priority=60,
+    oracle=_HLL_REG_SQL,
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.sketches import hll_merge, hll_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    shards = [
+        hll_sketch(li.filter(F.col("l_orderkey") % 4 == s), "l_partkey")
+        for s in range(4)
+    ]
+    merged = shards[0]
+    for sk in shards[1:]:
+        merged = hll_merge(merged, sk)
+    return merged

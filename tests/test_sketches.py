@@ -77,3 +77,50 @@ def test_kmv_merges_distributively(spark, sf_small):
     merged = sorted(set(ka) | set(kb))[:64]
     whole = [r["h"] for r in kmv_sketch(li, "l_partkey", k=64).collect()]
     assert merged == whole
+
+
+def test_hll_estimate_within_error_envelope(spark, sf_small):
+    from relational_query_engine_sql_spark.datapipe.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_sketch,
+    )
+
+    li = load_table(spark, sf_small, "lineitem")
+    regs = hll_sketch(li, "l_partkey").collect()
+    assert len(regs) <= HLL_M
+    est = hll_estimate([r["r"] for r in regs])
+    exact = li.select("l_partkey").distinct().count()
+    # published stderr is 1.04/sqrt(m) ~= 6.5%; allow 3 sigma
+    assert abs(est - exact) / exact < 3 * 1.04 / HLL_M**0.5
+
+
+def test_hll_merge_equals_direct_build(spark, sf_small):
+    from relational_query_engine_sql_spark.datapipe.sketches import (
+        hll_merge,
+        hll_sketch,
+    )
+
+    li = load_table(spark, sf_small, "lineitem")
+    direct = hll_sketch(li, "l_partkey")
+    shards = [
+        hll_sketch(li.filter(F.col("l_orderkey") % 3 == s), "l_partkey")
+        for s in range(3)
+    ]
+    merged = hll_merge(hll_merge(shards[0], shards[1]), shards[2])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hll_small_range_uses_linear_counting(spark, sf_small):
+    from relational_query_engine_sql_spark.datapipe.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    nat = load_table(spark, sf_small, "nation")  # 25 distinct keys
+    regs = hll_sketch(nat, "n_nationkey").collect()
+    est = hll_estimate([r["r"] for r in regs])
+    # tiny cardinality: the linear-counting branch must be near-exact
+    assert abs(est - 25) < 3
