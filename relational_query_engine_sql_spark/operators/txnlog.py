@@ -431,6 +431,39 @@ class TxnLogTable(ParquetTable):
             actions.extend(self._write_files(kept, dv=True))
         return actions
 
+    def _revive_actions(self, incoming_keys: DataFrame) -> list[dict]:
+        """Make re-inserting MOR-deleted keys safe for ops that do NOT
+        rewrite data files (append / insert_ignore): shrink the
+        overlapping deletion vectors AND purge the revived keys' old
+        masked rows from their data files, all riding the caller's
+        commit. Shrinking alone would resurrect the masked row next to
+        the caller's new one — a duplicate key. The purge is a
+        copy-on-write rewrite of just the stats-overlapping files,
+        MOR-filtered so every tombstone in the region materializes at
+        the same time. (upsert/delete don't need this: they already
+        rewrite every affected file MOR-filtered.) When no incoming
+        key is tombstoned — the overwhelmingly common case — this
+        costs one semi-join against the tiny DV set and returns []."""
+        _, dvs = self._split_live()
+        if not dvs:
+            return []
+        tomb = self.spark.read.schema(self._dv_schema()).parquet(
+            *[os.path.join(self.path, p) for p in dvs]
+        )
+        revived = tomb.join(
+            incoming_keys, self.keys, "left_semi"
+        ).localCheckpoint(eager=True)  # probed, then pruned + shrunk on
+        if not revived.take(1):
+            return []
+        doomed = self._affected(revived.select(self.keys[0]))
+        actions: list[dict] = [{"remove": {"path": p}} for p in doomed]
+        if doomed:
+            actions.extend(
+                self._write_files(self._read_files_mor(doomed))
+            )
+        actions.extend(self._dv_shrink_actions(revived))
+        return actions
+
     def _rewrite(
         self,
         op: str,
@@ -454,12 +487,13 @@ class TxnLogTable(ParquetTable):
 
     def append(self, rows: DataFrame) -> None:
         # append-only: new files, zero rewrite — the op Versioned
-        # ParquetTable pays a full table copy for. A DV shrink rides
-        # along if any appended key is currently tombstoned.
-        shrink = self._dv_shrink_actions(
+        # ParquetTable pays a full table copy for. If an appended key
+        # is currently tombstoned, the DV shrink AND the purge of its
+        # old masked row ride the same commit (_revive_actions).
+        revive = self._revive_actions(
             self._conform(rows).select(*self.keys)
         )
-        self._commit("append", self._write_files(rows) + shrink)
+        self._commit("append", self._write_files(rows) + revive)
 
     def insert_ignore(self, rows: DataFrame) -> int:
         incoming = self._conform(rows).dropDuplicates(self.keys)
@@ -473,9 +507,9 @@ class TxnLogTable(ParquetTable):
         )
         n = fresh.count()
         if n:
-            shrink = self._dv_shrink_actions(fresh.select(*self.keys))
+            revive = self._revive_actions(fresh.select(*self.keys))
             self._commit(
-                "insert_ignore", self._write_files(fresh) + shrink
+                "insert_ignore", self._write_files(fresh) + revive
             )
         return n
 

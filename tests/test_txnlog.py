@@ -357,7 +357,7 @@ _OPS = st.lists(
     st.tuples(
         st.sampled_from(
             ["append", "upsert", "delete_cond", "delete_keys",
-             "update", "insert_ignore", "compact"]
+             "delete_deferred", "update", "insert_ignore", "compact"]
         ),
         st.integers(min_value=0, max_value=999),
     ),
@@ -401,6 +401,15 @@ def test_random_mutation_sequence_parity(spark, tmp_path_factory, ops):
             t.delete_keys(
                 spark.createDataFrame([(x % 80,)], "k long")
             )
+        elif op == "delete_deferred":
+            # MOR on the txnlog backend, eager on ParquetTable — the
+            # end states must be identical (the resurrect-on-revive
+            # bug class lives exactly here)
+            keys = spark.createDataFrame([(x % 80,)], "k long")
+            if isinstance(t, TxnLogTable):
+                t.delete_keys_deferred(keys)
+            else:
+                t.delete_keys(keys)
         elif op == "update":
             t.update(
                 F.col("k") % 7 == x % 7, {"val": F.col("val") + 0.5}
@@ -504,3 +513,30 @@ def test_deferred_delete_parity_with_cow_delete(spark, base, tmp_path):
     for t in (a, b):
         t.upsert(_rows(spark, [(20, "back", 2.0), (40, "upd", 4.0)]))
     assert _collect(a) == _collect(b)
+
+
+def test_direct_revive_of_tombstoned_key_never_duplicates(
+    spark, base, tmp_path
+):
+    """Regression: append/insert_ignore of a MOR-deleted key with NO
+    intervening rewrite. A bare DV shrink would resurrect the old
+    masked row next to the new one (duplicate key); the revive must
+    purge it in the same commit."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base.coalesce(1))
+    t.delete_keys_deferred(
+        spark.createDataFrame([(5,), (6,)], "k long")
+    )
+    t.append(_rows(spark, [(5, "back", 5.5)]))  # straight after the DV
+    got = {r["k"]: (r["grp"], r["val"]) for r in t.read().collect()}
+    assert got[5] == ("back", 5.5)
+    assert 6 not in got  # unrelated tombstone still applies
+    assert t.read().count() == 99
+
+    n = t.insert_ignore(_rows(spark, [(6, "back6", 66.0)]))
+    assert n == 1
+    assert t.read().filter(F.col("k") == 6).count() == 1
+    assert t.read().count() == 100
+    # history is still replayable at every version
+    assert t.read(0).count() == 100
+    assert t.read(1).count() == 98
