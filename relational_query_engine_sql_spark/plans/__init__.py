@@ -175,18 +175,93 @@ ROUND4_PREFIX = [
     "j1_join_dims",
 ]
 
-# Round-5 queue: queries registered AFTER the round-4 prefix was
-# staged (all strict-sim green at sf0.001 + sf0.01 the session they
-# were added). Fold these into ROUND5's checked prefix alongside any
-# ROUND4_PREFIX overflow (the driver window is ~50; ROUND4_PREFIX has
-# 52, so its tail may spill here too):
-ROUND5_QUEUE = [
+# Round-5 prefix, re-curated at the start of round 5 per the round-4
+# verdict: pack the driver's ~50-slot window with 46 never-driver-
+# checked names (txnlog family, both S8 chart rows, retrieval/ER and
+# HLL first) and trim the standing family-representative insurance to
+# 4 slots. The 37 remaining never-checked names defer to ROUND6.
+# Every name here is strict-sim green (tools/driver_sim.py, exact
+# hash) at sf0.001 + sf0.01, most also swept at sf0.1.
+ROUND5_FRESH = [
+    # txnlog table format — round-4 flagship, zero driver rows yet
+    "s13_txnlog_merge_mixed",
+    "s14_txnlog_optimistic_retry",
+    "s15_txnlog_time_travel",
+    "s16_txnlog_schema_evolution",
+    "s17_txnlog_merge_on_read",
+    "maintenance_txnlog_history",
+    "maintenance_txnlog_cluster",
+    # S8 — the reference's two chart routes, closed in round 4
+    "s8_chart_daily_close",
+    "s8_chart_forecast",
+    # retrieval + entity resolution
+    "search_hybrid_rrf",
+    "ann_pq_adc_topk",
+    "rag_chunk_retrieval",
+    "er_resolve_entities",
+    "er_survivorship",
+    # HLL sketch (exact cross-engine register oracle)
+    "sketch_hll_registers",
+    "sketch_hll_merge",
+    # dedup/index/text additions from rounds 3e-4
+    "dedup_index_persisted",
+    "dedup_incremental_ingest",
+    "text_nfc_normalize",
+    "corpus_domain_gate",
+    "text_bpe_pair_freq",
+    "text_hot_span_scrub",
+    # streaming / CDC / SCD2
+    "stream_tumbling_live",
+    "stream_cdc_apply",
+    "scd2_user_state",
+    "j15_scd2_point_in_time",
+    # join/window/mutation variants
+    "j16_asof_nearest",
+    "j17_interval_overlap",
+    "s12_optimistic_retry",
+    "w11_rolling_median",
+    # ANN variants + evals
+    "ann_ivf_filtered",
+    "ann_ivf_multiprobe",
+    "eval_ann_recall",
+    "eval_dedup_recall",
+    # multimodal signature paths
+    "mm_image_ahash_dedup",
+    "dedup_ahash_hamming",
+    "mm_audio_features",
+    "mm_video_scene_cuts",
+    # privacy/governance + experimentation stats
+    "dq_k_anonymity",
+    "dp_noisy_counts",
+    "sec_cleanroom_join",
+    "stats_bootstrap_ci",
+    "stats_ab_welch",
+    # time-series depth + training pipeline
+    "ts_downsample_m4",
+    "dq_psi_drift",
+    "pipeline_training_manifest",
+]
+_unknown_r5 = [n for n in ROUND5_FRESH if n not in all_queries()]
+assert not _unknown_r5, f"ROUND5_FRESH names not registered: {_unknown_r5}"
+
+ROUND5_PREFIX = ROUND5_FRESH + [
+    # family-representative insurance (trimmed to 4 per the verdict)
+    "a1_pricing_summary",  # A/§2 core: grouped multi-aggregate
+    "j1_join_dims",  # J: inner equi-join
+    "s5_upsert",  # S: write path
+    "dedup_minhash_lsh",  # pipeline: near-dup (perf-watched)
+]
+
+# Round-6 queue: the 37 never-driver-checked names that did not fit
+# the round-5 window, plus any queries registered during the round-5
+# session (appended as they are added, each strict-sim green at
+# sf0.001 + sf0.01 before staging).
+ROUND6_QUEUE = [
     "ev_hourly_seasonality",
     "emb_centroid_spread",
     "dq_pk_duplicates",
     "ext_salted_join",
     "join_bloom_prefilter",
-    "scd2_user_state",
     "feat_target_encode",
     "dq_benford_digits",
     "sample_weighted_priority",
@@ -196,160 +271,46 @@ ROUND5_QUEUE = [
     "ts_cusum_changepoints",
     "w10_rolling_corr",
     "ts_interpolate_linear",
-    "mm_audio_features",
     "feat_hash_bucketize",
-    "j15_scd2_point_in_time",
     "stats_chi_square",
-    "mm_image_ahash_dedup",
     "ext_reused_exchange",
-    "dedup_ahash_hamming",
     "sql_api_bind_params",
-    "j16_asof_nearest",
     "split_temporal_embargo",
-    "mm_video_scene_cuts",
     "src_nested_struct_pruning",
     "forecast_backtest_metrics",
     "eval_langid_confusion",
     "mv_rollup_retractions",
     "dq_header_detail_reconcile",
-]
-_unknown_r5 = [n for n in ROUND5_QUEUE if n not in all_queries()]
-assert not _unknown_r5, f"ROUND5_QUEUE names not registered: {_unknown_r5}"
-
-# Round-5 prefix: the queue above plus §2/pipeline family
-# representatives (the same insurance slots every round carries).
-ROUND5_PREFIX = ROUND5_QUEUE + [
-    "a1_pricing_summary",  # A: grouped multi-aggregate
-    "j1_join_dims",  # J: inner equi-join
-    "j7_asof_latest",  # J7/W3: as-of latest-per-key
-    "w3_topn_per_group",  # W: window rank
-    "s5_upsert",  # S: write path
-    "u2_apply_trades",  # U: sequential fold write path
-    "f4_ilike_search",  # F: predicate family
-    "o2_topk",  # O: ordering family
-    "e9_ledger_regex",  # E: expression family
-    "tpch_q6_forecast_revenue",  # TPC-H representative
-    "dedup_minhash_lsh",  # pipeline: near-dup
-    "dedup_embedding_cosine",  # pipeline: embedding dedup
-    "ann_ivf_topk",  # pipeline: ANN scale path
-    "mm_decode_real",  # multimodal: real codec decode
-    "stream_tumbling_hourly",  # streaming: watermark window
-    "sketch_kmv_distinct",  # sketches
-    "text_quality_metrics",  # text pipeline
-    "src_csv_roundtrip",  # sources: S8 export analog
-    "ev_funnel",  # events/product analytics
-    "ext_rollup",  # SQL extensions
-    "graph_triangle_count",  # graph family
-    "split_leakage_safe",  # training splits
-    "dq_violation_counts",  # data quality
-]
-
-# Round-6 queue: queries registered during the round-3 session AFTER
-# the round-5 prefix was staged (all strict-sim green at sf0.001 +
-# sf0.01 when added), plus the 9 registered-but-never-staged queries
-# the round-3 session's audit found (they predate ROUND5_QUEUE but
-# fell between rotation snapshots).
-ROUND6_QUEUE = [
-    # round-3 session additions
-    "search_hybrid_rrf",
-    "ann_pq_adc_topk",
-    "rag_chunk_retrieval",
-    "eval_dedup_recall",
-    "er_resolve_entities",
-    "er_survivorship",
-    "j17_interval_overlap",
-    "stream_cdc_apply",
-    "dq_k_anonymity",
-    "dp_noisy_counts",
-    "reco_copurchase_lift",
-    "ev_attribution_models",
-    "ts_seasonal_decompose",
-    "s12_optimistic_retry",
-    "pipeline_training_manifest",
-    "sec_cleanroom_join",
-    "w11_rolling_median",
-    "ts_downsample_m4",
-    "dq_psi_drift",
-    # audit backlog: registered in round 2-3 sessions, never staged
-    "corpus_dedup_report",
+    "ext_string_funcs",
     "ev_dau_mau",
     "ev_inactivity_gaps",
-    "ext_string_funcs",
-    "feat_impute_group_mean",
-    "feat_robust_zscore_mad",
+    "ev_attribution_models",
+    "ev_cohort_ltv",
     "j14_shuffle_hash_hint",
     "text_keyword_in_context",
     "text_lexical_diversity",
+    "corpus_dedup_report",
+    "feat_impute_group_mean",
+    "feat_robust_zscore_mad",
+    "reco_copurchase_lift",
+    "ts_seasonal_decompose",
 ]
 _unknown_r6 = [n for n in ROUND6_QUEUE if n not in all_queries()]
 assert not _unknown_r6, f"ROUND6_QUEUE names not registered: {_unknown_r6}"
 
-# Round-6 prefix: the queue plus the standing family-representative
-# insurance slots. ROUND5_PREFIX has 54 names against a ~50 window, so
-# its possible tail spill (last 4 reps) is re-listed here ahead of the
-# new queue.
-ROUND6_PREFIX = [
-    "graph_triangle_count",
-    "split_leakage_safe",
-    "dq_violation_counts",
-    "ext_rollup",
-] + ROUND6_QUEUE + [
-    "a1_pricing_summary",  # A: grouped multi-aggregate
-    "j1_join_dims",  # J: inner equi-join
-    "s5_upsert",  # S: write path
-    "u2_apply_trades",  # U: sequential fold write path
-    "f4_ilike_search",  # F: predicate family
-    "o2_topk",  # O: ordering family
-    "e9_ledger_regex",  # E: expression family
-    "w3_topn_per_group",  # W: window rank
-    "tpch_q6_forecast_revenue",  # TPC-H representative
-    "dedup_minhash_lsh",  # pipeline: near-dup
-    "ann_ivf_topk",  # pipeline: ANN scale path
-    "mm_decode_real",  # multimodal: real codec decode
-    "stream_tumbling_hourly",  # streaming: watermark window
-    "sketch_kmv_distinct",  # sketches
-    "text_quality_metrics",  # text pipeline
-    "src_csv_roundtrip",  # sources: S8 export analog
-    "ev_funnel",  # events/product analytics
+ROUND6_PREFIX = ROUND6_QUEUE + [
+    # family-representative insurance
+    "a1_pricing_summary",
+    "j1_join_dims",
+    "s5_upsert",
+    "dedup_minhash_lsh",
 ]
 
-# Round-7 queue: ROUND6_PREFIX reached the ~50-query driver window,
-# so additions past that point stage here (all strict-sim green at
-# sf0.001 + sf0.01 when added; the whole registry was also validated
-# at sf0.1 this session).
-ROUND7_QUEUE = [
-    "stats_bootstrap_ci",
-    "ev_cohort_ltv",
-    "stats_ab_welch",
-    "eval_ann_recall",
-    "dedup_incremental_ingest",
-    "ann_ivf_multiprobe",
-    # round-4 session additions (strict-sim green at sf0.001 + sf0.01
-    # when added): the transaction-log table backend
-    "s13_txnlog_merge_mixed",
-    "s14_txnlog_optimistic_retry",
-    "s15_txnlog_time_travel",
-    "maintenance_txnlog_history",
-    "s8_chart_daily_close",  # S8 closed fully: SVG line-chart sink
-    "corpus_domain_gate",  # source-level quality gating
-    "text_bpe_pair_freq",  # BPE merge-candidate counting
-    "text_hot_span_scrub",  # Lee-et-al-style hot-span coverage
-    "dedup_index_persisted",  # LSH index as a persisted txnlog table
-    "text_nfc_normalize",  # Arrow-UDF NFC vs DuckDB nfc_normalize
-    "s16_txnlog_schema_evolution",  # metadata-only ADD COLUMNS + backfill
-    "maintenance_txnlog_cluster",  # clustered compaction -> 1-file pruning
-    "ann_ivf_filtered",  # filtered vector search (predicate AND knn)
-    "stream_tumbling_live",  # LIVE Structured Streaming execution row
-    "s8_chart_forecast",  # prediction chart (history + dashed forecast)
-    "s17_txnlog_merge_on_read",  # deletion-vector (MOR) delete cycle
-    "sketch_hll_registers",  # portable HLL register table, exact oracle
-    "sketch_hll_merge",  # HLL per-bucket-max distributive law
-]
-_unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
-assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"
+# Round-7 queue: spillover staging for queries added after ROUND6's
+# window fills (~50 names).
+ROUND7_QUEUE = []
 
 ROUND7_PREFIX = ROUND7_QUEUE + [
-    # family representatives (standing insurance slots)
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",
