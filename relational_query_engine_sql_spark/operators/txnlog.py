@@ -14,15 +14,23 @@ FILE granularity:
 - The table state is a JSON commit log ``<path>/_txn_log/{n}.json``.
   Each commit is a list of ``add``/``remove`` file actions; the live
   snapshot at version n is the replay of commits 0..n.
-- Every ``add`` carries per-file min/max stats for the key column, so
-  a keyed write (upsert / delete_keys / merge) rewrites ONLY the
-  files whose key range can contain the incoming keys — file
-  skipping, the same mechanic Delta calls data skipping.
-- Commit = ``open(log/{n}.json, "x")``: atomic create-if-absent IS
-  the compare-and-swap, exactly the optimistic-concurrency protocol
-  Delta puts on its log entry (and an object store puts on a
-  PUT-if-absent manifest). Losers get :class:`CommitConflict` and
-  rebase via ``modify_with_retry``.
+- Every ``add`` carries per-file min/max stats for EVERY key column,
+  so a keyed write (upsert / delete_keys / merge) rewrites ONLY the
+  files whose key ranges can contain the incoming keys — file
+  skipping, the same mechanic Delta calls data skipping; composite-PK
+  tables (the reference's ``(symbol, timestamp)`` Stocks key,
+  sql/schema.sql:1-10) prune on all columns.
+- Commit = ``CommitBackend.put_if_absent(log/{n}.json)``: atomic
+  create-if-absent IS the compare-and-swap, exactly the
+  optimistic-concurrency protocol Delta puts on its log entry. The
+  backend is pluggable: :class:`LocalCommitBackend` uses POSIX
+  O_EXCL; an object-store deployment swaps in a conditional-PUT
+  implementation (S3 ``If-None-Match: *`` / GCS
+  ``if-generation-match: 0`` — see SCALE.md) without touching the
+  protocol. Every mutation pins the version its snapshot was read at
+  and commits at exactly that version + 1, so losers — including a
+  writer whose read-compute window was raced — get
+  :class:`CommitConflict` and rebase.
 - Every 10th commit also writes a checkpoint of the full live-file
   set, so snapshot reconstruction replays at most 10 deltas instead
   of the whole history (Delta's ``_last_checkpoint`` mechanic).
@@ -58,31 +66,98 @@ from .mutation import CommitConflict, ParquetTable, merge_frame
 CHECKPOINT_EVERY = 10
 
 
+class CommitBackend:
+    """The two primitives the commit protocol needs from storage.
+
+    ``put_if_absent`` is the compare-and-swap: exactly one writer may
+    create a given log entry. On a local filesystem that is
+    ``open(path, "x")``; on S3 it is a conditional PUT with
+    ``If-None-Match: *``; on GCS, ``x-goog-if-generation-match: 0``;
+    on stores without conditional PUT (pre-2024 S3), Delta's answer is
+    an external lock/CAS service (e.g. a DynamoDB LogStore) — all of
+    them implement exactly this one-method contract, which is why the
+    protocol stays correct on an object store once this class is
+    swapped (see SCALE.md).
+
+    ``publish_atomic`` is all-or-nothing visibility for derived
+    metadata (checkpoints): readers must never observe a torn file.
+    Locally that is write-temp-then-``os.rename``; object-store PUTs
+    are already atomic.
+    """
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        raise NotImplementedError
+
+    def publish_atomic(self, path: str, payload: str) -> None:
+        raise NotImplementedError
+
+
+class LocalCommitBackend(CommitBackend):
+    """POSIX implementation: O_CREAT|O_EXCL create as the CAS, and
+    temp-file + ``os.rename`` (atomic on POSIX) as the publish."""
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        try:
+            with open(path, "x", encoding="utf-8") as f:
+                f.write(payload)
+            return True
+        except FileExistsError:
+            return False
+
+    def publish_atomic(self, path: str, payload: str) -> None:
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(payload)
+        os.rename(tmp, path)
+
+
 def _js(v):
     """JSON-safe scalar for stats. Date/datetime isoformat is
-    order-consistent under string compare, so those stay prunable;
-    Decimal is NOT (lexicographic "100" < "99") and float-rounding it
-    could flip a boundary, so Decimal keys opt out of pruning
-    entirely (None stats → file always treated as affected — the
-    conservative, always-correct direction)."""
+    order-consistent under string compare, so those stay prunable.
+    Decimal order is NOT string order (lexicographic "100" < "99")
+    and float-rounding it could flip a boundary, so Decimals are
+    tagged ``{"D": str}`` and compared as exact Decimals again by
+    ``_overlaps`` — money-keyed tables keep full pruning."""
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
-        return None
+        return {"D": str(v)}
     return v
 
 
-def _overlaps(stats: list | None, lo, hi) -> bool:
-    """Can a file with key range ``stats=[min,max]`` contain any key in
-    [lo, hi]? Unknown/incomparable stats → True (prune is an
+def _thaw(v):
+    """Inverse of the ``_js`` tagging for comparison purposes."""
+    if isinstance(v, dict) and "D" in v:
+        return decimal.Decimal(v["D"])
+    return v
+
+
+def _col_overlaps(rng: list | None, lo, hi) -> bool:
+    """Can a file whose column range is ``rng=[min,max]`` contain any
+    value in [lo, hi]? Unknown/incomparable stats → True (prune is an
     optimization; the superset is always correct)."""
-    if not stats or stats[0] is None or stats[1] is None:
+    if not rng or rng[0] is None or rng[1] is None:
         return True
-    mn, mx = stats
+    mn, mx = _thaw(rng[0]), _thaw(rng[1])
+    lo, hi = _thaw(lo), _thaw(hi)
     try:
         return not (mx < lo or mn > hi)
     except TypeError:
         return True
+
+
+def _overlaps(stats: dict | None, bounds: dict) -> bool:
+    """Multi-column skip test: the file is prunable iff ANY key
+    column's range is disjoint from the incoming bounds — on a
+    composite-key table (the reference's ``(symbol, timestamp)``
+    Stocks PK, sql/schema.sql:1-10) a write for one symbol's recent
+    ticks prunes on BOTH columns, not just the first."""
+    if not stats:
+        return True
+    for col, (lo, hi) in bounds.items():
+        if not _col_overlaps(stats.get(col), lo, hi):
+            return False
+    return True
 
 
 class TxnLogTable(ParquetTable):
@@ -101,8 +176,11 @@ class TxnLogTable(ParquetTable):
     they expected.
     """
 
-    def __init__(self, *args, **kwargs) -> None:
+    def __init__(
+        self, *args, commit_backend: CommitBackend | None = None, **kwargs
+    ) -> None:
         super().__init__(*args, **kwargs)
+        self.backend = commit_backend or LocalCommitBackend()
         if self.partition_by:
             raise ValueError(
                 "TxnLogTable skips files via per-file key stats; "
@@ -210,7 +288,8 @@ class TxnLogTable(ParquetTable):
         Returns the committed version."""
         import pyspark.sql.types as T
 
-        cur = self.schema
+        base = self.current_version()
+        cur = self._schema_at(base)
         for name in fields:
             if name in cur.fieldNames():
                 raise ValueError(f"column exists: {name}")
@@ -222,7 +301,7 @@ class TxnLogTable(ParquetTable):
             ]
         )
         return self._commit(
-            "add_columns", [{"metadata": {"schema": new.jsonValue()}}]
+            "add_columns", [{"metadata": {"schema": new.jsonValue()}}], base
         )
 
     def history(self) -> list[dict]:
@@ -419,11 +498,12 @@ class TxnLogTable(ParquetTable):
         self, df: DataFrame, dv: bool = False
     ) -> list[dict]:
         """Write ``df`` as immutable parquet files under data/ and
-        return their add-actions with per-file rowcount + key min/max
-        stats (one aggregate over just the new files — the same
-        write-time stats pass Delta does). ``dv=True`` writes a
-        DELETION-VECTOR file (key columns only) and tags the action so
-        replay can tell data from tombstones."""
+        return their add-actions with per-file rowcount + min/max
+        stats for EVERY key column (one aggregate over just the new
+        files — the same write-time stats pass Delta does), so
+        composite-key tables prune on all key columns. ``dv=True``
+        writes a DELETION-VECTOR file (key columns only) and tags the
+        action so replay can tell data from tombstones."""
         rel_dir = f"data/{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, rel_dir)
         if dv:
@@ -434,16 +514,15 @@ class TxnLogTable(ParquetTable):
         else:
             schema = self.schema
             self._conform(df).write.mode("error").parquet(out_dir)
-        k0 = self.keys[0]
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for i, k in enumerate(self.keys):
+            aggs.append(F.min(k).alias(f"_mn{i}"))
+            aggs.append(F.max(k).alias(f"_mx{i}"))
         stat_rows = (
             self.spark.read.schema(schema)
             .parquet(out_dir)
             .groupBy(F.input_file_name().alias("_f"))
-            .agg(
-                F.count(F.lit(1)).alias("_rows"),
-                F.min(k0).alias("_mn"),
-                F.max(k0).alias("_mx"),
-            )
+            .agg(*aggs)
             .collect()
         )
         adds = []
@@ -452,7 +531,10 @@ class TxnLogTable(ParquetTable):
             action = {
                 "path": f"{rel_dir}/{base}",
                 "rows": r["_rows"],
-                "stats": [_js(r["_mn"]), _js(r["_mx"])],
+                "stats": {
+                    k: [_js(r[f"_mn{i}"]), _js(r[f"_mx{i}"])]
+                    for i, k in enumerate(self.keys)
+                },
             }
             if dv:
                 action["dv"] = True
@@ -469,50 +551,72 @@ class TxnLogTable(ParquetTable):
         self,
         op: str,
         actions: list[dict],
-        expected_version: int | None = "auto",
+        expected_version: int | None,
     ) -> int:
-        """CAS-commit ``actions`` as the next log entry. The atomic
-        create-if-absent on the log file is the whole concurrency
-        protocol; a loser cleans up its staged files and raises."""
+        """CAS-commit ``actions`` as log entry ``expected_version+1``
+        via the pluggable :class:`CommitBackend`. ``expected_version``
+        is REQUIRED and must be the version the caller's snapshot was
+        read at (Delta commits at read-version+1 for the same reason):
+        committing over a version the caller never saw would silently
+        build on a stale file set and lose the intervening writer's
+        changes. A loser cleans up its staged files and raises
+        :class:`CommitConflict` so it can rebase and retry."""
         os.makedirs(self._log_dir(), exist_ok=True)
-        if expected_version == "auto":
-            expected_version = self.current_version()
         target = 0 if expected_version is None else expected_version + 1
         entry = {"version": target, "op": op, "actions": actions}
-        try:
-            with open(self._log_path(target), "x", encoding="utf-8") as f:
-                json.dump(entry, f)
-        except FileExistsError as e:
+        if not self.backend.put_if_absent(
+            self._log_path(target), json.dumps(entry)
+        ):
             for a in actions:
                 if "add" in a:
                     p = os.path.join(self.path, a["add"]["path"])
                     shutil.rmtree(os.path.dirname(p), ignore_errors=True)
-            raise CommitConflict(f"v{target} committed concurrently") from e
+            raise CommitConflict(f"v{target} committed concurrently")
         if target % CHECKPOINT_EVERY == 0 and target > 0:
-            # materialize the live set BEFORE creating the checkpoint
-            # file: _live scans for checkpoints, and the freshly
-            # opened (still empty) file must not shadow the replay
+            # checkpoints publish atomically (temp + rename): a reader
+            # racing the writer — or a crash mid-write — must never
+            # observe a torn checkpoint, which would make every
+            # version >= it unreadable until manually deleted
             live = self._live(target)
-            with open(self._ckpt_path(target), "w", encoding="utf-8") as f:
-                json.dump({"live": live}, f)
+            self.backend.publish_atomic(
+                self._ckpt_path(target), json.dumps({"live": live})
+            )
         return target
 
-    def _affected(self, incoming_keys: DataFrame) -> list[str]:
-        """Relpaths of live files whose key range can contain any
-        incoming key — the file-skipping step. One tiny aggregate on
-        the incoming side; pure metadata on the table side."""
-        k0 = self.keys[0]
-        bounds = incoming_keys.agg(
-            F.min(k0).alias("lo"), F.max(k0).alias("hi")
-        ).first()
-        if bounds["lo"] is None:
+    def _bounds(self, incoming_keys: DataFrame) -> dict | None:
+        """Per-key-column [lo, hi] of the incoming frame — ONE tiny
+        aggregate over the columns present in ``incoming_keys`` (some
+        callers pass fewer than all key columns; pruning then uses the
+        subset). None when the incoming frame is empty."""
+        cols = [c for c in self.keys if c in incoming_keys.columns]
+        aggs = []
+        for i, k in enumerate(cols):
+            aggs.append(F.min(k).alias(f"_lo{i}"))
+            aggs.append(F.max(k).alias(f"_hi{i}"))
+        row = incoming_keys.agg(*aggs).first()
+        if all(row[f"_lo{i}"] is None for i in range(len(cols))):
+            return None
+        return {
+            k: [_js(row[f"_lo{i}"]), _js(row[f"_hi{i}"])]
+            for i, k in enumerate(cols)
+        }
+
+    def _affected(
+        self, incoming_keys: DataFrame, version: int | None = None
+    ) -> list[str]:
+        """Relpaths of files live at ``version`` whose key ranges can
+        contain any incoming key — the file-skipping step, now over
+        EVERY key column (disjoint on any one column ⇒ skip). One tiny
+        aggregate on the incoming side; pure metadata on the table
+        side."""
+        bounds = self._bounds(incoming_keys)
+        if bounds is None:
             return []
-        lo, hi = _js(bounds["lo"]), _js(bounds["hi"])
-        data, _ = self._split_live()
+        data, _ = self._split_live(version)
         return [
             p
             for p, meta in data.items()
-            if _overlaps(meta.get("stats"), lo, hi)
+            if _overlaps(meta.get("stats"), bounds)
         ]
 
     def _read_files(self, relpaths: list[str]) -> DataFrame:
@@ -522,13 +626,15 @@ class TxnLogTable(ParquetTable):
             *[os.path.join(self.path, p) for p in relpaths]
         )
 
-    def _read_files_mor(self, relpaths: list[str]) -> DataFrame:
-        """Read data files with merge-on-read applied: live deletion
-        vectors are subtracted, so rewrites never re-materialize
-        tombstoned rows (which would resurrect as duplicates once a
-        later write shrinks the DV)."""
+    def _read_files_mor(
+        self, relpaths: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Read data files with merge-on-read applied: the deletion
+        vectors live at ``version`` are subtracted, so rewrites never
+        re-materialize tombstoned rows (which would resurrect as
+        duplicates once a later write shrinks the DV)."""
         df = self._read_files(relpaths)
-        _, dvs = self._split_live()
+        _, dvs = self._split_live(version)
         if dvs:
             tomb = self.spark.read.schema(self._dv_schema()).parquet(
                 *[os.path.join(self.path, p) for p in dvs]
@@ -536,26 +642,24 @@ class TxnLogTable(ParquetTable):
             df = df.join(F.broadcast(tomb), self.keys, "left_anti")
         return df
 
-    def _dv_shrink_actions(self, incoming_keys: DataFrame) -> list[dict]:
+    def _dv_shrink_actions(
+        self, incoming_keys: DataFrame, version: int | None = None
+    ) -> list[dict]:
         """Remove incoming keys from any overlapping live deletion
         vector (remove+add actions, folded into the caller's commit so
         the write and its DV shrink are atomic). A write of a key must
         clear that key's tombstone or the new row would be invisible.
         Stats-pruned: only DV files whose key range overlaps the
         incoming keys are rewritten."""
-        _, dvs = self._split_live()
+        _, dvs = self._split_live(version)
         if not dvs:
             return []
-        k0 = self.keys[0]
-        bounds = incoming_keys.agg(
-            F.min(k0).alias("lo"), F.max(k0).alias("hi")
-        ).first()
-        if bounds["lo"] is None:
+        bounds = self._bounds(incoming_keys)
+        if bounds is None:
             return []
-        lo, hi = _js(bounds["lo"]), _js(bounds["hi"])
         actions: list[dict] = []
         for relpath, meta in dvs.items():
-            if not _overlaps(meta.get("stats"), lo, hi):
+            if not _overlaps(meta.get("stats"), bounds):
                 continue
             kept = self.spark.read.schema(self._dv_schema()).parquet(
                 os.path.join(self.path, relpath)
@@ -564,7 +668,9 @@ class TxnLogTable(ParquetTable):
             actions.extend(self._write_files(kept, dv=True))
         return actions
 
-    def _revive_actions(self, incoming_keys: DataFrame) -> list[dict]:
+    def _revive_actions(
+        self, incoming_keys: DataFrame, version: int | None = None
+    ) -> list[dict]:
         """Make re-inserting MOR-deleted keys safe for ops that do NOT
         rewrite data files (append / insert_ignore): shrink the
         overlapping deletion vectors AND purge the revived keys' old
@@ -577,7 +683,7 @@ class TxnLogTable(ParquetTable):
         rewrite every affected file MOR-filtered.) When no incoming
         key is tombstoned — the overwhelmingly common case — this
         costs one semi-join against the tiny DV set and returns []."""
-        _, dvs = self._split_live()
+        _, dvs = self._split_live(version)
         if not dvs:
             return []
         tomb = self.spark.read.schema(self._dv_schema()).parquet(
@@ -588,13 +694,13 @@ class TxnLogTable(ParquetTable):
         ).localCheckpoint(eager=True)  # probed, then pruned + shrunk on
         if not revived.take(1):
             return []
-        doomed = self._affected(revived.select(self.keys[0]))
+        doomed = self._affected(revived, version)
         actions: list[dict] = [{"remove": {"path": p}} for p in doomed]
         if doomed:
             actions.extend(
-                self._write_files(self._read_files_mor(doomed))
+                self._write_files(self._read_files_mor(doomed, version))
             )
-        actions.extend(self._dv_shrink_actions(revived))
+        actions.extend(self._dv_shrink_actions(revived, version))
         return actions
 
     def _rewrite(
@@ -603,70 +709,84 @@ class TxnLogTable(ParquetTable):
         doomed: list[str],
         out: DataFrame,
         extra: list[dict] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Copy-on-write commit: replace ``doomed`` files with ``out``
         (remove+add in ONE atomic log entry — readers never see a
         half-applied mutation). ``extra`` actions (e.g. a DV shrink)
-        ride the same commit."""
+        ride the same commit. ``expected_version`` must be the version
+        the caller's snapshot (doomed list, kept rows) was read at."""
         extra = extra or []
         adds = self._write_files(out)
         removes = [{"remove": {"path": p}} for p in doomed]
-        return self._commit(op, removes + adds + extra)
+        return self._commit(op, removes + adds + extra, expected_version)
 
     # -- mutations (same surface as ParquetTable) ---------------------------
+    #
+    # Every mutation pins base = current_version() BEFORE materializing
+    # its snapshot (affected files, kept rows, DV state) and commits at
+    # base+1, so a commit landing in between raises CommitConflict
+    # instead of being silently built over (the lost-update anomaly).
+    # Callers rebase by re-invoking the mutation (or use
+    # modify_with_retry for the generic loop).
 
     def init(self, df: DataFrame) -> None:
-        self._commit("init", self._write_files(df))
+        self._commit("init", self._write_files(df), self.current_version())
 
     def append(self, rows: DataFrame) -> None:
         # append-only: new files, zero rewrite — the op Versioned
         # ParquetTable pays a full table copy for. If an appended key
         # is currently tombstoned, the DV shrink AND the purge of its
         # old masked row ride the same commit (_revive_actions).
+        base = self.current_version()
         revive = self._revive_actions(
-            self._conform(rows).select(*self.keys)
+            self._conform(rows).select(*self.keys), base
         )
-        self._commit("append", self._write_files(rows) + revive)
+        self._commit("append", self._write_files(rows) + revive, base)
 
     def insert_ignore(self, rows: DataFrame) -> int:
+        base = self.current_version()
         incoming = self._conform(rows).dropDuplicates(self.keys)
-        affected = self._affected(incoming.select(self.keys[0]))
+        affected = self._affected(incoming, base)
         # existence is judged on the MOR view: a DV-deleted key is NOT
         # existing, so re-inserting it must succeed
         fresh = incoming.join(
-            self._read_files_mor(affected).select(self.keys),
+            self._read_files_mor(affected, base).select(self.keys),
             self.keys,
             "left_anti",
         )
         n = fresh.count()
         if n:
-            revive = self._revive_actions(fresh.select(*self.keys))
+            revive = self._revive_actions(fresh.select(*self.keys), base)
             self._commit(
-                "insert_ignore", self._write_files(fresh) + revive
+                "insert_ignore", self._write_files(fresh) + revive, base
             )
         return n
 
     def upsert(self, rows: DataFrame) -> None:
+        base = self.current_version()
         incoming = self._conform(rows).dropDuplicates(self.keys)
-        affected = self._affected(incoming.select(self.keys[0]))
-        kept = self._read_files_mor(affected).join(
+        affected = self._affected(incoming, base)
+        kept = self._read_files_mor(affected, base).join(
             incoming.select(self.keys), self.keys, "left_anti"
         )
         self._rewrite(
             "upsert",
             affected,
             kept.unionByName(incoming),
-            extra=self._dv_shrink_actions(incoming.select(*self.keys)),
+            extra=self._dv_shrink_actions(incoming.select(*self.keys), base),
+            expected_version=base,
         )
 
     def delete_keys(self, keys_df: DataFrame) -> None:
-        affected = self._affected(keys_df.select(self.keys[0]))
+        base = self.current_version()
+        affected = self._affected(keys_df, base)
         if not affected:
             return
-        out = self._read_files_mor(affected).join(
+        out = self._read_files_mor(affected, base).join(
             keys_df, self.keys, "left_anti"
         )
-        self._rewrite("delete_keys", affected, out)
+        self._rewrite("delete_keys", affected, out, expected_version=base)
 
     def delete_keys_deferred(self, keys_df: DataFrame) -> None:
         """Merge-on-read DELETE (Delta/Iceberg v2 deletion-vector
@@ -677,6 +797,7 @@ class TxnLogTable(ParquetTable):
         the region) later materializes the delete and drops inert
         tombstones; a subsequent write of a tombstoned key atomically
         shrinks the DV so the new row is visible."""
+        base = self.current_version()
         dv = (
             keys_df.select(
                 *[F.col(k) for k in self.keys]
@@ -684,14 +805,16 @@ class TxnLogTable(ParquetTable):
         )
         adds = self._write_files(dv, dv=True)
         if adds:
-            self._commit("delete_keys_deferred", adds)
+            self._commit("delete_keys_deferred", adds, base)
 
-    def _files_matching(self, condition: Column) -> list[str]:
-        """Live files that contain at least one row matching an
-        arbitrary predicate. One filtered metadata-projection scan —
-        parquet row-group stats make it cheap — returning file NAMES
-        to the driver, never rows."""
-        live = list(self._split_live()[0])
+    def _files_matching(
+        self, condition: Column, version: int | None = None
+    ) -> list[str]:
+        """Files live at ``version`` that contain at least one row
+        matching an arbitrary predicate. One filtered
+        metadata-projection scan — parquet row-group stats make it
+        cheap — returning file NAMES to the driver, never rows."""
+        live = list(self._split_live(version)[0])
         if not live:
             return []
         hit_files = {
@@ -705,10 +828,11 @@ class TxnLogTable(ParquetTable):
         return [p for p in live if os.path.basename(p) in hit_files]
 
     def update(self, condition: Column, assignments: dict[str, Column]) -> None:
-        affected = self._files_matching(condition)
+        base = self.current_version()
+        affected = self._files_matching(condition, base)
         if not affected:
             return
-        df = self._read_files_mor(affected)
+        df = self._read_files_mor(affected, base)
         out = df.select(
             *[
                 F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -717,20 +841,21 @@ class TxnLogTable(ParquetTable):
                 for c in df.columns
             ]
         )
-        self._rewrite("update", affected, out)
+        self._rewrite("update", affected, out, expected_version=base)
 
     def delete(self, condition: Column) -> None:
-        affected = self._files_matching(condition)
+        base = self.current_version()
+        affected = self._files_matching(condition, base)
         if not affected:
             return
         # NOT(pred IS TRUE), not ~pred: a NULL-evaluating predicate
         # keeps its row (SQL DELETE semantics) — matters exactly when
         # a rewritten file carries both matching and NULL-predicate
         # rows (same fix as ParquetTable.delete)
-        out = self._read_files_mor(affected).filter(
+        out = self._read_files_mor(affected, base).filter(
             ~F.coalesce(condition, F.lit(False))
         )
-        self._rewrite("delete", affected, out)
+        self._rewrite("delete", affected, out, expected_version=base)
 
     def merge(
         self,
@@ -743,11 +868,12 @@ class TxnLogTable(ParquetTable):
         # unmatched-target rows in every other file are untouched by
         # construction, so restricting the full-outer join to the
         # affected region preserves merge semantics.
-        affected = self._affected(source.select(self.keys[0]))
+        base = self.current_version()
+        affected = self._affected(source.select(*self.keys), base)
         out = merge_frame(
             self.schema,
             self.keys,
-            self._read_files_mor(affected),
+            self._read_files_mor(affected, base),
             source,
             update_assign,
             update_cond,
@@ -757,7 +883,8 @@ class TxnLogTable(ParquetTable):
             "merge",
             affected,
             out,
-            extra=self._dv_shrink_actions(source.select(*self.keys)),
+            extra=self._dv_shrink_actions(source.select(*self.keys), base),
+            expected_version=base,
         )
 
     def compact(
@@ -772,9 +899,10 @@ class TxnLogTable(ParquetTable):
         file instead of every file overlapping a broad hash-mixed
         range. This composes the two halves (stats skipping + layout)
         the same way a lakehouse does."""
-        data, dvs = self._split_live()
+        base = self.current_version()
+        data, dvs = self._split_live(base)
         live = list(data) + list(dvs)
-        df = self._read_files_mor(list(data))
+        df = self._read_files_mor(list(data), base)
         if cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
@@ -782,7 +910,7 @@ class TxnLogTable(ParquetTable):
             )
         else:
             df = df.repartition(target_files)
-        self._rewrite("compact", live, df)
+        self._rewrite("compact", live, df, expected_version=base)
 
     # -- optimistic concurrency / retention ----------------------------------
 

@@ -123,7 +123,9 @@ def test_keyed_write_rewrites_only_overlapping_files(spark, tmp_path):
     before = set(t._live())
     assert len(before) == 3
     low_files = {
-        p for p, m in t._live().items() if m["stats"] and m["stats"][0] < 1000
+        p
+        for p, m in t._live().items()
+        if m["stats"] and m["stats"]["k"][0] < 1000
     }
     assert len(low_files) == 1
 
@@ -335,7 +337,7 @@ def test_clustered_compaction_tightens_pruning(spark, tmp_path):
 
     t.compact(4, cluster_by=["k"])
     ranges = sorted(
-        tuple(m["stats"]) for m in t._live().values() if m["stats"]
+        tuple(m["stats"]["k"]) for m in t._live().values() if m["stats"]
     )
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo  # disjoint file ranges after clustering
@@ -540,3 +542,151 @@ def test_direct_revive_of_tombstoned_key_never_duplicates(
     # history is still replayable at every version
     assert t.read(0).count() == 100
     assert t.read(1).count() == 98
+
+
+# -- commit backend / snapshot-pinning protocol -------------------------------
+
+
+def test_intervening_commit_raises_instead_of_lost_update(
+    spark, base, tmp_path
+):
+    """The lost-update window: a commit landing between a mutation's
+    snapshot read and its commit MUST surface as CommitConflict, not
+    be silently built over (the stale snapshot would re-materialize
+    the rival's deleted/updated rows). A rival commit is injected
+    inside the window by wrapping _write_files."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    rival = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+
+    real = t._write_files
+    fired = {"done": False}
+
+    def inject_then_write(df, dv=False):
+        if not fired["done"]:
+            fired["done"] = True
+            rival.delete_keys(
+                spark.createDataFrame([(99,)], "k long")
+            )  # lands inside t's read->commit window
+        return real(df, dv=dv)
+
+    t._write_files = inject_then_write
+    with pytest.raises(CommitConflict):
+        t.upsert(_rows(spark, [(0, "mine", -1.0)]))
+    t._write_files = real
+    # the rival's delete survived — nothing was lost
+    assert t.read().filter(F.col("k") == 99).count() == 0
+    # and the loser's rebase (plain re-invoke) lands cleanly
+    t.upsert(_rows(spark, [(0, "mine", -1.0)]))
+    got = {r["k"]: r["grp"] for r in t.read().collect()}
+    assert got[0] == "mine" and 99 not in got
+
+
+def _race_put(args):
+    # module-level so it pickles for multiprocessing
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        LocalCommitBackend,
+    )
+
+    path, payload = args
+    return LocalCommitBackend().put_if_absent(path, payload)
+
+
+def test_commit_backend_cas_across_processes(tmp_path):
+    """The CAS primitive itself, raced by REAL separate processes (not
+    threads): exactly one winner per log path, and the surviving
+    payload is the winner's."""
+    import multiprocessing as mp
+
+    log = str(tmp_path / "00000000000000000001.json")
+    with mp.Pool(8) as pool:
+        results = pool.map(
+            _race_put, [(log, f"payload-{i}") for i in range(8)]
+        )
+    assert sum(results) == 1
+    winner = results.index(True)
+    with open(log, encoding="utf-8") as f:
+        assert f.read() == f"payload-{winner}"
+
+
+def test_checkpoint_publish_is_atomic_under_crash(
+    spark, base, tmp_path, monkeypatch
+):
+    """A crash mid-checkpoint must leave NO checkpoint file at all
+    (readers fall back to full log replay), never a torn one that
+    would make every later version unreadable."""
+    import relational_query_engine_sql_spark.operators.txnlog as txn
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)
+    monkeypatch.setattr(
+        os, "rename", lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    )
+    with pytest.raises(OSError):
+        for i in range(10):  # v10 crosses CHECKPOINT_EVERY
+            t.upsert(_rows(spark, [(i, "u", 0.0)]))
+    monkeypatch.undo()
+    ckpts = [
+        f for f in os.listdir(t._log_dir()) if f.endswith(".checkpoint.json")
+    ]
+    assert not ckpts  # no torn checkpoint published
+    # the commit itself landed; replay works from the log alone
+    assert t.current_version() == 10
+    assert t.read().count() == 100
+
+
+def test_composite_key_stats_prune_on_second_column(spark, tmp_path):
+    """Multi-column file stats: files sharing one symbol but split by
+    timestamp ranges must prune on the SECOND key column too (the
+    reference's (symbol, timestamp) Stocks PK shape)."""
+    schema = T.StructType(
+        [
+            T.StructField("sym", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("px", T.DoubleType()),
+        ]
+    )
+    t = TxnLogTable(spark, str(tmp_path / "t"), schema, ["sym", "ts"])
+    for lo in (0, 1000, 2000):  # same symbol, disjoint ts ranges
+        t.append(
+            spark.createDataFrame(
+                [("AAPL", lo + i, 1.0) for i in range(100)], schema
+            ).coalesce(1)
+        )
+    # first-key stats alone cannot prune (every file is all-AAPL);
+    # the ts range must do it
+    probe = spark.createDataFrame([("AAPL", 1050)], schema[:2])
+    hit = t._affected(probe)
+    assert len(hit) == 1
+    stats = next(iter(t._live().values()))["stats"]
+    assert set(stats) == {"sym", "ts"}
+
+
+def test_decimal_key_stats_stay_prunable(spark, tmp_path):
+    """Decimal keys used to disable pruning entirely (string order is
+    wrong for numerics); the tagged-Decimal stats restore exact
+    pruning for money-keyed tables."""
+    import decimal as _d
+
+    schema = T.StructType(
+        [
+            T.StructField("amt", T.DecimalType(12, 2)),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = TxnLogTable(spark, str(tmp_path / "t"), schema, ["amt"])
+    for lo in (0, 1000):
+        t.append(
+            spark.createDataFrame(
+                [(_d.Decimal(f"{lo + i}.25"), 1) for i in range(100)], schema
+            ).coalesce(1)
+        )
+    # the "99" < "100" string-order trap: probe 99.25 must hit ONLY
+    # the low file
+    probe = spark.createDataFrame([(_d.Decimal("99.25"),)], schema[:1])
+    assert len(t._affected(probe)) == 1
+    t.upsert(
+        spark.createDataFrame([(_d.Decimal("99.25"), 999)], schema)
+    )
+    assert t.read().filter(F.col("v") == 999).count() == 1
+    assert t.read().count() == 200
