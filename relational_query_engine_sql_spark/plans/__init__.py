@@ -294,6 +294,9 @@ ROUND6_QUEUE = [
     "feat_robust_zscore_mad",
     "reco_copurchase_lift",
     "ts_seasonal_decompose",
+    # round-5 session additions (strict-sim green at both driver SFs
+    # when staged)
+    "s18_txnlog_composite_prune",
 ]
 _unknown_r6 = [n for n in ROUND6_QUEUE if n not in all_queries()]
 assert not _unknown_r6, f"ROUND6_QUEUE names not registered: {_unknown_r6}"

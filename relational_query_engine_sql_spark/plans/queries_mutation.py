@@ -981,3 +981,54 @@ def s17_txnlog_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(back)
     return t.read()
+
+
+@query(
+    "s18_txnlog_composite_prune",
+    survey="beyond:txnlog,beyond:data-skipping",
+    priority=60,
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CASE WHEN l.l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
+                THEN l.l_quantity + 100.0 ELSE l.l_quantity END AS qty,
+           4 AS files_first_key_only, 1 AS files_both_keys
+    FROM lineitem l
+    """,
+)
+def s18_txnlog_composite_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-PK file skipping (the reference's (symbol, timestamp)
+    Stocks key, sql/schema.sql:1-10): the table is keyed
+    (l_linenumber, l_orderkey) and laid out as four orderkey-range
+    files, so every file spans the FULL linenumber range — first-key
+    stats alone cannot prune at all (4 candidate files), while
+    per-column stats on BOTH keys prune the same upsert to exactly one
+    file. Both counts ride the result columns, so the driver
+    hash-checks the pruning behavior itself, not just the table
+    contents; the oracle replays the mutation in SQL."""
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-txn-comp-")
+    t = TxnLogTable(
+        spark, f"{root}/li", src.schema, ["l_linenumber", "l_orderkey"]
+    )
+    t.init(src.repartitionByRange(4, "l_orderkey"))
+    mn = src.agg(F.min("l_orderkey")).first()[0]
+    incoming = src.filter(F.col("l_orderkey") == mn).withColumn(
+        "l_quantity", F.col("l_quantity") + 100.0
+    )
+    wide = len(t._affected(incoming.select("l_linenumber")))
+    narrow = len(t._affected(incoming.select("l_linenumber", "l_orderkey")))
+    assert narrow < wide, (
+        f"composite stats pruned {narrow} vs first-key {wide}"
+    )
+    t.upsert(incoming)
+    return t.read().select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.lit(wide).alias("files_first_key_only"),
+        F.lit(narrow).alias("files_both_keys"),
+    )
