@@ -549,16 +549,18 @@ def pq_codebook(
         .localCheckpoint(eager=True)
     )
     n = codebook.count()
-    assert n == m * k, (
-        f"PQ codebook has {n} rows, expected m*k={m * k} — the corpus "
-        f"has fewer than k={k} vectors or duplicate ids"
-    )
+    if n != m * k:  # data-dependent: must survive ``python -O``
+        raise ValueError(
+            f"PQ codebook has {n} rows, expected m*k={m * k} — the "
+            f"corpus has fewer than k={k} vectors or duplicate ids"
+        )
     return codebook
 
 
 def _dsub(emb: DataFrame, m: int, vec_col: str) -> int:
     dim = len(emb.select(vec_col).first()[0])
-    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    if dim % m != 0:  # data-dependent: must survive ``python -O``
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     return dim // m
 
 
@@ -617,7 +619,8 @@ def pq_adc_topk(
     """
     # ``dim`` from catalog/schema statistics skips the one-row probe
     # job (same contract as embedding_near_dups_lsh's ``n``).
-    assert dim is None or dim % m == 0
+    if dim is not None and dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m if dim is not None else _dsub(emb, m, vec_col)
     cb = pq_codebook(emb, m, k_codes, dsub, id_col, vec_col)
     codes = pq_encode(emb, cb, m, dsub, id_col, vec_col)

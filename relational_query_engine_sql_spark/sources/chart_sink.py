@@ -192,10 +192,21 @@ def write_forecast_chart(
 ) -> str:
     """Render a LONG (label, series, value) frame — e.g. history +
     forecast — to one multi-line SVG. Bounded collect: ≤ max_points
-    labels (history cap + horizon, the reference's 50+30)."""
-    rows = (
-        long_df.orderBy(long_df[label_col].desc())
+    DISTINCT LABELS (history cap + horizon, the reference's 50+30).
+    The cap is applied to a distinct-label frame and semi-joined back,
+    not to raw rows of the long frame — a row cap would cut mid-label
+    when several series share the newest labels, silently dropping one
+    series' point at the oldest kept label."""
+    from pyspark.sql import functions as F
+
+    top_labels = (
+        long_df.select(label_col)
+        .distinct()
+        .orderBy(F.col(label_col).desc())
         .limit(max_points)
+    )
+    rows = (
+        long_df.join(F.broadcast(top_labels), [label_col], "left_semi")
         .orderBy(long_df[label_col].asc())
         .collect()
     )

@@ -165,3 +165,33 @@ def test_forecast_chart_renders_two_series(spark, tmp_path):
     assert strokes == [5, 10]
     texts = [e.text for e in root.iter() if e.tag.endswith("text")]
     assert "hist" in texts and "pred" in texts
+
+
+def test_forecast_chart_caps_labels_not_rows(spark, tmp_path):
+    """Regression: max_points bounds DISTINCT LABELS. With two series
+    sharing every label, a row cap of 2·k would cut mid-label and drop
+    one series' point at the oldest kept label; the label cap keeps
+    BOTH series complete over the kept range."""
+    import xml.etree.ElementTree as ET
+
+    from relational_query_engine_sql_spark.sources.chart_sink import (
+        write_forecast_chart,
+    )
+
+    rows = []
+    for d in range(1, 21):  # two full-span series over 20 labels
+        rows.append((f"2024-01-{d:02d}", "hist", float(d)))
+        rows.append((f"2024-01-{d:02d}", "pred", d + 0.5))
+    df = spark.createDataFrame(rows, "day string, series string, value double")
+    path = write_forecast_chart(
+        df, str(tmp_path), "cap", "day", "series", "value", "T",
+        max_points=8,
+    )
+    root = ET.parse(path).getroot()
+    paths = [e for e in root.iter() if e.tag.endswith("path")]
+    strokes = sorted(
+        e.get("d").count("L") + e.get("d").count("M") for e in paths
+    )
+    assert strokes == [8, 8]  # both series keep all 8 kept labels
+    texts = [e.text for e in root.iter() if e.tag.endswith("text")]
+    assert "2024-01-13" in texts and "2024-01-12" not in texts
