@@ -297,6 +297,7 @@ ROUND6_QUEUE = [
     # round-5 session additions (strict-sim green at both driver SFs
     # when staged)
     "s18_txnlog_composite_prune",
+    "sketch_hll_estimate",
 ]
 _unknown_r6 = [n for n in ROUND6_QUEUE if n not in all_queries()]
 assert not _unknown_r6, f"ROUND6_QUEUE names not registered: {_unknown_r6}"

@@ -240,3 +240,122 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sk in shards[1:]:
         merged = hll_merge(merged, sk)
     return merged
+
+
+# --------------------------------------------------------------------------
+# The HLL ESTIMATE itself under the strict oracle gate — not just the
+# registers. The float-summation trap (2^-r harmonic sums are
+# order-dependent in doubles) is sidestepped by summing the registers
+# as EXACT scaled integers: each register contributes 2^(61-r) (a
+# BIGINT; 256 of them summed as DECIMAL(38,0) — exact in both
+# engines), so S = sum/2^61 and the bias-corrected estimate
+# alpha*m^2/S reduce to ONE double division on identical inputs.
+# The small-range linear-counting branch is expressed in both engines
+# too (same CASE on the same doubles). The result row carries the
+# estimate, the exact COUNT(DISTINCT), the raw scaled sum, and a
+# hash-checked within_bound flag asserting the published 1.04/sqrt(m)
+# envelope at 3 sigma — the sketch is proven usable end-to-end, not
+# just storable.
+# --------------------------------------------------------------------------
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+_HLL_C = _HLL_ALPHA * 256 * 256 * 2.0**61  # alpha*m^2 * scale
+_HLL_EST_SQL = f"""
+    WITH keys AS (
+        SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h
+        FROM lineitem
+    ),
+    parts AS (
+        SELECT substr(h, 1, 2) AS bucket,
+               ltrim(substr(h, 3, 15), '0') AS stripped
+        FROM keys
+    ),
+    rho AS (
+        SELECT bucket,
+               CASE WHEN stripped = '' THEN 61
+                    ELSE 4 * (15 - length(stripped))
+                         + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                                WHEN substr(stripped, 1, 1) IN ('2', '3')
+                                    THEN 2
+                                WHEN substr(stripped, 1, 1)
+                                    IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1
+               END AS r
+        FROM parts
+    ),
+    reg AS (SELECT bucket, MAX(r) AS r FROM rho GROUP BY bucket),
+    agg AS (
+        SELECT CAST(SUM(CAST((CAST(1 AS BIGINT) << (61 - r))
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_used,
+               COUNT(*) AS nb
+        FROM reg
+    ),
+    scaled AS (
+        SELECT s_used + CAST(256 - nb AS DECIMAL(38,0))
+                        * CAST(2305843009213693952 AS DECIMAL(38,0))
+                   AS s_scaled,
+               CAST(256 - nb AS INT) AS empty_buckets
+        FROM agg
+    ),
+    est0 AS (
+        SELECT s_scaled, empty_buckets,
+               {_HLL_C!r} / CAST(s_scaled AS DOUBLE) AS est_raw
+        FROM scaled
+    ),
+    est1 AS (
+        SELECT s_scaled, empty_buckets,
+               CASE WHEN est_raw <= 640.0 AND empty_buckets > 0
+                    THEN round(256.0 * ln(256.0 / empty_buckets), 4)
+                    ELSE round(est_raw, 4) END AS est
+        FROM est0
+    ),
+    ex AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+    SELECT est, n_exact, empty_buckets, s_scaled,
+           abs(est / n_exact - 1.0) <= 0.195 AS within_bound
+    FROM est1, ex
+"""
+
+
+@query(
+    "sketch_hll_estimate",
+    survey="beyond:sketch-hll-estimate",
+    priority=60,
+    oracle=_HLL_EST_SQL,
+)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.sketches import hll_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = hll_sketch(li, "l_orderkey")
+    agg = regs.agg(
+        F.expr(
+            "CAST(SUM(CAST(shiftleft(CAST(1 AS BIGINT), 61 - r) "
+            "AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("s_used"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    scaled = agg.selectExpr(
+        "s_used + CAST(256 - nb AS DECIMAL(38,0))"
+        " * CAST(2305843009213693952 AS DECIMAL(38,0)) AS s_scaled",
+        "CAST(256 - nb AS INT) AS empty_buckets",
+    )
+    est = scaled.selectExpr(
+        "s_scaled",
+        "empty_buckets",
+        f"{_HLL_C!r} / CAST(s_scaled AS DOUBLE) AS est_raw",
+    ).selectExpr(
+        "s_scaled",
+        "empty_buckets",
+        "CASE WHEN est_raw <= 640.0 AND empty_buckets > 0"
+        " THEN round(256.0 * ln(256.0 / empty_buckets), 4)"
+        " ELSE round(est_raw, 4) END AS est",
+    )
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
+    # 1-row × 1-row scalar join (broadcast; never a data crossjoin)
+    return est.crossJoin(F.broadcast(exact)).selectExpr(
+        "est",
+        "n_exact",
+        "empty_buckets",
+        "s_scaled",
+        "abs(est / n_exact - 1.0) <= 0.195 AS within_bound",
+    )
