@@ -298,6 +298,7 @@ ROUND6_QUEUE = [
     # when staged)
     "s18_txnlog_composite_prune",
     "sketch_hll_estimate",
+    "stream_join_live",
 ]
 _unknown_r6 = [n for n in ROUND6_QUEUE if n not in all_queries()]
 assert not _unknown_r6, f"ROUND6_QUEUE names not registered: {_unknown_r6}"

@@ -932,3 +932,58 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert q.lastProgress is not None, "stream produced no progress"
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# LIVE stream-STREAM join as a driver-checked row: both sides are
+# real streaming frames (click stream and purchase stream, each
+# watermarked, time-bounded join condition so Spark can expire join
+# state), executed availableNow into a memory sink. The oracle is the
+# SAME batch interval-join SQL as stream_join_attribution, so a green
+# row hash-proves the stream-stream plan's batch equivalence; the
+# restart-in-the-middle half (join state restored from checkpoint
+# across a driver restart) is pinned in
+# tests/test_streaming.py::test_stream_stream_join_checkpoint_restart.
+# --------------------------------------------------------------------------
+@query(
+    "stream_join_live",
+    survey="streaming:interval-join,streaming:live-exec",
+    priority=60,
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           p.value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+      AND c.event_type = 'click'
+    """,
+)
+def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.events import read_events_stream
+
+    name = f"join_live_{uuid.uuid4().hex[:8]}"
+    q = (
+        purchase_click_attribution(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="rqe-stream-join-live-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None, "stream produced no progress"
+    return spark.table(name)

@@ -669,3 +669,87 @@ def test_stream_ingest_into_txnlog_table(spark, sf_small, tmp_path):
         for h in t.history()
         if h["version"] > v_before
     )
+
+
+def test_stream_stream_join_checkpoint_restart(spark, sf_small, tmp_path):
+    """Stream-STREAM join with a driver restart in the middle: clicks
+    arrive entirely in run 1, purchases entirely in run 2 (two
+    independent file sources, both watermarked), so EVERY match
+    depends on click join state being restored from the checkpoint
+    across the restart. Final sink contents must equal the batch
+    interval join — and run 2 must not re-read run 1's files."""
+    from relational_query_engine_sql_spark.streaming import (
+        purchase_click_attribution,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "ts", "event_type", "value", "event_id", "user_id"
+    )
+    schema = (
+        "ts timestamp, event_type string, value double, "
+        "event_id long, user_id long"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").limit(2000).collect()
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase").limit(2000).collect()
+    )
+    src_c, src_p = tmp_path / "clicks", tmp_path / "purchases"
+    sink, ckpt = tmp_path / "sink", tmp_path / "ckpt"
+    src_c.mkdir(), src_p.mkdir()
+
+    def run():
+        # one interleaved stream frame per source dir; the attribution
+        # splits it into the two join sides (watermark on BOTH)
+        def side(path):
+            return spark.readStream.schema(schema).parquet(
+                str(path / "chunk*")
+            )
+
+        joined = purchase_click_attribution(
+            side(src_c).unionByName(side(src_p)),
+            watermark="3650 days",  # > data span: no state eviction,
+            # so batch equivalence is exact; the restart still proves
+            # state RESTORE (that's what this test pins)
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: clicks only — zero matches can emit, state is buffered
+    spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(
+        str(src_c / "chunk0")
+    )
+    q1 = run()
+    n1 = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert n1 == len(clicks)
+
+    # restart: purchases land; every match joins against RESTORED
+    # click state from the checkpoint
+    spark.createDataFrame(purchases, schema).coalesce(1).write.parquet(
+        str(src_p / "chunk0")
+    )
+    q2 = run()
+    n2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert n2 == len(purchases), f"resume re-read run-1 files: {n2}"
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.schema(
+            "user_id long, purchase_id long, click_id long, "
+            "purchase_ts timestamp, click_ts timestamp, value double"
+        ).parquet(str(sink)).collect()
+    }
+    both = spark.createDataFrame(clicks + purchases, schema)
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchase_click_attribution(both).collect()
+    }
+    assert got == want
+    assert len(want) > 0, "no cross-run matches — test is vacuous"
