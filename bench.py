@@ -263,9 +263,37 @@ def _regressions(timings: dict[str, float], prior: dict) -> dict[str, str]:
     return out
 
 
+def _prior_full_registry(here: str, sf: str) -> dict | None:
+    """Prior full-registry artifact = the bench_full_registry.json
+    committed at HEAD (the working-tree copy is overwritten by the
+    current run, so disk is never a valid prior)."""
+    try:
+        blob = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:bench_full_registry.json"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout
+        prior = json.loads(blob)
+        if str(prior.get("sf")) == sf and isinstance(
+            prior.get("queries"), dict
+        ):
+            return prior
+    except (subprocess.SubprocessError, OSError, json.JSONDecodeError):
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # --full (or SPARK_GRAFT_BENCH_FULL=1): time EVERY registry query,
+    # not just the headline set, and write bench_full_registry.json —
+    # the headline artifact the driver parses is untouched. This is
+    # the regression trail for the ~150 registry queries (ext_*, tpch
+    # beyond the headline, ...) that otherwise have no timing history.
+    full = "--full" in sys.argv or (
+        os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    )
+    names = list(plans.all_queries()) if full else HEADLINE
     spark = get_spark(app_name="bench")
 
     # warm the JVM + parquet footers once so per-query numbers measure
@@ -287,7 +315,7 @@ def main() -> None:
         "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
     )
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in names:
             try:
                 plans.get(name).fn(spark, warm_dir).count()
             except Exception:
@@ -306,10 +334,10 @@ def main() -> None:
     # timeout: every query always gets its pass-1 number; pass 2
     # refines as much as the budget allows.
     deadline = time.perf_counter() + float(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420")
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900" if full else "420")
     )
     for pass_i in range(3):
-        for name in HEADLINE:
+        for name in names:
             if pass_i > 0 and time.perf_counter() > deadline:
                 print("BENCH pass-2 budget exhausted",
                       file=sys.stderr, flush=True)
@@ -347,10 +375,12 @@ def main() -> None:
                       file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    here = os.path.dirname(os.path.abspath(__file__))
     regressions: dict[str, str] = {}
-    prior, prior_round = _prior_bench(
-        os.path.dirname(os.path.abspath(__file__)), sf
-    )
+    if full:
+        prior, prior_round = _prior_full_registry(here, sf), None
+    else:
+        prior, prior_round = _prior_bench(here, sf)
     if prior:
         regressions = _regressions(timings, prior)
         for name, delta in regressions.items():
@@ -361,7 +391,7 @@ def main() -> None:
         print(f"REGRESSION-CHECK SKIPPED: no prior-round bench at sf={sf}",
               file=sys.stderr)
     payload = {
-        "metric": "headline_queries_total",
+        "metric": "full_registry_total" if full else "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -382,7 +412,8 @@ def main() -> None:
     # queries — so truncation can never eat the round's number again.
     print(json.dumps(payload))
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        here,
+        "bench_full_registry.json" if full else "bench_full.json",
     )
     try:
         with open(full_path, "w", encoding="utf-8") as f:
@@ -396,7 +427,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": payload["metric"],
                 "value": total,
                 "unit": "sec",
                 "sf": payload["sf"],
@@ -409,7 +440,7 @@ def main() -> None:
                 "regressions": dict(sorted(regressions.items())[:10]),
                 "regression_baseline_round": prior_round,
                 "slowest": slowest,
-                "queries_full": "bench_full.json",
+                "queries_full": os.path.basename(full_path),
             },
             separators=(",", ":"),
         )
