@@ -9,24 +9,29 @@ canonical document per group. The reference has no analog (its dedup
 surface is row-level UNIQUE constraints); this is part of the
 training-data-pipeline extension surface.
 
-Algorithm: iterative min-label propagation expressed entirely as
-DataFrame ops — each round every node adopts the smallest label among
-itself and its neighbors, until a fixpoint. Converges in O(diameter)
-rounds; duplicate clusters are short-diameter (near-cliques), so 3-5
-rounds is typical. Each round is one shuffle-join (edges ⋈ labels on
-the source id) plus one groupBy-min — both plain hash exchanges on the
-node id, no driver-side graph state, no collect().
+Algorithm: min-label propagation WITH pointer doubling, expressed
+entirely as DataFrame ops. Each round every node (1) adopts the
+smallest label among itself and its neighbors, then (2) shortcuts
+through its own label — ``label(n) ← label(label(n))`` — so the
+distance a label has travelled roughly doubles per round. Labels
+start at the node id and only ever decrease (``label(n) ≤ n``
+invariant), so the shortcut join is monotone-safe and the fixpoint is
+the component minimum, exactly as in plain propagation. Convergence
+is O(log diameter) rounds instead of O(diameter) — the same bound as
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) with a simpler per-round plan: one
+shuffle-join (edges ⋈ labels), one groupBy-min, one label⋈label
+self-join — all plain hash exchanges on the node id, no driver-side
+graph state, no collect(). Duplicate clusters are short-diameter
+(near-cliques, 2-3 rounds either way); the doubling is what keeps
+adversarial long-chain graphs from turning into hundreds of rounds.
 
 At 100 TB: label state is one row per distinct node (bounded by the
 candidate-pair population, far smaller than the corpus); the per-round
-cost is two exchanges of that state. For adversarial long-chain graphs
-the large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) halves the round count;
-min-label propagation is chosen here because dedup graphs are
-clique-ish and the per-round plan is simpler (and AQE-friendly). Each
-round ends in ``localCheckpoint`` to cut lineage — on a real cluster
-prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so
-label state survives executor loss.
+cost is three exchanges of that state. Each round materializes via
+``localCheckpoint`` to cut lineage — on a real cluster prefer
+``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so label
+state survives executor loss.
 """
 
 from __future__ import annotations
@@ -80,19 +85,39 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nlabel"))
         )
-        # Labels only ever decrease, so the fixpoint test is a strict
-        # inequality carried as a flag INSIDE the label frame: the
-        # checkpoint materializes it for free and the convergence
-        # check is then a scan of the checkpointed state — no extra
-        # old-vs-new join job per round.
-        new_labels = (
+        # Step 1: adopt the neighborhood minimum. Checkpointed because
+        # the pointer-doubling join below consumes this frame TWICE
+        # (as the node side and as the label-lookup side).
+        half = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
-                (F.coalesce("nlabel", "label") < F.col("label")).alias(
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Step 2: pointer doubling — label(n) ← label(label(n)).
+        # Every label value is itself a node in the frame (labels are
+        # reachable node ids), so the left join only misses when the
+        # label IS the node (coalesce keeps it). label(x) ≤ x makes
+        # the adopted value monotone non-increasing.
+        ptr = half.select(
+            F.col("node").alias("_pn"), F.col("label").alias("_pl")
+        )
+        # Labels only ever decrease, so the fixpoint test is a strict
+        # inequality carried as a flag INSIDE the label frame: the
+        # checkpoint materializes it for free and the convergence
+        # check is then a scan of the checkpointed state — no extra
+        # old-vs-new join job per round.
+        new_labels = (
+            half.join(ptr, half["label"] == ptr["_pn"], "left")
+            .select(
+                "node",
+                F.coalesce("_pl", "label").alias("label"),
+                (F.coalesce("_pl", "label") < F.col("_old")).alias(
                     "_chg"
                 ),
             )

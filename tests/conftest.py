@@ -29,12 +29,20 @@ PROP_EXAMPLES = int(os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "4"))
 
 @pytest.fixture(scope="session")
 def spark():
-    # 8 threads, 8 shuffle partitions: measured sweet spot. 16 threads
-    # doubled defaultParallelism and with it the per-stage task count
-    # of every tiny test job — the iterative tests (connected
-    # components, range joins) got ~2x SLOWER, costing more than the
-    # pooled parity suite gained.
-    s = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
+    # 4 threads, 4 shuffle partitions: measured sweet spot (round 5).
+    # The suite is dominated by LATENCY of tiny sequential jobs, so
+    # task count per stage is the cost driver: 16 threads was ~2x
+    # slower than 8 (round 4), and 4/4 beat 8/8 by another ~20% on the
+    # commit-protocol scenarios (148s -> 116s on test_txnlog.py) while
+    # the thread-pooled parity suite stayed flat within VM noise.
+    # Re-measure before changing — don't guess.
+    s = get_spark(
+        app_name="tests",
+        cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "4")),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4")
+        ),
+    )
     yield s
 
 

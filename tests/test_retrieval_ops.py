@@ -240,6 +240,7 @@ def test_pq_codebook_survives_shifted_id_space(spark, sf_small):
     assert codes == list(range(16))
 
     # and a corpus with fewer than k vectors fails LOUDLY, not empty
+    # (ValueError, not assert: the check must survive ``python -O``)
     tiny = emb.filter(F.col("vec_id") < 5)
-    with pytest.raises(AssertionError, match="fewer than k"):
+    with pytest.raises(ValueError, match="fewer than k"):
         pq_codebook(tiny, m=8, k=16, dsub=8)

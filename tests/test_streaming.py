@@ -689,9 +689,9 @@ def test_stream_stream_join_checkpoint_restart(spark, sf_small, tmp_path):
         "ts timestamp, event_type string, value double, "
         "event_id long, user_id long"
     )
-    clicks = ev.filter(F.col("event_type") == "click").limit(2000).collect()
+    clicks = ev.filter(F.col("event_type") == "click").limit(800).collect()
     purchases = (
-        ev.filter(F.col("event_type") == "purchase").limit(2000).collect()
+        ev.filter(F.col("event_type") == "purchase").limit(800).collect()
     )
     src_c, src_p = tmp_path / "clicks", tmp_path / "purchases"
     sink, ckpt = tmp_path / "sink", tmp_path / "ckpt"

@@ -175,21 +175,28 @@ def test_time_travel_and_history(spark, base, tmp_path):
         t.read(99)
 
 
-def test_checkpoint_replay_matches_incremental(spark, base, tmp_path):
+def test_checkpoint_replay_matches_incremental(
+    spark, base, tmp_path, monkeypatch
+):
     """Cross CHECKPOINT_EVERY commits; the checkpointed replay must
-    yield the same live set (and rows) as a from-zero replay."""
+    yield the same live set (and rows) as a from-zero replay.
+    CHECKPOINT_EVERY is lowered to 3 so crossing it costs 3 commits,
+    not 10 — the property is the crossing, not the cadence."""
+    import relational_query_engine_sql_spark.operators.txnlog as txn
+
+    monkeypatch.setattr(txn, "CHECKPOINT_EVERY", 3)
     t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
     t.init(base)
-    for i in range(10):  # v10 crosses CHECKPOINT_EVERY
+    for i in range(3):  # v3 crosses the (patched) CHECKPOINT_EVERY
         t.upsert(_rows(spark, [(i, f"u{i}", float(i))]))
     v = t.current_version()
-    assert v == 10
+    assert v == 3
     ckpts = [
         f
         for f in os.listdir(t._log_dir())
         if f.endswith(".checkpoint.json")
     ]
-    assert ckpts, "no checkpoint written across 12 commits"
+    assert ckpts, "no checkpoint written across the crossing commits"
     # replay from zero by hiding the checkpoint files
     from_ckpt = t._live(v)
     for c in ckpts:
@@ -202,7 +209,7 @@ def test_checkpoint_replay_matches_incremental(spark, base, tmp_path):
             os.path.join(t._log_dir(), c + ".bak"), os.path.join(t._log_dir(), c)
         )
     assert from_ckpt == from_zero
-    assert t.read().filter(F.col("grp").startswith("u")).count() == 10
+    assert t.read().filter(F.col("grp").startswith("u")).count() == 3
 
 
 def test_vacuum_removes_only_unreferenced_files(spark, base, tmp_path):
@@ -298,21 +305,29 @@ def test_schema_evolution_metadata_only_commit(spark, base, tmp_path):
         t.add_columns({"score": "double"})
 
 
-def test_schema_evolution_survives_checkpoint_replay(spark, base, tmp_path):
+def test_schema_evolution_survives_checkpoint_replay(
+    spark, base, tmp_path, monkeypatch
+):
     """Metadata actions live only in the log; a checkpoint written
     AFTER evolution must not lose the schema (checkpoints carry the
-    file set, the schema walk reads commits)."""
+    file set, the schema walk reads commits). CHECKPOINT_EVERY lowered
+    to 3: the property is a checkpoint landing after the metadata
+    commit, not the cadence."""
+    import relational_query_engine_sql_spark.operators.txnlog as txn
+
+    monkeypatch.setattr(txn, "CHECKPOINT_EVERY", 3)
     t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
     t.init(base)
-    t.add_columns({"extra": "string"})
-    for i in range(9):  # v10 crosses CHECKPOINT_EVERY
+    t.add_columns({"extra": "string"})  # v1
+    for i in range(2):  # v3 crosses the (patched) CHECKPOINT_EVERY
         t.upsert(
             spark.createDataFrame([(i, "u", 0.0, f"x{i}")], t.schema)
         )
-    assert t.current_version() == 10
+    assert t.current_version() == 3
+    assert os.path.exists(t._ckpt_path(3)), "no checkpoint after evolution"
     assert t.schema.fieldNames()[-1] == "extra"
     rows = {r["k"]: r["extra"] for r in t.read().collect()}
-    assert rows[3] == "x3" and rows[50] is None
+    assert rows[1] == "x1" and rows[50] is None
 
 
 def test_clustered_compaction_tightens_pruning(spark, tmp_path):
@@ -617,13 +632,14 @@ def test_checkpoint_publish_is_atomic_under_crash(
     would make every later version unreadable."""
     import relational_query_engine_sql_spark.operators.txnlog as txn
 
+    monkeypatch.setattr(txn, "CHECKPOINT_EVERY", 3)
     t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
     t.init(base)
     monkeypatch.setattr(
         os, "rename", lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
     )
     with pytest.raises(OSError):
-        for i in range(10):  # v10 crosses CHECKPOINT_EVERY
+        for i in range(3):  # v3 crosses the (patched) CHECKPOINT_EVERY
             t.upsert(_rows(spark, [(i, "u", 0.0)]))
     monkeypatch.undo()
     ckpts = [
@@ -631,7 +647,7 @@ def test_checkpoint_publish_is_atomic_under_crash(
     ]
     assert not ckpts  # no torn checkpoint published
     # the commit itself landed; replay works from the log alone
-    assert t.current_version() == 10
+    assert t.current_version() == 3
     assert t.read().count() == 100
 
 
