@@ -5,7 +5,9 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TESTS_DIR))
+sys.path.insert(0, _TESTS_DIR)  # sibling imports (pooled_cases)
 
 from relational_query_engine_sql_spark.session import get_spark  # noqa: E402
 
@@ -54,3 +56,24 @@ def sf_small() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+def pytest_collection_modifyitems(config, items):
+    """In pooled mode (the default), the heavy audited-pool-safe
+    scenario tests run concurrently inside
+    test_pooled_scenarios::test_pooled_scenarios — skip the serial
+    originals so nothing runs twice. SPARK_GRAFT_PARITY_SERIAL=1
+    flips it: originals run per-case, the pooled runner skips."""
+    if os.environ.get("SPARK_GRAFT_PARITY_SERIAL"):
+        return
+    from pooled_cases import ALL_CASES
+
+    pooled = {t for _m, t in ALL_CASES}
+    skip = pytest.mark.skip(
+        reason="covered by the pooled-scenarios runner "
+        "(SPARK_GRAFT_PARITY_SERIAL=1 for per-case mode)"
+    )
+    for item in items:
+        name = item.name.split("[")[0]
+        if name in pooled and "test_pooled_scenarios" not in item.nodeid:
+            item.add_marker(skip)

@@ -1,0 +1,75 @@
+"""Case tables for the pooled scenario runner (test_pooled_scenarios).
+
+Plain data module (not a test file) so both conftest's collection hook
+and the runner import ONE source of truth for which tests are pooled.
+
+A test belongs here only if it is audited pool-safe:
+- no ``monkeypatch`` of module/process globals (the three txnlog
+  CHECKPOINT_EVERY / os.rename tests stay serial),
+- no ``spark.conf.set`` on the shared session (the TWS state-store
+  test stays serial),
+- no shared temp-view / memory-sink names (every pooled streaming test
+  uses a distinct ``queryName`` and its own tmp dir),
+- fixtures limited to spark / sf_small / sf_oracle / tmp_path /
+  tmp_path_factory or module fixtures that are pure builders
+  (``base``, ``domain_tables``, ``kv_table_factory``).
+"""
+
+from __future__ import annotations
+
+# (module name, test function name) — run concurrently on a thread
+# pool against the shared Spark session, exactly like the oracle
+# parity suite pools its 270+ cases.
+POOLED_CASES = [
+    ("test_txnlog", "test_mutation_parity_with_full_rewrite_backend"),
+    ("test_txnlog", "test_keyed_write_rewrites_only_overlapping_files"),
+    ("test_txnlog", "test_clustered_compaction_tightens_pruning"),
+    ("test_txnlog", "test_write_of_tombstoned_key_resurrects_it_exactly_once"),
+    ("test_txnlog", "test_rewrites_never_rematerialize_tombstoned_rows"),
+    ("test_txnlog", "test_deferred_delete_parity_with_cow_delete"),
+    ("test_txnlog", "test_direct_revive_of_tombstoned_key_never_duplicates"),
+    ("test_txnlog", "test_intervening_commit_raises_instead_of_lost_update"),
+    ("test_txnlog", "test_concurrent_writers_serialize_through_cas"),
+    ("test_txnlog", "test_composite_key_stats_prune_on_second_column"),
+    ("test_txnlog", "test_decimal_key_stats_stay_prunable"),
+    ("test_graph_range_chunk", "test_banded_range_join_matches_naive"),
+    ("test_graph_range_chunk", "test_cc_long_chain_converges"),
+    ("test_cascade_delete", "test_user_delete_cascades_transitively"),
+    ("test_cascade_delete", "test_cascade_noop_when_condition_matches_nothing"),
+    ("test_advanced_ops", "test_recursive_hierarchy_depth_closed_form"),
+    ("test_advanced_ops", "test_ngram_topk_bounded_and_ranked"),
+    ("test_advanced_ops", "test_containment_dominates_jaccard"),
+    ("test_streaming", "test_stream_stream_interval_join"),
+    ("test_streaming", "test_mv_maintenance_merges_across_micro_batches"),
+    ("test_streaming", "test_cdc_apply_out_of_order_batches"),
+    ("test_streaming", "test_cdc_apply_checkpoint_resume"),
+    ("test_streaming", "test_tumbling_file_sink_checkpoint_restart"),
+    ("test_streaming", "test_stream_ingest_into_txnlog_table"),
+    ("test_streaming", "test_stream_stream_join_checkpoint_restart"),
+    ("test_kmeans", "test_kmeans_recovers_planted_clusters"),
+    ("test_kmeans", "test_kmeans_inertia_improves_over_seed_assignment"),
+    ("test_kmeans", "test_kmeans_seed_determinism"),
+    ("test_ann_paths", "test_lsh_near_dups_match_brute_force_on_planted_dups"),
+    ("test_ann_paths", "test_ivf_recall_tracks_coverage"),
+    ("test_watermark_late_data", "test_late_rows_beyond_watermark_are_dropped"),
+    ("test_watermark_late_data", "test_outer_join_emits_null_match_after_watermark"),
+    ("test_mutation", "test_stats_cache_probe_or_compute"),
+    ("test_mutation", "test_closed_form_matches_fold_on_path_independent_batch"),
+    ("test_mutation", "test_closed_form_matches_fold_on_u2_derived_batch"),
+    ("test_round3_ops", "test_leakage_safe_split_keeps_clusters_together"),
+    ("test_skew_bucketing", "test_lsh_bucket_cap_bounds_degenerate_corpus"),
+    ("test_retrieval_ops", "test_er_planted_variants_resolve_to_source"),
+]
+
+# Hypothesis-driven cases: run on the MAIN thread, one engine at a
+# time (hypothesis's engine is not documented thread-safe), WHILE the
+# pool above drains — concurrency comes from overlap, not from
+# threading hypothesis itself.
+MAIN_THREAD_CASES = [
+    ("test_graph_range_chunk", "test_range_join_matches_naive_property"),
+    ("test_graph_range_chunk", "test_cc_matches_union_find"),
+    ("test_txnlog", "test_random_mutation_sequence_parity"),
+    ("test_properties", "test_upsert_idempotent_and_new_rows_win"),
+]
+
+ALL_CASES = POOLED_CASES + MAIN_THREAD_CASES
