@@ -988,11 +988,15 @@ def s17_txnlog_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="beyond:txnlog,beyond:data-skipping",
     priority=60,
     oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity
+        FROM lineitem GROUP BY 1, 2
+    )
     SELECT l.l_orderkey, l.l_linenumber,
-           CASE WHEN l.l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
+           CASE WHEN l.l_orderkey = (SELECT MIN(l_orderkey) FROM src)
                 THEN l.l_quantity + 100.0 ELSE l.l_quantity END AS qty,
            4 AS files_first_key_only, 1 AS files_both_keys
-    FROM lineitem l
+    FROM src l
     """,
 )
 def s18_txnlog_composite_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,11 +1008,20 @@ def s18_txnlog_composite_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-column stats on BOTH keys prune the same upsert to exactly one
     file. Both counts ride the result columns, so the driver
     hash-checks the pruning behavior itself, not just the table
-    contents; the oracle replays the mutation in SQL."""
+    contents; the oracle replays the mutation in SQL.
+
+    The synthetic lineitem is NOT unique on (l_orderkey,
+    l_linenumber) — sf0.1 has ~118k duplicate pairs — and a keyed
+    table requires unique keys (upsert's last-wins merge would
+    silently collapse duplicates the SQL oracle keeps). So the table
+    is initialized from a deterministic keyed-distinct snapshot
+    (MAX(l_quantity) per key), mirrored by the oracle's ``src`` CTE."""
     from ..operators.txnlog import TxnLogTable
 
-    src = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("l_quantity"))
     )
     root = tempfile.mkdtemp(prefix="rqe-txn-comp-")
     t = TxnLogTable(
