@@ -173,3 +173,58 @@ def kmv_estimate(hashes: list[str], k: int) -> float:
         return float(len(hashes))  # sketch saw every distinct key
     frac = int(hashes[k - 1][:15], 16) / float(16**15)
     return (k - 1) / frac
+
+
+def bottomk_sample(
+    df: DataFrame, value: str, identity: list[str], k: int = 256
+) -> DataFrame:
+    """Deterministic uniform row sample for quantile estimation: the
+    ``k`` rows with the smallest md5 priority over the row identity
+    (priority sampling — a uniform hash order is a uniform shuffle, so
+    bottom-k by it is a uniform sample without replacement). Columns:
+    ``v`` (the value as double) and ``pr`` (the priority).
+
+    Mergeable by construction: bottom-k of a union equals bottom-k of
+    the per-shard bottom-k's — the same distributive law as KMV, so
+    1000 executors each ship k rows and a coordinator re-takes k.
+    ``orderBy().limit()`` plans as TakeOrderedAndProject (per-partition
+    partial top-k, no global sort). The secondary ``v`` sort key makes
+    the boundary deterministic when duplicate identities collide on
+    the same priority (the synthetic lineitem has duplicate PK pairs).
+
+    Like KMV/CMS/HLL above, the sample is a pure md5 function of the
+    data, so a SQL oracle reproduces it bit-for-bit and the driver
+    hash-compares quantile estimates exactly — no float tolerance.
+    """
+    pr = F.md5(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in identity])
+    )
+    return (
+        df.select(F.col(value).cast("double").alias("v"), pr.alias("pr"))
+        .orderBy("pr", "v")
+        .limit(k)
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame, ranks: dict[str, int]
+) -> DataFrame:
+    """Rank-pick quantile estimates from a bottom-k sample: element at
+    1-based rank r in (value, priority) order. Explicit rank selection
+    instead of percentile functions because interpolation semantics
+    differ per engine and would break exact hash comparison. The
+    window is over ≤k rows (a sketch, not data), so the unpartitioned
+    sort is bounded."""
+    from pyspark.sql import Window as W
+
+    spark = sample.sparkSession
+    targets = spark.createDataFrame(
+        sorted(ranks.items()), "pq string, target_rn int"
+    )
+    ranked = sample.select(
+        "v", F.row_number().over(W.orderBy("v", "pr")).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(targets), ranked.rn == targets.target_rn)
+        .select("pq", "target_rn", F.col("v").alias("est"))
+    )

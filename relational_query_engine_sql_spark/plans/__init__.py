@@ -313,7 +313,13 @@ ROUND6_PREFIX = ROUND6_QUEUE + [
 
 # Round-7 queue: spillover staging for queries added after ROUND6's
 # window fills (~50 names).
-ROUND7_QUEUE = []
+ROUND7_QUEUE = [
+    # round-5 close additions (strict-sim green at all three SFs)
+    "sketch_quantile_bottomk",
+    "sketch_quantile_merge",
+]
+_unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
+assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"
 
 ROUND7_PREFIX = ROUND7_QUEUE + [
     "a1_pricing_summary",

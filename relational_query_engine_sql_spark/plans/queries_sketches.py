@@ -359,3 +359,98 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_scaled",
         "abs(est / n_exact - 1.0) <= 0.195 AS within_bound",
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile sketch: deterministic bottom-k priority sample
+# (datapipe/sketches.py bottomk_sample). Percentiles are the one
+# sketch family CMS/KMV/HLL don't cover, and at 100 TB an exact
+# percentile is a global sort — the sample is the bounded-state
+# substitute: every executor ships its k smallest-priority rows
+# (TakeOrderedAndProject, no global sort) and the coordinator
+# re-takes k. Estimates are picked by explicit rank, never an
+# engine percentile function, because interpolation semantics differ
+# per engine — so the DuckDB oracle reproduces every estimate
+# bit-for-bit and the driver hash-compares a QUANTILE sketch exactly.
+# Rank-error accuracy (|F(est) - q| = O(1/sqrt(k))) is pinned in
+# tests/test_sketches.py.
+# --------------------------------------------------------------------------
+_QK = 256
+# 1-based rank of quantile q in a k-sample: floor((k-1)*q) + 1
+_Q_RANKS = {"p25": 64, "p50": 128, "p75": 192, "p90": 230, "p99": 253}
+
+_QUANTILE_ORACLE = """
+    WITH smp AS (
+        SELECT v, pr FROM (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                   md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                       CAST(l_linenumber AS VARCHAR)) AS pr
+            FROM lineitem
+        ) ORDER BY pr, v LIMIT 256
+    ),
+    ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, pr) AS rn FROM smp
+    ),
+    q(pq, target_rn) AS (SELECT * FROM (VALUES
+        ('p25', 64), ('p50', 128), ('p75', 192),
+        ('p90', 230), ('p99', 253)))
+    SELECT q.pq, q.target_rn, r.v AS est
+    FROM q JOIN ranked r ON r.rn = q.target_rn
+"""
+
+
+@query(
+    "sketch_quantile_bottomk",
+    survey="beyond:sketch-quantile",
+    priority=60,
+    oracle=_QUANTILE_ORACLE,
+)
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l_extendedprice percentile estimates from a 256-row
+    deterministic priority sample — the sketch answers p25/p50/p75/
+    p90/p99 with bounded state however large lineitem is."""
+    from ..datapipe.sketches import bottomk_sample, sample_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    smp = bottomk_sample(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"], k=_QK
+    )
+    return sample_quantiles(smp, _Q_RANKS)
+
+
+@query(
+    "sketch_quantile_merge",
+    survey="beyond:sketch-quantile-merge",
+    priority=60,
+    oracle=_QUANTILE_ORACLE,
+)
+def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for the quantile sample, cross-engine: an
+    independent bottom-k per shard (l_orderkey % 4), merged by union →
+    re-take-k, must yield the SAME estimates as the direct whole-table
+    sample (the oracle computes the direct one). This is the
+    distributive law that lets every executor sample locally and ship
+    k rows — same shape as sketch_kmv_merge."""
+    from ..datapipe.sketches import sample_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    hashed = li.select(
+        (F.col("l_orderkey") % 4).alias("shard"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+        pr.alias("pr"),
+    )
+    w = W.partitionBy("shard").orderBy("pr", "v")
+    shard_samples = (
+        hashed.select("v", "pr", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _QK)
+        .select("v", "pr")
+    )
+    merged = shard_samples.orderBy("pr", "v").limit(_QK)
+    return sample_quantiles(merged, _Q_RANKS)

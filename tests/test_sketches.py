@@ -124,3 +124,69 @@ def test_hll_small_range_uses_linear_counting(spark, sf_small):
     est = hll_estimate([r["r"] for r in regs])
     # tiny cardinality: the linear-counting branch must be near-exact
     assert abs(est - 25) < 3
+
+
+def test_quantile_sample_rank_error_bound(spark, sf_small):
+    """Bottom-k priority sampling: the estimate at quantile q must sit
+    within the sampling rank-error envelope. For a uniform k-sample
+    the empirical CDF at the picked element deviates from q by
+    ~sqrt(q(1-q)/k); assert 4 sigma, deterministic for fixed data."""
+    import math
+
+    from relational_query_engine_sql_spark.datapipe.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    li = load_table(spark, sf_small, "lineitem")
+    n = li.count()
+    smp = bottomk_sample(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"], k=256
+    )
+    ranks = {"p25": 64, "p50": 128, "p75": 192, "p90": 230, "p99": 253}
+    est = {r["pq"]: r["est"] for r in sample_quantiles(smp, ranks).collect()}
+    assert set(est) == set(ranks)
+    k = 256
+    for pq, r in ranks.items():
+        below = li.filter(
+            F.col("l_extendedprice").cast("double") <= est[pq]
+        ).count()
+        # the r-th order statistic's CDF value is Beta(r, k+1-r):
+        # mean r/(k+1) (NOT q — rank discretization biases the tail,
+        # e.g. rank 253 of 256 estimates 0.984, not 0.99), sd below
+        mean = r / (k + 1)
+        sigma = math.sqrt(r * (k + 1 - r) / ((k + 1) ** 2 * (k + 2)))
+        assert abs(below / n - mean) <= 4 * sigma + 1 / k, (
+            pq, below / n, mean, sigma
+        )
+
+
+def test_quantile_sample_merges_distributively(spark):
+    """Bottom-k(∪ shard bottom-k) == bottom-k(all) — on a SKEWED
+    synthetic frame (one shard holds 90% of rows) so the law is
+    exercised where per-shard samples are unbalanced, not just on the
+    registry's uniform lineitem shards."""
+    from relational_query_engine_sql_spark.datapipe.sketches import (
+        bottomk_sample,
+    )
+
+    rows = [(i, i % 10 if i % 10 else 0, float(i % 997)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, shard int, x double")
+    skewed = df.withColumn(
+        "shard", F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 4)
+    )
+    direct = bottomk_sample(skewed, "x", ["id"], k=64)
+    from pyspark.sql import Window as W
+
+    pr = F.md5(F.col("id").cast("string"))
+    w = W.partitionBy("shard").orderBy("pr", "v")
+    per_shard = (
+        skewed.select("shard", F.col("x").alias("v"), pr.alias("pr"))
+        .select("shard", "v", "pr", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 64)
+        .select("v", "pr")
+    )
+    merged = per_shard.orderBy("pr", "v").limit(64)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
