@@ -454,3 +454,78 @@ def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = shard_samples.orderBy("pr", "v").limit(_QK)
     return sample_quantiles(merged, _Q_RANKS)
+
+
+@query(
+    "sketch_quantile_per_group",
+    survey="beyond:sketch-quantile-group",
+    priority=60,
+    oracle="""
+    WITH smp AS (
+        SELECT lang, v, pr, rn FROM (
+            SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+                   md5(CAST(doc_id AS VARCHAR)) AS pr,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                CAST(n_chars AS DOUBLE)) AS rn
+            FROM documents
+        ) WHERE rn <= 64
+    ),
+    sized AS (SELECT lang, MAX(rn) AS cnt FROM smp GROUP BY lang),
+    ranked AS (
+        SELECT lang, v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY v, pr) AS qrn
+        FROM smp
+    ),
+    q(pq, frac) AS (SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9)))
+    SELECT r.lang, q.pq, r.v AS est
+    FROM ranked r
+    JOIN sized s ON s.lang = r.lang
+    JOIN q ON r.qrn = CAST(FLOOR((s.cnt - 1) * q.frac) AS BIGINT) + 1
+    """,
+)
+def sketch_quantile_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles (p50/p90 of n_chars)
+    from a per-group bottom-64 priority sample — the bounded-state
+    version of the corpus-monitoring query every training pipeline
+    runs per mixture domain. State is ≤64 rows per group however many
+    documents a language has; the per-group sample is the same
+    mergeable bottom-k as sketch_quantile_bottomk, just partitioned.
+    Target ranks derive from the ACTUAL sample size (floor((cnt-1)*q)
+    + 1), so groups smaller than k degrade to exact quantiles instead
+    of losing rows."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pr = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy("pr", "v")
+    smp = (
+        docs.select(
+            "lang", F.col("n_chars").cast("double").alias("v"), pr.alias("pr")
+        )
+        .select("lang", "v", "pr", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 64)
+        .localCheckpoint(eager=True)  # consumed by sized AND ranked
+    )
+    sized = smp.groupBy("lang").agg(F.max("rn").alias("cnt"))
+    ranked = smp.select(
+        "lang",
+        "v",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("v", "pr"))
+        .alias("qrn"),
+    )
+    q = spark.createDataFrame(
+        [("p50", 0.5), ("p90", 0.9)], "pq string, frac double"
+    )
+    return (
+        ranked.join(sized, "lang")
+        .join(
+            F.broadcast(q),
+            F.col("qrn")
+            == (F.floor((F.col("cnt") - 1) * F.col("frac")) + 1),
+        )
+        .select("lang", "pq", F.col("v").alias("est"))
+    )
