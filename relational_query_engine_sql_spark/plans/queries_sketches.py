@@ -517,15 +517,28 @@ def sketch_quantile_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("lang").orderBy("v", "pr"))
         .alias("qrn"),
     )
-    q = spark.createDataFrame(
-        [("p50", 0.5), ("p90", 0.9)], "pq string, frac double"
+    # Per-(lang, pq) target ranks via explode of a 2-element literal —
+    # pure projection, so the pick is a broadcast HASH join on
+    # (lang, rank). Joining on the rank EXPRESSION directly (or
+    # crossJoining a quantile frame) would plan a nested-loop join.
+    targets = sized.select(
+        "lang",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("pq"), F.lit(0.5).alias("frac")
+                ),
+                F.struct(
+                    F.lit("p90").alias("pq"), F.lit(0.9).alias("frac")
+                ),
+            )
+        ).alias("q"),
+        "cnt",
+    ).select(
+        "lang",
+        F.col("q.pq").alias("pq"),
+        (F.floor((F.col("cnt") - 1) * F.col("q.frac")) + 1).alias("qrn"),
     )
-    return (
-        ranked.join(sized, "lang")
-        .join(
-            F.broadcast(q),
-            F.col("qrn")
-            == (F.floor((F.col("cnt") - 1) * F.col("frac")) + 1),
-        )
-        .select("lang", "pq", F.col("v").alias("est"))
+    return ranked.join(F.broadcast(targets), ["lang", "qrn"]).select(
+        "lang", "pq", F.col("v").alias("est")
     )
