@@ -228,3 +228,140 @@ def sample_quantiles(
         ranked.join(F.broadcast(targets), ranked.rn == targets.target_rn)
         .select("pq", "target_rn", F.col("v").alias("est"))
     )
+
+
+THETA_FULL = "g"  # sorts after every hex digit: "no threshold" sentinel
+
+
+def kmv_group_sketches(
+    df: DataFrame, key: str, group: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct key digests
+    within each group, as ``(g, h)`` rows. At most ``k`` rows per
+    group ship however large each group is — the per-segment state a
+    distributed audience-overlap estimator keeps (Theta-sketch style,
+    one sketch per cohort/segment).
+
+    The per-group bottom-k is a partitioned window over the distinct
+    digests: the distinct is one shuffle on (g, h), the row_number a
+    second on g — both bounded by the distinct-key count, never the
+    raw row count."""
+    hashed = df.select(
+        F.col(group).alias("g"), _key_hash(F.col(key)).alias("h")
+    ).distinct()
+    return group_bottomk(hashed, k)
+
+
+def group_bottomk(hashed: DataFrame, k: int = 64) -> DataFrame:
+    """Bottom-k digests per group of an already-hashed distinct
+    ``(g, h)`` frame — split out so callers that also need the exact
+    distinct sets (audit rows) can hash once, checkpoint, and share
+    the subtree."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("g").orderBy("h")
+    return (
+        hashed.select("g", "h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+
+
+def theta_pair_overlap(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Theta-sketch set algebra over per-group KMV sketches: for every
+    group pair (g_a < g_b), the intersection/Jaccard estimate derived
+    ONLY from the two k-row sketches.
+
+    Standard Theta intersection: the pair's threshold θ is the
+    smaller of the two sketches' k-th minimum hashes (or the
+    ``THETA_FULL`` sentinel, sorting above any hex digest, when a
+    sketch holds its whole group — then the sketch IS the exact set).
+    Hashes below θ form a uniform sample of the union seen by both
+    sketches, so |A∩B ∩ below-θ| / θ estimates |A∩B| and the
+    below-θ counts give a Jaccard estimate.
+
+    Everything here is a pure md5 function of the data — θ is a hex
+    string, counts are integers, and the two estimate columns are
+    single IEEE divisions of exact integers — so a SQL oracle
+    reproduces every column bit-for-bit (the same portability story
+    as the CMS/KMV/HLL sketches above). All frames are sketch-sized
+    (#groups × k rows at most): every join below broadcasts.
+    """
+    st = sketches.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
+    )
+    bound = F.when(F.col("n") < k, F.lit(THETA_FULL)).otherwise(
+        F.col("kth")
+    )
+    a = st.select(F.col("g").alias("g_a"), bound.alias("bound_a"))
+    b = st.select(F.col("g").alias("g_b"), bound.alias("bound_b"))
+    pairs = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b")).select(
+        "g_a", "g_b", F.least("bound_a", "bound_b").alias("theta")
+    )
+
+    def below(side: str) -> DataFrame:
+        return (
+            pairs.join(
+                F.broadcast(sketches),
+                (F.col("g") == F.col(f"g_{side}"))
+                & (F.col("h") < F.col("theta")),
+            )
+            .groupBy("g_a", "g_b")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    x, y = sketches.alias("x"), sketches.alias("y")
+    inter = (
+        pairs.join(
+            F.broadcast(
+                x.join(
+                    y,
+                    (F.col("x.h") == F.col("y.h"))
+                    & (F.col("x.g") < F.col("y.g")),
+                ).select(
+                    F.col("x.g").alias("ig_a"),
+                    F.col("y.g").alias("ig_b"),
+                    F.col("x.h").alias("ih"),
+                )
+            ),
+            (F.col("ig_a") == F.col("g_a"))
+            & (F.col("ig_b") == F.col("g_b"))
+            & (F.col("ih") < F.col("theta")),
+        )
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("inter_k"))
+    )
+
+    out = (
+        pairs.join(below("a"), ["g_a", "g_b"], "left")
+        .join(below("b"), ["g_a", "g_b"], "left")
+        .join(inter, ["g_a", "g_b"], "left")
+        .na.fill(0, ["n_a", "n_b", "inter_k"])
+    )
+    # 15 hex chars = 60 bits: exact in BIGINT, and the int->double
+    # rounding is IEEE round-nearest in every engine.
+    # the divisor literal must be cast to DOUBLE explicitly: both
+    # Spark and DuckDB parse a plain `...976.0` literal as DECIMAL,
+    # and decimal division truncates the quotient's scale
+    theta_frac = F.expr(
+        "cast(cast(conv(substring(theta, 1, 15), 16, 10) as bigint)"
+        " as double) / cast(1152921504606846976 as double)"
+    )
+    return out.select(
+        "g_a",
+        "g_b",
+        "theta",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("inter_k").cast("long").alias("inter_k"),
+        (
+            F.col("inter_k")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_k"))
+        ).alias("jaccard_est"),
+        F.when(
+            F.col("theta") == THETA_FULL,
+            F.col("inter_k").cast("double"),
+        )
+        .otherwise(F.col("inter_k") / theta_frac)
+        .alias("inter_est"),
+    )

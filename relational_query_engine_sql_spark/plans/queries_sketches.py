@@ -542,3 +542,158 @@ def sketch_quantile_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(targets), ["lang", "qrn"]).select(
         "lang", "pq", F.col("v").alias("est")
     )
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch set algebra: audience overlap between segments from
+# per-segment KMV sketches alone. The reference has no sketch surface
+# (its distinct counts are exact SQL, /root/reference/src/routes/
+# portfolio.js-style aggregates); at 100 TB "how many customers do
+# cohorts A and B share" cannot afford two exact distinct sets per
+# pair, so each segment keeps a k-hash sketch and every pairwise
+# intersection/Jaccard estimate derives from 2k hashes. All columns
+# are md5-deterministic (θ is a hex string, counts are integers, the
+# estimates are single IEEE divisions of exact integers), so the
+# whole audit frame — estimate beside exact truth — hash-compares
+# cross-engine with no float tolerance.
+# --------------------------------------------------------------------------
+@query(
+    "sketch_theta_intersect",
+    survey="beyond:sketch-theta-set-ops",
+    priority=60,
+    oracle="""
+    WITH dk AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS g,
+               md5(CAST(o_custkey AS VARCHAR)) AS h
+        FROM orders
+    ),
+    sk AS (
+        SELECT g, h FROM (
+            SELECT g, h,
+                   row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM dk
+        ) WHERE rn <= 64
+    ),
+    st AS (
+        SELECT g,
+               CASE WHEN COUNT(*) < 64 THEN 'g' ELSE MAX(h) END AS bound
+        FROM sk GROUP BY g
+    ),
+    pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b, LEAST(a.bound, b.bound) AS theta
+        FROM st a JOIN st b ON a.g < b.g
+    ),
+    na AS (
+        SELECT p.g_a, p.g_b, COUNT(*) AS n_a
+        FROM pairs p JOIN sk s ON s.g = p.g_a AND s.h < p.theta
+        GROUP BY 1, 2
+    ),
+    nb AS (
+        SELECT p.g_a, p.g_b, COUNT(*) AS n_b
+        FROM pairs p JOIN sk s ON s.g = p.g_b AND s.h < p.theta
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT p.g_a, p.g_b, COUNT(*) AS inter_k
+        FROM pairs p
+        JOIN sk x ON x.g = p.g_a AND x.h < p.theta
+        JOIN sk y ON y.g = p.g_b AND y.h = x.h
+        GROUP BY 1, 2
+    ),
+    exn AS (SELECT g, COUNT(*) AS n FROM dk GROUP BY g),
+    exi AS (
+        SELECT p.g AS g_a, q.g AS g_b, COUNT(*) AS exact_inter
+        FROM dk p JOIN dk q ON p.h = q.h AND p.g < q.g
+        GROUP BY 1, 2
+    )
+    SELECT p.g_a AS yr_a, p.g_b AS yr_b, p.theta AS theta,
+           CAST(COALESCE(na.n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(nb.n_b, 0) AS BIGINT) AS n_b,
+           CAST(COALESCE(i.inter_k, 0) AS BIGINT) AS inter_k,
+           COALESCE(i.inter_k, 0) /
+               (COALESCE(na.n_a, 0) + COALESCE(nb.n_b, 0)
+                - COALESCE(i.inter_k, 0)) AS jaccard_est,
+           CASE WHEN p.theta = 'g'
+                THEN CAST(COALESCE(i.inter_k, 0) AS DOUBLE)
+                ELSE CAST(COALESCE(i.inter_k, 0) AS DOUBLE) /
+                     (CAST(CAST(CONCAT('0x', substr(p.theta, 1, 15))
+                                AS BIGINT) AS DOUBLE)
+                      / CAST(1152921504606846976 AS DOUBLE))
+           END AS inter_est,
+           CAST(COALESCE(exi.exact_inter, 0) AS BIGINT) AS exact_inter,
+           COALESCE(exi.exact_inter, 0) /
+               (ea.n + eb.n - COALESCE(exi.exact_inter, 0))
+               AS exact_jaccard
+    FROM pairs p
+    LEFT JOIN na ON na.g_a = p.g_a AND na.g_b = p.g_b
+    LEFT JOIN nb ON nb.g_a = p.g_a AND nb.g_b = p.g_b
+    LEFT JOIN inter i ON i.g_a = p.g_a AND i.g_b = p.g_b
+    LEFT JOIN exi ON exi.g_a = p.g_a AND exi.g_b = p.g_b
+    JOIN exn ea ON ea.g = p.g_a
+    JOIN exn eb ON eb.g = p.g_b
+    ORDER BY yr_a, yr_b
+    """,
+)
+def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair overlap of the yearly customer audiences of ``orders``:
+    every (year_a < year_b) pair with the sketch-derived n_a/n_b/
+    intersection/Jaccard/cardinality estimates AND the exact truth
+    beside them. The sketches are 64 hashes per year; the exact
+    columns exist to audit the estimator, exactly as
+    ``sketch_cms_heavy_hitters`` audits the CMS."""
+    from ..datapipe.sketches import group_bottomk, theta_pair_overlap
+
+    orders = load_table(spark, sf_dir, "orders")
+    dk = (
+        orders.select(
+            F.year("o_orderdate").alias("g"),
+            F.md5(F.col("o_custkey").cast("string")).alias("h"),
+        )
+        .distinct()
+        # consumed by the sketch branch AND both exact branches
+        .localCheckpoint(eager=True)
+    )
+    est = theta_pair_overlap(group_bottomk(dk, k=64), k=64)
+
+    exn = dk.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    exi = (
+        dk.alias("p")
+        .join(
+            dk.alias("q"),
+            (F.col("p.h") == F.col("q.h"))
+            & (F.col("p.g") < F.col("q.g")),
+        )
+        .select(
+            F.col("p.g").alias("g_a"), F.col("q.g").alias("g_b")
+        )
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ea = exn.select(F.col("g").alias("g_a"), F.col("n").alias("na_ex"))
+    eb = exn.select(F.col("g").alias("g_b"), F.col("n").alias("nb_ex"))
+    return (
+        est.join(exi, ["g_a", "g_b"], "left")
+        .na.fill(0, ["exact_inter"])
+        .join(F.broadcast(ea), "g_a")
+        .join(F.broadcast(eb), "g_b")
+        .select(
+            F.col("g_a").alias("yr_a"),
+            F.col("g_b").alias("yr_b"),
+            "theta",
+            "n_a",
+            "n_b",
+            "inter_k",
+            "jaccard_est",
+            "inter_est",
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            (
+                F.col("exact_inter")
+                / (
+                    F.col("na_ex")
+                    + F.col("nb_ex")
+                    - F.col("exact_inter")
+                )
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("yr_a", "yr_b")
+    )

@@ -190,3 +190,64 @@ def test_quantile_sample_merges_distributively(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_theta_intersect_estimates_track_truth(spark, sf_small):
+    """The theta intersection estimate must land near the exact
+    overlap on every year pair (k=64 → RSE ≈ 1/√62 ≈ 13%; the
+    data is fixed, so assert a loose deterministic envelope), and
+    the Jaccard estimate must stay in [0, 1]."""
+    from relational_query_engine_sql_spark.plans import get
+
+    rows = get("sketch_theta_intersect").fn(spark, sf_small).collect()
+    assert len(rows) == 21  # C(7 years, 2)
+    for r in rows:
+        assert 0.0 <= r["jaccard_est"] <= 1.0, r
+        assert r["exact_inter"] > 0, r
+        rel = abs(r["inter_est"] - r["exact_inter"]) / r["exact_inter"]
+        assert rel < 0.6, r  # 4-5 sigma at k=64, fixed data
+
+
+def test_theta_full_sketch_pairs_are_exact(spark):
+    """Groups smaller than k keep their entire hash set, θ becomes
+    the THETA_FULL sentinel, and the 'estimates' collapse to exact
+    set algebra — the small-group fast path."""
+    from relational_query_engine_sql_spark.datapipe.sketches import (
+        group_bottomk,
+        theta_pair_overlap,
+    )
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    hashed = df.select(
+        "g", F.md5(F.col("k").cast("string")).alias("h")
+    ).distinct()
+    out = theta_pair_overlap(group_bottomk(hashed, k=64), k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["theta"] == "g"
+    assert r["inter_k"] == 10 and r["inter_est"] == 10.0
+    assert r["n_a"] == 30 and r["n_b"] == 30
+    assert abs(r["jaccard_est"] - 10 / 50) < 1e-12
+
+
+def test_theta_zero_overlap_pair_survives_with_zero(spark):
+    """Disjoint groups must still emit their pair row (left joins, not
+    inner) with zero intersection and zero Jaccard."""
+    from relational_query_engine_sql_spark.datapipe.sketches import (
+        group_bottomk,
+        theta_pair_overlap,
+    )
+
+    rows = [("a", i) for i in range(200)] + [
+        ("b", i) for i in range(1000, 1200)
+    ]
+    df = spark.createDataFrame(rows, "g string, k int")
+    hashed = df.select(
+        "g", F.md5(F.col("k").cast("string")).alias("h")
+    ).distinct()
+    out = theta_pair_overlap(group_bottomk(hashed, k=64), k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["inter_k"] == 0
+    assert r["jaccard_est"] == 0.0 and r["inter_est"] == 0.0
