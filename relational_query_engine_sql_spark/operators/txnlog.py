@@ -20,6 +20,11 @@ FILE granularity:
   skipping, the same mechanic Delta calls data skipping; composite-PK
   tables (the reference's ``(symbol, timestamp)`` Stocks key,
   sql/schema.sql:1-10) prune on all columns.
+- Data-file adds also carry a bounded per-file Bloom bitmask over the
+  first key column (Delta's file-level bloom index): point lookups
+  (:meth:`TxnLogTable.lookup`) prune files min/max ranges cannot,
+  because a hash-shuffled layout makes every file span nearly the
+  whole key range.
 - Commit = ``CommitBackend.put_if_absent(log/{n}.json)``: atomic
   create-if-absent IS the compare-and-swap, exactly the
   optimistic-concurrency protocol Delta puts on its log entry. The
@@ -64,6 +69,60 @@ from pyspark.sql import functions as F
 from .mutation import CommitConflict, ParquetTable, merge_frame
 
 CHECKPOINT_EVERY = 10
+
+# Per-file Bloom filter over the FIRST key column: min/max ranges
+# cannot prune POINT lookups when the layout is not key-clustered
+# (every file spans nearly the full key range), which is exactly
+# Delta's motivation for file-level bloom indexes. Probe positions
+# are md5 hex slices (engine-neutral, same family as the stats
+# hashes); the bitmask is bounded metadata (BLOOM_BITS bits = ≤8 KB
+# hex per file however many rows the file holds). At petabyte scale
+# the masks would move to sidecar index files exactly like Delta's
+# _delta_index — the log protocol is unchanged either way.
+BLOOM_BITS = 32768
+BLOOM_PROBES = 2  # hex slices [0:4) and [4:8) of the key's md5
+
+# key types whose Spark `cast(k as string)` equals Python `str(v)`,
+# making driver-side membership probes hash-identical to the
+# executor-side build (timestamps/decimals format differently and
+# fall back to range-only pruning)
+_BLOOM_KEY_TYPES = {
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "string",
+    "date",
+}
+
+
+def _bloom_positions_py(v) -> list[int] | None:
+    """Driver-side probe positions for a lookup value; None when the
+    value's string form may not match Spark's cast (no prune)."""
+    import hashlib
+
+    if isinstance(v, bool) or not isinstance(
+        v, (int, str, datetime.date)
+    ):
+        return None
+    if isinstance(v, datetime.datetime):  # date subclass, but formats
+        return None  # with a time component Spark won't reproduce
+    h = hashlib.md5(str(v).encode()).hexdigest()
+    return [
+        int(h[4 * j : 4 * j + 4], 16) % BLOOM_BITS
+        for j in range(BLOOM_PROBES)
+    ]
+
+
+def _bloom_contains(hexmask: str, v) -> bool:
+    """Membership probe against a file's serialized bitmask. False
+    means DEFINITELY absent (safe to skip the file); True means maybe
+    present — including every un-probe-able value type."""
+    pos = _bloom_positions_py(v)
+    if pos is None:
+        return True
+    mask = int(hexmask, 16)
+    return all((mask >> p) & 1 for p in pos)
 
 
 class CommitBackend:
@@ -240,6 +299,11 @@ class TxnLogTable(ParquetTable):
                     live[a["add"]["path"]] = {
                         "rows": a["add"]["rows"],
                         "stats": a["add"].get("stats"),
+                        **(
+                            {"bloom": a["add"]["bloom"]}
+                            if a["add"].get("bloom")
+                            else {}
+                        ),
                         **({"dv": True} if a["add"].get("dv") else {}),
                     }
                 elif "remove" in a:
@@ -355,6 +419,54 @@ class TxnLogTable(ParquetTable):
             )
             base = base.join(F.broadcast(tomb), self.keys, "left_anti")
         return base
+
+    def lookup_candidates(
+        self, values, version: int | None = None
+    ) -> list[str]:
+        """Relpaths of live data files that MIGHT contain any of the
+        point-lookup ``values`` on the first key column: a file
+        survives only if its min/max range admits some value AND its
+        bloom mask probes positive for it. Pure driver-side metadata —
+        no data is touched. Bloom false negatives are impossible, so
+        the candidate set always covers the true owner files."""
+        k0 = self.keys[0]
+        vals = list(values)
+        data, _ = self._split_live(version)
+        cands = []
+        for p, meta in data.items():
+            rng = (meta.get("stats") or {}).get(k0)
+            bloom = meta.get("bloom")
+            for v in vals:
+                if rng is not None and not _col_overlaps(rng, v, v):
+                    continue
+                if bloom and not _bloom_contains(bloom["hex"], v):
+                    continue
+                cands.append(p)
+                break
+        return cands
+
+    def lookup(self, values, version: int | None = None) -> DataFrame:
+        """Point lookup ``WHERE key0 IN (values)`` that scans only the
+        bloom+range candidate files — the file-level secondary-index
+        read Delta gets from its bloom indexes. Merge-on-read deletion
+        vectors are honored exactly as in :meth:`read`."""
+        k0 = self.keys[0]
+        vals = list(values)
+        schema = self._schema_at(version)
+        cands = self.lookup_candidates(vals, version)
+        if not cands:
+            base = self.spark.createDataFrame([], schema)
+        else:
+            base = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in cands]
+            )
+        _, dvs = self._split_live(version)
+        if dvs:
+            tomb = self.spark.read.schema(self._dv_schema()).parquet(
+                *[os.path.join(self.path, p) for p in dvs]
+            )
+            base = base.join(F.broadcast(tomb), self.keys, "left_anti")
+        return base.filter(F.col(k0).isin(vals))
 
     def _changes_inputs(self, v_from: int, v_to: int):
         """(old_side, new_side, scanned_relpaths) for the snapshot
@@ -518,6 +630,22 @@ class TxnLogTable(ParquetTable):
         for i, k in enumerate(self.keys):
             aggs.append(F.min(k).alias(f"_mn{i}"))
             aggs.append(F.max(k).alias(f"_mx{i}"))
+        k0 = self.keys[0]
+        want_bloom = (
+            not dv
+            and self.schema[k0].dataType.simpleString()
+            in _BLOOM_KEY_TYPES
+        )
+        if want_bloom:
+            # distinct probe positions per file, folded into the SAME
+            # stats aggregate — the set is bounded by BLOOM_BITS
+            # however many rows the file holds, so this stays metadata
+            for j in range(BLOOM_PROBES):
+                pos = F.expr(
+                    f"cast(conv(substring(md5(cast(`{k0}` as string)),"
+                    f" {1 + 4 * j}, 4), 16, 10) as int) % {BLOOM_BITS}"
+                )
+                aggs.append(F.collect_set(pos).alias(f"_bp{j}"))
         stat_rows = (
             self.spark.read.schema(schema)
             .parquet(out_dir)
@@ -536,6 +664,16 @@ class TxnLogTable(ParquetTable):
                     for i, k in enumerate(self.keys)
                 },
             }
+            if want_bloom:
+                mask = 0
+                for j in range(BLOOM_PROBES):
+                    for p in r[f"_bp{j}"]:
+                        mask |= 1 << p
+                action["bloom"] = {
+                    "m": BLOOM_BITS,
+                    "j": BLOOM_PROBES,
+                    "hex": format(mask, "x"),
+                }
             if dv:
                 action["dv"] = True
             adds.append({"add": action})

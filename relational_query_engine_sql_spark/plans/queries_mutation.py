@@ -1045,3 +1045,84 @@ def s18_txnlog_composite_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(wide).alias("files_first_key_only"),
         F.lit(narrow).alias("files_both_keys"),
     )
+
+
+# --------------------------------------------------------------------------
+# S19: file-level Bloom index for point lookups. The table layout is
+# hash-shuffled on a NON-key column, so every file spans nearly the
+# full custkey range and min/max stats cannot prune a point lookup at
+# all (the candidate count == the file count). The per-file Bloom
+# masks written with the add-actions prune the same lookup to the
+# owner files (+ rare false positives) — Delta's file-level bloom
+# index mechanic, reference point-lookup route
+# /root/reference/src/routes/stocks.js:18-24. The audit literals ride
+# the result so the driver hash-checks the pruning behavior, not just
+# the rows; the strict inequality is asserted in-plan (exact
+# candidate counts vary with SF through bloom false positives, so
+# only the guaranteed-deterministic facts are hashed).
+# --------------------------------------------------------------------------
+@query(
+    "s19_txnlog_bloom_lookup",
+    survey="beyond:txnlog,beyond:bloom-index,S2",
+    priority=60,
+    oracle="""
+    WITH k AS (
+        SELECT MIN(c_custkey) AS mn, MAX(c_custkey) AS mx FROM customer
+    ),
+    mid AS (
+        SELECT MAX(c_custkey) AS md
+        FROM customer, k
+        WHERE c_custkey <= (k.mn + k.mx) // 2
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal,
+           TRUE AS range_prune_useless, TRUE AS bloom_pruned
+    FROM customer c, k, mid
+    WHERE c.c_custkey IN (k.mn, k.mx, mid.md)
+    ORDER BY c.c_custkey
+    """,
+)
+def s19_txnlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="rqe-txn-bloom-")
+    t = TxnLogTable(spark, f"{root}/c", cust.schema, ["c_custkey"])
+    # hash-shuffle by name: every file spans ~the full custkey range
+    t.init(cust.repartition(8, "c_name"))
+    n_files = t.file_count()
+
+    r = cust.agg(
+        F.min("c_custkey").alias("mn"), F.max("c_custkey").alias("mx")
+    ).first()
+    mid = (
+        cust.filter(F.col("c_custkey") <= (r["mn"] + r["mx"]) // 2)
+        .agg(F.max("c_custkey"))
+        .first()[0]
+    )
+    probes = [r["mn"], mid, r["mx"]]
+
+    range_only = len(
+        t._affected(
+            spark.createDataFrame(
+                [(int(v),) for v in probes], "c_custkey bigint"
+            )
+        )
+    )
+    cands = len(t.lookup_candidates(probes))
+    assert range_only == n_files, (
+        f"range stats pruned unexpectedly: {range_only}/{n_files}"
+    )
+    assert cands < n_files, (
+        f"bloom did not prune: {cands}/{n_files} candidates"
+    )
+    return (
+        t.lookup(probes)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(range_only == n_files).alias("range_prune_useless"),
+            F.lit(cands < n_files).alias("bloom_pruned"),
+        )
+        .orderBy("c_custkey")
+    )

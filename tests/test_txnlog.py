@@ -706,3 +706,62 @@ def test_decimal_key_stats_stay_prunable(spark, tmp_path):
     )
     assert t.read().filter(F.col("v") == 999).count() == 1
     assert t.read().count() == 200
+
+
+def test_bloom_lookup_never_misses_and_prunes(spark, tmp_path):
+    """Bloom candidates must cover every present key (no false
+    negatives — correctness) and, on a hash-shuffled layout where
+    every file spans nearly the full key range, prune strictly more
+    than min/max stats can (the point of the index)."""
+    rows = _rows(
+        spark, [(i, f"g{i % 7}", i * 1.0) for i in range(2000)]
+    )
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    # shuffle by a NON-key column: ranges overlap, range-prune is useless
+    t.init(rows.repartition(8, "val"))
+    n_files = t.file_count()
+    assert n_files >= 6, n_files
+
+    probe = [0, 777, 1999]
+    cands = t.lookup_candidates(probe)
+    range_only = len(t._affected(_rows(
+        spark, [(k, "x", 0.0) for k in probe]
+    ).select("k")))
+    assert range_only == n_files  # every file's range admits the probes
+    assert 0 < len(cands) < n_files, cands
+
+    got = sorted(r["k"] for r in t.lookup(probe).collect())
+    assert got == probe
+
+    # absent keys: bloom may false-positive a file, but the final
+    # filter returns nothing
+    assert t.lookup([999_999]).count() == 0
+
+
+def test_bloom_lookup_respects_deletion_vectors(spark, tmp_path):
+    """A key tombstoned merge-on-read must not resurrect through the
+    pruned lookup path."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(i, "g", float(i)) for i in range(50)]))
+    t.delete_keys_deferred(_rows(spark, [(7, "g", 0.0)]).select("k"))
+    assert t.lookup([7]).count() == 0
+    assert t.lookup([8]).count() == 1
+
+
+def test_bloom_survives_checkpoint_replay(spark, tmp_path, monkeypatch):
+    """The bloom mask must ride checkpoints like stats do: after a
+    checkpointed history, lookups still prune below the file count."""
+    import relational_query_engine_sql_spark.operators.txnlog as txn
+
+    monkeypatch.setattr(txn, "CHECKPOINT_EVERY", 2)
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(i, f"g{i % 5}", float(i)) for i in range(500)])
+           .repartition(4, "grp"))
+    for v in range(4):  # force several commits past a checkpoint
+        t.append(_rows(spark, [(10_000 + v, "z", 0.0)]))
+    live = t._live()
+    data = {p: m for p, m in live.items() if not m.get("dv")}
+    assert all(m.get("bloom") for m in data.values())
+    got = t.lookup([123]).collect()
+    assert len(got) == 1 and got[0]["k"] == 123
+    assert len(t.lookup_candidates([123])) < len(data)
