@@ -81,6 +81,10 @@ CHECKPOINT_EVERY = 10
 # _delta_index — the log protocol is unchanged either way.
 BLOOM_BITS = 32768
 BLOOM_PROBES = 2  # hex slices [0:4) and [4:8) of the key's md5
+# mutations probe the bloom only for incoming key sets at most this
+# large: the probe values must come to the driver, so the fetch has
+# to stay metadata-sized (bulk writes skip straight to range pruning)
+BLOOM_AFFECTED_LIMIT = 128
 
 # key types whose Spark `cast(k as string)` equals Python `str(v)`,
 # making driver-side membership probes hash-identical to the
@@ -740,22 +744,62 @@ class TxnLogTable(ParquetTable):
         }
 
     def _affected(
-        self, incoming_keys: DataFrame, version: int | None = None
+        self,
+        incoming_keys: DataFrame,
+        version: int | None = None,
+        use_bloom: bool = True,
     ) -> list[str]:
         """Relpaths of files live at ``version`` whose key ranges can
         contain any incoming key — the file-skipping step, now over
         EVERY key column (disjoint on any one column ⇒ skip). One tiny
         aggregate on the incoming side; pure metadata on the table
-        side."""
+        side.
+
+        When the incoming key set is SMALL (≤ BLOOM_AFFECTED_LIMIT
+        distinct first-key values — the point-upsert/point-delete
+        case), the range survivors are additionally probed against the
+        per-file Bloom masks: on a hash-shuffled layout where every
+        file spans the full key range, this turns an
+        every-file rewrite into an owner-files-only rewrite. Safe for
+        mutations because the mask is built from the file's actual
+        contents — a file holding an incoming key always probes
+        positive (no false negatives), so the rewrite set still covers
+        every row that must move. ``use_bloom=False`` exposes the
+        range-only behavior (probes/audits)."""
         bounds = self._bounds(incoming_keys)
         if bounds is None:
             return []
         data, _ = self._split_live(version)
-        return [
+        cands = [
             p
             for p, meta in data.items()
             if _overlaps(meta.get("stats"), bounds)
         ]
+        k0 = self.keys[0]
+        if (
+            use_bloom
+            and len(cands) > 1
+            and k0 in incoming_keys.columns
+            and any(data[p].get("bloom") for p in cands)
+        ):
+            sample = (
+                incoming_keys.select(k0)
+                .distinct()
+                .limit(BLOOM_AFFECTED_LIMIT + 1)
+                .collect()
+            )
+            if len(sample) <= BLOOM_AFFECTED_LIMIT:
+                vals = [r[k0] for r in sample]
+                cands = [
+                    p
+                    for p in cands
+                    if not data[p].get("bloom")
+                    or any(
+                        _bloom_contains(data[p]["bloom"]["hex"], v)
+                        for v in vals
+                    )
+                ]
+        return cands
 
     def _read_files(self, relpaths: list[str]) -> DataFrame:
         if not relpaths:

@@ -927,9 +927,11 @@ def maintenance_txnlog_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("s_suppkey", 0.5).alias("m")
     ).first()["m"]
     probe = spark.createDataFrame([(int(mid),)], "s_suppkey long")
-    assert len(t._affected(probe)) == 4, "expected hash-mixed ranges"
+    assert (
+        len(t._affected(probe, use_bloom=False)) == 4
+    ), "expected hash-mixed ranges"
     t.compact(4, cluster_by=["s_suppkey"])
-    n = len(t._affected(probe))
+    n = len(t._affected(probe, use_bloom=False))
     assert n == 1, f"clustered probe hit {n} files"
     return t.read().select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
@@ -1105,7 +1107,8 @@ def s19_txnlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t._affected(
             spark.createDataFrame(
                 [(int(v),) for v in probes], "c_custkey bigint"
-            )
+            ),
+            use_bloom=False,
         )
     )
     cands = len(t.lookup_candidates(probes))

@@ -726,7 +726,7 @@ def test_bloom_lookup_never_misses_and_prunes(spark, tmp_path):
     cands = t.lookup_candidates(probe)
     range_only = len(t._affected(_rows(
         spark, [(k, "x", 0.0) for k in probe]
-    ).select("k")))
+    ).select("k"), use_bloom=False))
     assert range_only == n_files  # every file's range admits the probes
     assert 0 < len(cands) < n_files, cands
 
@@ -765,3 +765,31 @@ def test_bloom_survives_checkpoint_replay(spark, tmp_path, monkeypatch):
     got = t.lookup([123]).collect()
     assert len(got) == 1 and got[0]["k"] == 123
     assert len(t.lookup_candidates([123])) < len(data)
+
+
+def test_bloom_prunes_point_upsert_rewrites(spark, tmp_path):
+    """A 1-row upsert on a hash-shuffled layout (every file spans the
+    full key range) must rewrite only the bloom-positive owner files,
+    not every range-overlapping file — and the merged contents must be
+    exactly what a full-range rewrite would produce."""
+    rows = _rows(spark, [(i, f"g{i % 5}", float(i)) for i in range(2000)])
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(rows.repartition(8, "val"))
+    n_files = t.file_count()
+    assert n_files >= 6
+
+    incoming = _rows(spark, [(777, "patched", -1.0)])
+    range_only = len(t._affected(incoming, use_bloom=False))
+    bloomed = len(t._affected(incoming))
+    assert range_only == n_files  # ranges can't prune this layout
+    assert bloomed < range_only, (bloomed, range_only)
+
+    t.upsert(incoming)
+    got = {r["k"]: (r["grp"], r["val"]) for r in t.read().collect()}
+    assert len(got) == 2000
+    assert got[777] == ("patched", -1.0)
+    assert got[778] == ("g3", 778.0)
+
+    # the commit's remove set matches the bloom-pruned rewrite set
+    last = t.history()[-1]
+    assert last["op"] == "upsert" and last["n_remove"] == bloomed
