@@ -697,3 +697,57 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr_a", "yr_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom mergeability under the oracle gate: the txnlog file index
+# (operators/txnlog.py) and the runtime join prefilter
+# (join_bloom_prefilter) both rest on the same law — bloom(A∪B) =
+# bloom(A) OR bloom(B) — which is what lets every executor build its
+# partition's mask locally and ship ≤m bits. Proven cross-engine here
+# the way sketch_kmv_merge/sketch_cms_merge prove theirs: build an
+# independent mask per shard (s_suppkey % 4), merge by bit-OR
+# (= set-union of set positions, the hash-comparable representation),
+# and hash-compare against the direct whole-table mask. Positions are
+# the same md5 hex slices the txnlog masks use.
+# --------------------------------------------------------------------------
+@query(
+    "sketch_bloom_merge",
+    survey="beyond:sketch-bloom-merge",
+    priority=60,
+    oracle="""
+    SELECT DISTINCT
+           CAST(CAST(CONCAT('0x', substr(md5(CAST(s_suppkey AS VARCHAR)),
+                                         1 + 4 * j.j, 4)) AS BIGINT)
+                % 32768 AS INTEGER) AS pos
+    FROM supplier CROSS JOIN (SELECT * FROM (VALUES (0), (1))) j(j)
+    ORDER BY pos
+    """,
+)
+def sketch_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(
+                            "cast(conv(substring(md5(cast(s_suppkey"
+                            f" as string)), {1 + 4 * j}, 4), 16, 10)"
+                            " as int) % 32768"
+                        )
+                        for j in range(2)
+                    ]
+                )
+            ).alias("pos")
+        ).distinct()
+
+    shard_masks = [
+        positions(sup.filter(F.col("s_suppkey") % 4 == s))
+        for s in range(4)
+    ]
+    merged = shard_masks[0]
+    for m in shard_masks[1:]:
+        merged = merged.unionByName(m)
+    return merged.distinct().orderBy("pos")
