@@ -158,6 +158,10 @@ HEADLINE = [
     "ann_ivf_filtered",
     "stream_tumbling_live",
     "s8_chart_forecast",
+    # round 5 additions: sketch set algebra + bloom file index
+    "sketch_quantile_per_group",
+    "sketch_theta_intersect",
+    "s19_txnlog_bloom_lookup",
     "s17_txnlog_merge_on_read",
 ]
 

@@ -926,6 +926,52 @@ class TxnLogTable(ParquetTable):
         )
         self._commit("append", self._write_files(rows) + revive, base)
 
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Newest streaming-transaction version committed for
+        ``app_id`` — Delta's SetTransaction (``txn``) action, the
+        idempotence handshake for exactly-once micro-batch sinks. Log
+        entries are never deleted (vacuum removes data files only), so
+        the newest-first walk always finds the marker; entries are KB
+        of driver-side JSON."""
+        for v in reversed(self.versions()):
+            with open(self._log_path(v), encoding="utf-8") as f:
+                entry = json.load(f)
+            for a in entry["actions"]:
+                t = a.get("txn")
+                if t and t["app"] == app_id:
+                    return t["version"]
+        return None
+
+    def append_once(
+        self, rows: DataFrame, app_id: str, version: int
+    ) -> bool:
+        """Transactionally idempotent append: the data files and a
+        ``txn`` marker ``(app_id, version)`` land in ONE commit, so a
+        replayed micro-batch (checkpoint loss, sink retry after a
+        crash between write and checkpoint) is skipped wholesale —
+        exactly-once without relying on key-based dedup. Returns False
+        when this (app_id, version) already committed. A CAS loser
+        re-reads the marker before retrying, so two racing deliveries
+        of the same batch commit exactly once."""
+        while True:
+            base = self.current_version()
+            last = self.last_txn_version(app_id)
+            if last is not None and last >= version:
+                return False
+            revive = self._revive_actions(
+                self._conform(rows).select(*self.keys), base
+            )
+            actions = (
+                self._write_files(rows)
+                + revive
+                + [{"txn": {"app": app_id, "version": version}}]
+            )
+            try:
+                self._commit("append", actions, base)
+                return True
+            except CommitConflict:
+                continue
+
     def insert_ignore(self, rows: DataFrame) -> int:
         base = self.current_version()
         incoming = self._conform(rows).dropDuplicates(self.keys)

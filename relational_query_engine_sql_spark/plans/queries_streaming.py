@@ -987,3 +987,61 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert q.lastProgress is not None, "stream produced no progress"
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Exactly-once streaming ingest under the oracle gate: the stream is
+# ingested TWICE — the second run with a fresh checkpoint, so every
+# micro-batch re-delivers under the same batch ids — and the txn
+# markers (operators/txnlog.py:append_once, Delta's SetTransaction
+# mechanic) make the replay a complete no-op: not even a new commit
+# version. The oracle is plain SELECT of the source, so a green hash
+# proves the double-ingest produced EXACTLY one copy; the no-new-
+# commit fact is asserted in-plan and pinned again in
+# tests/test_streaming.py::test_exactly_once_ingest_survives_checkpoint_loss.
+# --------------------------------------------------------------------------
+@query(
+    "stream_ingest_exactly_once",
+    survey="streaming:exactly-once,S3",
+    priority=60,
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           TRUE AS replay_was_noop
+    FROM events
+    """,
+)
+def stream_ingest_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.txnlog import TxnLogTable
+    from ..streaming.events import (
+        ingest_stream_exactly_once,
+        read_events_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rqe-stream-eo-")
+    t = TxnLogTable(spark, f"{root}/ev", ev.schema, ["event_id"])
+    t.init(ev.limit(0))
+
+    for ckpt in ("ckpt_a", "ckpt_b"):  # second run = full replay
+        q = ingest_stream_exactly_once(
+            read_events_stream(spark, sf_dir),
+            t,
+            f"{root}/{ckpt}",
+            app_id="eo",
+        )
+        q.awaitTermination()
+        if ckpt == "ckpt_a":
+            v_first = t.current_version()
+    noop = t.current_version() == v_first
+    assert noop, "replayed batches committed again"
+    return t.read().select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.lit(noop).alias("replay_was_noop"),
+    )

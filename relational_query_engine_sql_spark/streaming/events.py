@@ -216,6 +216,30 @@ def ingest_stream_to_table(events, table, checkpoint_dir: str):
     )
 
 
+def ingest_stream_exactly_once(
+    events, table, checkpoint_dir: str, app_id: str = "ingest"
+):
+    """Stream → txnlog table with TRANSACTIONAL idempotence (Delta's
+    streaming-sink mechanic): each micro-batch's data files and its
+    ``txn (app_id, batch_id)`` marker land in one atomic commit, so a
+    replayed batch — checkpoint loss, crash between sink write and
+    checkpoint commit, a second pipeline run over the same source — is
+    skipped wholesale by :meth:`TxnLogTable.append_once`. Stronger
+    than the insert_ignore pattern above: idempotence holds even for
+    tables whose rows carry no natural unique key.
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        table.append_once(batch_df, app_id, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id.
 

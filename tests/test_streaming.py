@@ -753,3 +753,49 @@ def test_stream_stream_join_checkpoint_restart(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(want) > 0, "no cross-run matches — test is vacuous"
+
+
+def test_exactly_once_ingest_survives_checkpoint_loss(
+    spark, sf_small, tmp_path
+):
+    """The transactional foreachBatch sink: a SECOND pipeline run over
+    the same source with a FRESH checkpoint re-delivers every
+    micro-batch under the same batch ids — the txn markers make the
+    replay a complete no-op, which key-based dedup could not promise
+    for keyless rows."""
+    import pyspark.sql.types as T
+
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+    from relational_query_engine_sql_spark.streaming.events import (
+        ingest_stream_exactly_once,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), ev.schema, ["event_id"]
+    )
+    t.init(ev.limit(0))
+
+    q = ingest_stream_exactly_once(
+        read_events_stream(spark, sf_small),
+        t,
+        str(tmp_path / "ckpt1"),
+        app_id="e1",
+    )
+    q.awaitTermination()
+    n_first = t.read().count()
+    assert n_first == ev.count()
+    v_first = t.current_version()
+
+    # fresh checkpoint: every batch replays with the same batch ids
+    q2 = ingest_stream_exactly_once(
+        read_events_stream(spark, sf_small),
+        t,
+        str(tmp_path / "ckpt2"),
+        app_id="e1",
+    )
+    q2.awaitTermination()
+    assert t.read().count() == n_first
+    assert t.current_version() == v_first  # not even a no-op commit

@@ -345,8 +345,12 @@ def test_clustered_compaction_tightens_pruning(spark, tmp_path):
                 [(i * 4 + m, "g", 1.0) for i in range(250)],
             ).coalesce(1)
         )
+    # range-only view: every file overlaps key 500 (the bloom masks
+    # would already prune this point probe to the owner file — that
+    # path has its own tests; this one is about stats + layout)
     wide = t._affected(
-        spark.createDataFrame([(500,)], "k long").select("k")
+        spark.createDataFrame([(500,)], "k long").select("k"),
+        use_bloom=False,
     )
     assert len(wide) == 4  # every file overlaps key 500
 
@@ -357,7 +361,8 @@ def test_clustered_compaction_tightens_pruning(spark, tmp_path):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo  # disjoint file ranges after clustering
     narrow = t._affected(
-        spark.createDataFrame([(500,)], "k long").select("k")
+        spark.createDataFrame([(500,)], "k long").select("k"),
+        use_bloom=False,
     )
     assert len(narrow) == 1  # now prunes to a single file
     assert t.read().count() == 1000
@@ -793,3 +798,24 @@ def test_bloom_prunes_point_upsert_rewrites(spark, tmp_path):
     # the commit's remove set matches the bloom-pruned rewrite set
     last = t.history()[-1]
     assert last["op"] == "upsert" and last["n_remove"] == bloomed
+
+
+def test_append_once_txn_marker_idempotent(spark, tmp_path):
+    """Delta's SetTransaction mechanic: a replayed (app_id, version)
+    batch is skipped wholesale, markers are monotonic per app, and
+    independent apps keep independent counters."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(0, "g", 0.0)]))
+    assert t.append_once(_rows(spark, [(1, "g", 1.0)]), "app", 0)
+    # exact replay of the same batch: skipped, contents unchanged
+    assert not t.append_once(_rows(spark, [(1, "g", 1.0)]), "app", 0)
+    assert t.read().count() == 2
+    assert t.append_once(_rows(spark, [(2, "g", 2.0)]), "app", 1)
+    # stale replay AFTER a later batch landed: still skipped
+    assert not t.append_once(_rows(spark, [(9, "g", 9.0)]), "app", 0)
+    # a different app id is an independent stream
+    assert t.append_once(_rows(spark, [(3, "g", 3.0)]), "other", 0)
+    assert t.read().count() == 4
+    assert t.last_txn_version("app") == 1
+    assert t.last_txn_version("other") == 0
+    assert t.last_txn_version("nobody") is None
