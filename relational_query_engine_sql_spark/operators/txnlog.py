@@ -86,6 +86,25 @@ BLOOM_PROBES = 2  # hex slices [0:4) and [4:8) of the key's md5
 # to stay metadata-sized (bulk writes skip straight to range pruning)
 BLOOM_AFFECTED_LIMIT = 128
 
+# per-file min/max stats cover the key columns plus the first
+# prunable non-key columns up to this many total — Delta's
+# dataSkippingNumIndexedCols cap, keeping add-actions KB-scale on
+# wide tables while predicate scans still skip files
+STATS_MAX_COLS = 32
+_STATS_COL_TYPES = {
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+    "string",
+    "date",
+    "timestamp",
+    "timestamp_ntz",
+}
+
 # key types whose Spark `cast(k as string)` equals Python `str(v)`,
 # making driver-side membership probes hash-identical to the
 # executor-side build (timestamps/decimals format differently and
@@ -472,6 +491,50 @@ class TxnLogTable(ParquetTable):
             base = base.join(F.broadcast(tomb), self.keys, "left_anti")
         return base.filter(F.col(k0).isin(vals))
 
+    def scan_candidates(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> list[str]:
+        """Live data files whose ``col`` min/max range can intersect
+        [lo, hi] — file-level data skipping on ANY stats-covered
+        column (keys AND the indexed non-key columns), not just the
+        mutation path's key bounds. Values normalize through the same
+        ``_js`` tagging the stats were written with, so dates and
+        Decimals compare typed, never stringly."""
+        data, _ = self._split_live(version)
+        jlo, jhi = _js(lo), _js(hi)
+        return [
+            p
+            for p, meta in data.items()
+            if _col_overlaps((meta.get("stats") or {}).get(col), jlo, jhi)
+        ]
+
+    def read_where(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """``SELECT * WHERE col BETWEEN lo AND hi`` scanning only the
+        stats-surviving files — the lakehouse data-skipping read. On a
+        layout clustered by ``col`` (range-partitioned writes, or
+        compact(cluster_by)/Z-order), the scan touches O(selectivity)
+        files instead of all of them. Merge-on-read deletion vectors
+        are honored exactly as in :meth:`read`."""
+        schema = self._schema_at(version)
+        cands = self.scan_candidates(col, lo, hi, version)
+        if not cands:
+            base = self.spark.createDataFrame([], schema)
+        else:
+            base = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in cands]
+            )
+        _, dvs = self._split_live(version)
+        if dvs:
+            tomb = self.spark.read.schema(self._dv_schema()).parquet(
+                *[os.path.join(self.path, p) for p in dvs]
+            )
+            base = base.join(F.broadcast(tomb), self.keys, "left_anti")
+        return base.filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
+
     def _changes_inputs(self, v_from: int, v_to: int):
         """(old_side, new_side, scanned_relpaths) for the snapshot
         diff ``v_from → v_to``. Data files are immutable, so a file
@@ -630,8 +693,22 @@ class TxnLogTable(ParquetTable):
         else:
             schema = self.schema
             self._conform(df).write.mode("error").parquet(out_dir)
+        # stats cover every key column PLUS prunable non-key columns
+        # (capped, Delta's dataSkippingNumIndexedCols mechanic) so
+        # predicate scans — not just keyed mutations — skip files
+        stat_cols = list(self.keys)
+        if not dv:
+            for f_ in schema.fields:
+                if len(stat_cols) >= STATS_MAX_COLS:
+                    break
+                if (
+                    f_.name not in stat_cols
+                    and f_.dataType.simpleString().split("(")[0]
+                    in _STATS_COL_TYPES
+                ):
+                    stat_cols.append(f_.name)
         aggs = [F.count(F.lit(1)).alias("_rows")]
-        for i, k in enumerate(self.keys):
+        for i, k in enumerate(stat_cols):
             aggs.append(F.min(k).alias(f"_mn{i}"))
             aggs.append(F.max(k).alias(f"_mx{i}"))
         k0 = self.keys[0]
@@ -665,7 +742,7 @@ class TxnLogTable(ParquetTable):
                 "rows": r["_rows"],
                 "stats": {
                     k: [_js(r[f"_mn{i}"]), _js(r[f"_mx{i}"])]
-                    for i, k in enumerate(self.keys)
+                    for i, k in enumerate(stat_cols)
                 },
             }
             if want_bloom:

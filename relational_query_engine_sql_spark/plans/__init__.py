@@ -322,6 +322,7 @@ ROUND7_QUEUE = [
     "s19_txnlog_bloom_lookup",
     "sketch_bloom_merge",
     "stream_ingest_exactly_once",
+    "s20_txnlog_stats_scan",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

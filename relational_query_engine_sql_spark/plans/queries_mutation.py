@@ -1129,3 +1129,51 @@ def s19_txnlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# S20: data-skipping SCAN from the txnlog stats — min/max file
+# skipping on a NON-key column. Write-time stats now cover the
+# indexed non-key columns too (Delta's dataSkippingNumIndexedCols
+# cap), so a date-range read on a date-clustered layout touches
+# O(selectivity) files instead of all of them — the lakehouse answer
+# to the reference's date-window queries
+# (/root/reference/src/routes/stocks.js:26-31) at 100 TB. The pruning
+# inequality is asserted in-plan (exact candidate counts vary by SF);
+# the returned rows hash against the plain SQL window so the pruned
+# scan is proven exactly equal to the unpruned one.
+# --------------------------------------------------------------------------
+@query(
+    "s20_txnlog_stats_scan",
+    survey="beyond:txnlog,beyond:data-skipping,F2",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           TRUE AS scan_was_pruned
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1997-03-01' AND DATE '1997-05-31'
+    """,
+)
+def s20_txnlog_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from ..operators.txnlog import TxnLogTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="rqe-txn-scan-")
+    t = TxnLogTable(spark, f"{root}/o", orders.schema, ["o_orderkey"])
+    # date-clustered layout: disjoint o_orderdate ranges per file
+    t.init(orders.repartitionByRange(8, "o_orderdate"))
+    n_files = t.file_count()
+
+    lo, hi = dt.date(1997, 3, 1), dt.date(1997, 5, 31)
+    cands = len(t.scan_candidates("o_orderdate", lo, hi))
+    assert cands < n_files, (
+        f"stats did not prune the scan: {cands}/{n_files}"
+    )
+    return t.read_where("o_orderdate", lo, hi).select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lit(cands < n_files).alias("scan_was_pruned"),
+    )

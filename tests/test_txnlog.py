@@ -680,7 +680,9 @@ def test_composite_key_stats_prune_on_second_column(spark, tmp_path):
     hit = t._affected(probe)
     assert len(hit) == 1
     stats = next(iter(t._live().values()))["stats"]
-    assert set(stats) == {"sym", "ts"}
+    # key columns always lead the stats; prunable non-key columns
+    # (px) are indexed too since the data-skipping-scan widening
+    assert set(stats) >= {"sym", "ts"} and "px" in stats
 
 
 def test_decimal_key_stats_stay_prunable(spark, tmp_path):
@@ -819,3 +821,49 @@ def test_append_once_txn_marker_idempotent(spark, tmp_path):
     assert t.last_txn_version("app") == 1
     assert t.last_txn_version("other") == 0
     assert t.last_txn_version("nobody") is None
+
+
+def test_read_where_prunes_on_nonkey_column(spark, tmp_path):
+    """All-column stats: a range scan on a NON-key column skips files
+    on a layout clustered by that column, with exact parity against
+    the unpruned filter."""
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    import datetime as dt
+
+    rows = spark.createDataFrame(
+        [
+            (i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 365), float(i))
+            for i in range(2000)
+        ],
+        sch,
+    )
+    t = TxnLogTable(spark, str(tmp_path / "t"), sch, ["k"])
+    t.init(rows.repartitionByRange(8, "day"))
+    n_files = t.file_count()
+    assert n_files >= 6
+
+    lo, hi = dt.date(2024, 3, 1), dt.date(2024, 3, 31)
+    cands = t.scan_candidates("day", lo, hi)
+    assert 0 < len(cands) < n_files, (len(cands), n_files)
+
+    got = sorted(r["k"] for r in t.read_where("day", lo, hi).collect())
+    want = sorted(
+        r["k"]
+        for r in t.read()
+        .filter((F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi)))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # stats-less columns / unclustered layouts degrade to full scan,
+    # never to a wrong answer
+    assert len(t.scan_candidates("val", 0.0, 1.0)) <= n_files
+    assert t.read_where("val", 0.0, 1.0).count() == 2
