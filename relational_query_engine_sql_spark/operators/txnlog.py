@@ -678,11 +678,14 @@ class TxnLogTable(ParquetTable):
     ) -> list[dict]:
         """Write ``df`` as immutable parquet files under data/ and
         return their add-actions with per-file rowcount + min/max
-        stats for EVERY key column (one aggregate over just the new
+        stats for EVERY key column and the first prunable non-key
+        columns up to STATS_MAX_COLS (one aggregate over just the new
         files — the same write-time stats pass Delta does), so
-        composite-key tables prune on all key columns. ``dv=True``
-        writes a DELETION-VECTOR file (key columns only) and tags the
-        action so replay can tell data from tombstones."""
+        composite-key tables prune on all key columns and predicate
+        scans (:meth:`read_where`) skip files too. Data files also get
+        a first-key Bloom mask in the same pass. ``dv=True`` writes a
+        DELETION-VECTOR file (key columns only) and tags the action so
+        replay can tell data from tombstones."""
         rel_dir = f"data/{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, rel_dir)
         if dv:

@@ -299,6 +299,14 @@ ROUND6_QUEUE = [
     "s18_txnlog_composite_prune",
     "sketch_hll_estimate",
     "stream_join_live",
+    # round-5 close-session additions (each strict-sim green at
+    # sf0.001 + sf0.01 + sf0.1): theta set algebra, bloom file index,
+    # bloom merge law, exactly-once sink, data-skipping scan
+    "sketch_theta_intersect",
+    "s19_txnlog_bloom_lookup",
+    "sketch_bloom_merge",
+    "stream_ingest_exactly_once",
+    "s20_txnlog_stats_scan",
 ]
 _unknown_r6 = [n for n in ROUND6_QUEUE if n not in all_queries()]
 assert not _unknown_r6, f"ROUND6_QUEUE names not registered: {_unknown_r6}"
@@ -314,15 +322,12 @@ ROUND6_PREFIX = ROUND6_QUEUE + [
 # Round-7 queue: spillover staging for queries added after ROUND6's
 # window fills (~50 names).
 ROUND7_QUEUE = [
-    # round-5 close additions (strict-sim green at all three SFs)
+    # round-5 close additions (strict-sim green at all three SFs);
+    # the five later close-session queries moved into ROUND6_QUEUE's
+    # spare window slots
     "sketch_quantile_bottomk",
     "sketch_quantile_merge",
     "sketch_quantile_per_group",
-    "sketch_theta_intersect",
-    "s19_txnlog_bloom_lookup",
-    "sketch_bloom_merge",
-    "stream_ingest_exactly_once",
-    "s20_txnlog_stats_scan",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

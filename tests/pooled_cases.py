@@ -59,6 +59,18 @@ POOLED_CASES = [
     ("test_round3_ops", "test_leakage_safe_split_keeps_clusters_together"),
     ("test_skew_bucketing", "test_lsh_bucket_cap_bounds_degenerate_corpus"),
     ("test_retrieval_ops", "test_er_planted_variants_resolve_to_source"),
+    # round-5 session additions (audited: tmp_path/spark/sf_small
+    # fixtures only, no monkeypatch — the bloom checkpoint-replay test
+    # monkeypatches CHECKPOINT_EVERY and stays serial)
+    ("test_txnlog", "test_bloom_lookup_never_misses_and_prunes"),
+    ("test_txnlog", "test_bloom_lookup_respects_deletion_vectors"),
+    ("test_txnlog", "test_bloom_prunes_point_upsert_rewrites"),
+    ("test_txnlog", "test_append_once_txn_marker_idempotent"),
+    ("test_txnlog", "test_read_where_prunes_on_nonkey_column"),
+    ("test_streaming", "test_exactly_once_ingest_survives_checkpoint_loss"),
+    ("test_sketches", "test_theta_intersect_estimates_track_truth"),
+    ("test_sketches", "test_theta_full_sketch_pairs_are_exact"),
+    ("test_sketches", "test_theta_zero_overlap_pair_survives_with_zero"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a
