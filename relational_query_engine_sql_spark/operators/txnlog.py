@@ -1196,7 +1196,10 @@ class TxnLogTable(ParquetTable):
         )
 
     def compact(
-        self, target_files: int, cluster_by: list[str] | None = None
+        self,
+        target_files: int,
+        cluster_by: list[str] | None = None,
+        zorder_by: tuple[str, str] | None = None,
     ) -> None:
         """Small-files compaction; with ``cluster_by``, a CLUSTERED
         rewrite (Delta OPTIMIZE ZORDER / liquid-clustering shape):
@@ -1211,7 +1214,22 @@ class TxnLogTable(ParquetTable):
         data, dvs = self._split_live(base)
         live = list(data) + list(dvs)
         df = self._read_files_mor(list(data), base)
-        if cluster_by:
+        if zorder_by:
+            # OPTIMIZE ZORDER: Morton-interleave two NUMERIC dims
+            # (operators/layout.py) so each output file owns a small
+            # 2-D bounding box — the logged per-file stats then prune
+            # range scans on EITHER dimension, which a lexicographic
+            # cluster_by can only give its leading column
+            from .layout import zorder_key
+
+            x, y = zorder_by
+            df = (
+                zorder_key(df, x, y)
+                .repartitionByRange(target_files, "z")
+                .sortWithinPartitions("z")
+                .drop("z")
+            )
+        elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
                 *cols

@@ -307,6 +307,7 @@ ROUND6_QUEUE = [
     "sketch_bloom_merge",
     "stream_ingest_exactly_once",
     "s20_txnlog_stats_scan",
+    "s21_txnlog_zorder_scan",
 ]
 _unknown_r6 = [n for n in ROUND6_QUEUE if n not in all_queries()]
 assert not _unknown_r6, f"ROUND6_QUEUE names not registered: {_unknown_r6}"

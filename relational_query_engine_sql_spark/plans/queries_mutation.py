@@ -1177,3 +1177,68 @@ def s20_txnlog_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lit(cands < n_files).alias("scan_was_pruned"),
     )
+
+
+# --------------------------------------------------------------------------
+# S21: OPTIMIZE ZORDER inside the table format. compact(zorder_by=..)
+# Morton-clusters the rewrite (operators/layout.py), so the logged
+# per-file stats become tight 2-D bounding boxes and range scans on
+# EITHER dimension skip files — lexicographic clustering can only do
+# that for its leading column. Both pruning facts are asserted
+# in-plan; the returned customer-window rows hash against plain SQL,
+# proving the z-clustered, stats-pruned scan is exactly the unpruned
+# answer.
+# --------------------------------------------------------------------------
+@query(
+    "s21_txnlog_zorder_scan",
+    survey="beyond:txnlog,beyond:zorder,F2",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           TRUE AS pruned_custkey_scan, TRUE AS pruned_date_scan
+    FROM orders
+    WHERE o_custkey BETWEEN 10 AND 100
+    """,
+)
+def s21_txnlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from ..operators.txnlog import TxnLogTable
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderday",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("int"),
+    )
+    root = tempfile.mkdtemp(prefix="rqe-txn-zorder-")
+    t = TxnLogTable(spark, f"{root}/o", orders.schema, ["o_orderkey"])
+    # hash-mixed initial layout: neither dimension prunes anything
+    t.init(orders.repartition(8, "o_orderkey"))
+    n0 = t.file_count()
+    # pruning probes: ~5% of each dimension's span, derived from the
+    # data so they stay narrow at every SF (the RETURNED window below
+    # is a fixed literal for the oracle; these probe the layout)
+    r = orders.agg(
+        F.min("o_custkey").alias("kmn"), F.max("o_custkey").alias("kmx")
+    ).first()
+    k_lo, k_hi = r["kmn"], r["kmn"] + max(1, (r["kmx"] - r["kmn"]) // 20)
+    pre_k = len(t.scan_candidates("o_custkey", k_lo, k_hi))
+    assert pre_k == n0, f"expected no pruning pre-zorder: {pre_k}/{n0}"
+
+    t.compact(8, zorder_by=("o_custkey", "o_orderday"))
+    n_files = t.file_count()
+    k_cands = len(t.scan_candidates("o_custkey", k_lo, k_hi))
+    d_cands = len(
+        t.scan_candidates(
+            "o_orderdate", dt.date(1997, 3, 1), dt.date(1997, 5, 31)
+        )
+    )
+    assert k_cands < n_files, f"custkey scan unpruned: {k_cands}/{n_files}"
+    assert d_cands < n_files, f"date scan unpruned: {d_cands}/{n_files}"
+    return t.read_where("o_custkey", 10, 100).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lit(k_cands < n_files).alias("pruned_custkey_scan"),
+        F.lit(d_cands < n_files).alias("pruned_date_scan"),
+    )
