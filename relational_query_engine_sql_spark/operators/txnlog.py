@@ -1240,6 +1240,38 @@ class TxnLogTable(ParquetTable):
 
     # -- optimistic concurrency / retention ----------------------------------
 
+    def restore(self, version: int) -> int:
+        """Delta's RESTORE TABLE TO VERSION AS OF: roll the LIVE state
+        back to an earlier snapshot with one METADATA-ONLY commit —
+        remove every file live now but not then, re-add every file
+        live then but not now. No data moves (the old files still
+        exist unless vacuumed past; a vacuumed restore fails loudly at
+        the subsequent read, same contract as vacuumed time travel),
+        history is preserved (the restore is itself a new commit, so
+        the "bad" era stays auditable and re-restorable), and the
+        schema of the restored era rides along as a metadata action
+        when it differs. At 100 TB this is the incident-response
+        primitive: undoing a bad pipeline write costs KB of JSON."""
+        base = self.current_version()
+        if base is None:
+            raise ValueError("cannot restore an empty table")
+        target = self._live(version)  # raises on unknown version
+        now = self._live(base)
+        actions: list[dict] = [
+            {"remove": {"path": p}} for p in now if p not in target
+        ]
+        actions += [
+            {"add": {"path": p, **meta}}
+            for p, meta in target.items()
+            if p not in now
+        ]
+        old_schema = self._schema_at(version)
+        if old_schema != self._schema_at(base):
+            actions.append(
+                {"metadata": {"schema": old_schema.jsonValue()}}
+            )
+        return self._commit("restore", actions, base)
+
     def commit_as(self, df: DataFrame, expected_version: int | None) -> int:
         """Full-snapshot CAS commit (the VersionedParquetTable
         interface ``modify_with_retry`` drives): land ``df`` as the

@@ -1242,3 +1242,62 @@ def s21_txnlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k_cands < n_files).alias("pruned_custkey_scan"),
         F.lit(d_cands < n_files).alias("pruned_date_scan"),
     )
+
+
+# --------------------------------------------------------------------------
+# S22: RESTORE TABLE TO VERSION AS OF — the incident-response
+# primitive. A bad pipeline write (corrupting upsert + cascade of
+# deletes) is undone by ONE metadata-only commit that re-points the
+# live set at the old snapshot's files: zero data rewritten (asserted
+# in-plan by comparing the physical file census before/after), the
+# bad era stays time travelable, and the restore is itself a commit
+# so the audit trail is complete. The oracle is plain SELECT of the
+# source: a green hash proves the restored table IS the pre-incident
+# snapshot, bit for bit.
+# --------------------------------------------------------------------------
+@query(
+    "s22_txnlog_restore",
+    survey="beyond:txnlog,beyond:time-travel,S10",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+           TRUE AS restore_was_metadata_only
+    FROM supplier
+    """,
+)
+def s22_txnlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..operators.txnlog import TxnLogTable
+
+    sup = load_table(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="rqe-txn-restore-")
+    t = TxnLogTable(spark, f"{root}/s", sup.schema, ["s_suppkey"])
+    t.init(sup.repartition(4, "s_name"))  # v0, multi-file
+
+    # the incident: a corrupting upsert, then a broad delete
+    t.upsert(
+        sup.limit(5).withColumn("s_acctbal", F.lit(-1.0).cast("double"))
+    )
+    t.delete(F.col("s_nationkey") < 10)
+    v_bad = t.current_version()
+
+    def census() -> set:
+        out = set()
+        for d_, _, fs in _os.walk(f"{root}/s"):
+            out |= {f for f in fs if f.endswith(".parquet")}
+        return out
+
+    before = census()
+    t.restore(0)
+    metadata_only = census() == before
+    assert metadata_only, "restore wrote data files"
+    assert t.history()[-1]["op"] == "restore"
+    assert t.read(v_bad).count() < sup.count()  # bad era still auditable
+    return t.read().select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        "s_acctbal",
+        F.lit(metadata_only).alias("restore_was_metadata_only"),
+    )

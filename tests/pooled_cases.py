@@ -71,6 +71,8 @@ POOLED_CASES = [
     ("test_sketches", "test_theta_intersect_estimates_track_truth"),
     ("test_sketches", "test_theta_full_sketch_pairs_are_exact"),
     ("test_sketches", "test_theta_zero_overlap_pair_survives_with_zero"),
+    ("test_txnlog", "test_restore_is_metadata_only_and_preserves_history"),
+    ("test_txnlog", "test_restore_reinstates_pre_evolution_schema"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a

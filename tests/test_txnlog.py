@@ -867,3 +867,55 @@ def test_read_where_prunes_on_nonkey_column(spark, tmp_path):
     # never to a wrong answer
     assert len(t.scan_candidates("val", 0.0, 1.0)) <= n_files
     assert t.read_where("val", 0.0, 1.0).count() == 2
+
+
+def _all_parquet_files(root) -> set:
+    out = set()
+    for dirpath, _, files in os.walk(root):
+        out |= {
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_restore_is_metadata_only_and_preserves_history(
+    spark, base, tmp_path
+):
+    """RESTORE rolls the live set back to an old snapshot without
+    moving data (zero new physical files), keeps the bad era time
+    travelable, and the table stays writable afterwards."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # v0
+    want_v0 = _collect(t)
+    t.upsert(_rows(spark, [(5, "bad", -5.0), (200, "bad", -1.0)]))  # v1
+    t.delete_keys(_rows(spark, [(7, "g", 0.0)]).select("k"))  # v2
+    v_bad = t.current_version()
+    files_before = _all_parquet_files(str(tmp_path / "t"))
+
+    v = t.restore(0)
+    assert v == v_bad + 1
+    assert _collect(t) == want_v0  # live state is the v0 snapshot
+    # metadata-only: not one new data file was written
+    assert _all_parquet_files(str(tmp_path / "t")) == files_before
+    assert t.history()[-1]["op"] == "restore"
+    # the bad era is still auditable via time travel
+    got_bad = {r["k"]: r["grp"] for r in t.read(v_bad).collect()}
+    assert got_bad[200] == "bad" and 7 not in got_bad
+    # and the table keeps accepting writes
+    t.upsert(_rows(spark, [(300, "after", 1.0)]))
+    assert t.read().count() == 101
+
+
+def test_restore_reinstates_pre_evolution_schema(spark, base, tmp_path):
+    """Restoring past a schema evolution rides the old schema along as
+    a metadata action, so reads after the restore see the old shape."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # v0
+    t.add_columns({"extra": "string"})  # v1
+    assert "extra" in t.read().columns
+    t.restore(0)
+    assert "extra" not in t.read().columns
+    # evolution remains replayable history
+    assert "extra" in t.read(1).columns
