@@ -68,6 +68,12 @@ from pyspark.sql import functions as F
 
 from .mutation import CommitConflict, ParquetTable, merge_frame
 
+
+class ConstraintViolation(ValueError):
+    """A write produced rows that fail an active CHECK constraint (or
+    ADD CONSTRAINT found existing rows that do). The offending commit
+    never lands — staged files are removed and the table is unchanged."""
+
 CHECKPOINT_EVERY = 10
 
 # Per-file Bloom filter over the FIRST key column: min/max ranges
@@ -389,6 +395,69 @@ class TxnLogTable(ParquetTable):
         )
         return self._commit(
             "add_columns", [{"metadata": {"schema": new.jsonValue()}}], base
+        )
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT shape) ----------
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Active CHECK constraints at ``version``: the log-walk
+        accumulation of constraint adds minus drops. Constraint
+        actions live only in the log (never checkpoints) and log
+        entries are never deleted, so the oldest-first walk is always
+        complete — KB of driver-side JSON."""
+        if version is None:
+            version = self.current_version()
+        out: dict[str, str] = {}
+        if version is None:
+            return out
+        for v in range(0, version + 1):
+            if not os.path.exists(self._log_path(v)):
+                continue
+            with open(self._log_path(v), encoding="utf-8") as f:
+                entry = json.load(f)
+            for a in entry["actions"]:
+                c = a.get("constraint")
+                if not c:
+                    continue
+                if c.get("drop"):
+                    out.pop(c["name"], None)
+                else:
+                    out[c["name"]] = c["expr"]
+        return out
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: existing
+        rows are validated FIRST (Delta's same full-scan gate — a
+        constraint the data already violates never lands), then a
+        metadata-only commit records it and every subsequent write is
+        validated inside its write-time stats pass. NULL evaluations
+        pass, per the SQL standard for CHECK."""
+        base = self.current_version()
+        if name in self.constraints(base):
+            raise ValueError(f"constraint exists: {name}")
+        bad = (
+            self.read(base)
+            .filter(F.expr(f"coalesce(not ({expr}), false)"))
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add {name!r}: {bad} existing rows violate ({expr})"
+            )
+        return self._commit(
+            "add_constraint",
+            [{"constraint": {"name": name, "expr": expr}}],
+            base,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        base = self.current_version()
+        if name not in self.constraints(base):
+            raise ValueError(f"no such constraint: {name}")
+        return self._commit(
+            "drop_constraint",
+            [{"constraint": {"name": name, "drop": True}}],
+            base,
         )
 
     def history(self) -> list[dict]:
@@ -730,6 +799,16 @@ class TxnLogTable(ParquetTable):
                     f" {1 + 4 * j}, 4), 16, 10) as int) % {BLOOM_BITS}"
                 )
                 aggs.append(F.collect_set(pos).alias(f"_bp{j}"))
+        active = {} if dv else self.constraints()
+        for ci, (cn, ce) in enumerate(sorted(active.items())):
+            # CHECK enforcement rides the same stats aggregate: count
+            # rows where the expression is FALSE (NULL passes, per the
+            # SQL standard) — zero extra jobs per write
+            aggs.append(
+                F.sum(
+                    F.expr(f"coalesce(not ({ce}), false)").cast("int")
+                ).alias(f"_cv{ci}")
+            )
         stat_rows = (
             self.spark.read.schema(schema)
             .parquet(out_dir)
@@ -737,6 +816,13 @@ class TxnLogTable(ParquetTable):
             .agg(*aggs)
             .collect()
         )
+        for ci, (cn, ce) in enumerate(sorted(active.items())):
+            bad = sum(r[f"_cv{ci}"] or 0 for r in stat_rows)
+            if bad:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise ConstraintViolation(
+                    f"write violates CHECK {cn!r} ({ce}): {bad} rows"
+                )
         adds = []
         for r in stat_rows:
             base = os.path.basename(r["_f"].split("?", 1)[0])

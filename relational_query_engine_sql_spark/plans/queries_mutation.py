@@ -1301,3 +1301,54 @@ def s22_txnlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         F.lit(metadata_only).alias("restore_was_metadata_only"),
     )
+
+
+# --------------------------------------------------------------------------
+# S23: CHECK constraints in the table format (Delta ALTER TABLE ADD
+# CONSTRAINT). ADD validates existing rows first; thereafter every
+# write is validated inside its write-time stats pass (zero extra
+# jobs), and a violating write never lands — no commit, no staged
+# file debris, table bit-identical. The oracle is plain SELECT of the
+# source: the green hash IS the proof the rejected write changed
+# nothing; enforcement facts are asserted in-plan.
+# --------------------------------------------------------------------------
+@query(
+    "s23_txnlog_check_constraint",
+    survey="beyond:txnlog,beyond:constraints,S6",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal,
+           TRUE AS violation_rejected
+    FROM supplier
+    """,
+)
+def s23_txnlog_check_constraint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import ConstraintViolation, TxnLogTable
+
+    sup = load_table(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="rqe-txn-check-")
+    t = TxnLogTable(spark, f"{root}/s", sup.schema, ["s_suppkey"])
+    t.init(sup)
+    t.add_constraint("acctbal_floor", "s_acctbal >= -1000.0")
+    v0 = t.current_version()
+
+    rejected = False
+    try:
+        t.upsert(
+            sup.limit(3).withColumn(
+                "s_acctbal",
+                F.lit(-99999.0).cast(sup.schema["s_acctbal"].dataType),
+            )
+        )
+    except ConstraintViolation:
+        rejected = True
+    assert rejected, "violating upsert was not rejected"
+    assert t.current_version() == v0, "rejected write committed"
+    return t.read().select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.lit(rejected).alias("violation_rejected"),
+    )

@@ -73,6 +73,7 @@ POOLED_CASES = [
     ("test_sketches", "test_theta_zero_overlap_pair_survives_with_zero"),
     ("test_txnlog", "test_restore_is_metadata_only_and_preserves_history"),
     ("test_txnlog", "test_restore_reinstates_pre_evolution_schema"),
+    ("test_txnlog", "test_check_constraints_gate_writes"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a

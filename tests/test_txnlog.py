@@ -919,3 +919,41 @@ def test_restore_reinstates_pre_evolution_schema(spark, base, tmp_path):
     assert "extra" not in t.read().columns
     # evolution remains replayable history
     assert "extra" in t.read(1).columns
+
+
+def test_check_constraints_gate_writes(spark, base, tmp_path):
+    """Delta-shape CHECK constraints: ADD validates existing data,
+    writes that violate never land (table unchanged, no staged file
+    debris), NULLs pass, and DROP re-allows."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        ConstraintViolation,
+    )
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # val = 0..99, all >= 0
+
+    # a constraint the data already violates never lands
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint("val_big", "val >= 50")
+    assert t.constraints() == {}
+
+    t.add_constraint("val_nonneg", "val >= 0")
+    before = _collect(t)
+    v_before = t.current_version()
+    with pytest.raises(ConstraintViolation):
+        t.upsert(_rows(spark, [(5, "g", -1.0)]))
+    assert _collect(t) == before  # rejected write changed nothing
+    assert t.current_version() == v_before
+    files = _all_parquet_files(str(tmp_path / "t"))
+    assert len(files) == len(t._live())  # no staged debris on disk
+
+    t.upsert(_rows(spark, [(5, "g", 500.0)]))  # valid write passes
+    # NULL evaluations pass (SQL-standard CHECK)
+    t.append(
+        spark.createDataFrame([(900, "g", None)], SCHEMA)
+    )
+    assert t.read().filter(F.col("k") == 900).count() == 1
+
+    t.drop_constraint("val_nonneg")
+    t.upsert(_rows(spark, [(6, "g", -1.0)]))  # allowed again
+    assert t.constraints() == {}
