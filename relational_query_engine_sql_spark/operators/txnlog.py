@@ -860,6 +860,7 @@ class TxnLogTable(ParquetTable):
         op: str,
         actions: list[dict],
         expected_version: int | None,
+        staged_adds: list[str] | None = None,
     ) -> int:
         """CAS-commit ``actions`` as log entry ``expected_version+1``
         via the pluggable :class:`CommitBackend`. ``expected_version``
@@ -868,17 +869,28 @@ class TxnLogTable(ParquetTable):
         committing over a version the caller never saw would silently
         build on a stale file set and lose the intervening writer's
         changes. A loser cleans up its staged files and raises
-        :class:`CommitConflict` so it can rebase and retry."""
+        :class:`CommitConflict` so it can rebase and retry.
+
+        ``staged_adds`` is the list of add-paths the CALLER freshly
+        wrote for this commit — the conflict cleanup set. It defaults
+        to every add in ``actions``, which is correct for ordinary
+        writes; commits that RE-REFERENCE existing files (restore,
+        shallow clone) must pass ``[]`` or a losing race would delete
+        live historical data."""
         os.makedirs(self._log_dir(), exist_ok=True)
         target = 0 if expected_version is None else expected_version + 1
         entry = {"version": target, "op": op, "actions": actions}
         if not self.backend.put_if_absent(
             self._log_path(target), json.dumps(entry)
         ):
-            for a in actions:
-                if "add" in a:
-                    p = os.path.join(self.path, a["add"]["path"])
-                    shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+            doomed = (
+                staged_adds
+                if staged_adds is not None
+                else [a["add"]["path"] for a in actions if "add" in a]
+            )
+            for rel in doomed:
+                p = os.path.join(self.path, rel)
+                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
             raise CommitConflict(f"v{target} committed concurrently")
         if target % CHECKPOINT_EVERY == 0 and target > 0:
             # checkpoints publish atomically (temp + rename): a reader
@@ -1356,7 +1368,49 @@ class TxnLogTable(ParquetTable):
             actions.append(
                 {"metadata": {"schema": old_schema.jsonValue()}}
             )
-        return self._commit("restore", actions, base)
+        # re-referencing commit: nothing freshly staged, so a losing
+        # race must clean up NOTHING (the re-added files are live
+        # historical data)
+        return self._commit("restore", actions, base, staged_adds=[])
+
+    def clone_to(self, dest_path: str) -> "TxnLogTable":
+        """Delta's SHALLOW CLONE: a NEW independent table whose v0 log
+        re-references this table's live data files by ABSOLUTE path —
+        zero bytes copied, so cloning a 100 TB table for a dev/test
+        branch costs KB of JSON. Writes to the clone stage under the
+        clone's own data/ and the clone diverges without ever touching
+        the source; active CHECK constraints ride along. The clone's
+        vacuum never deletes external (source-owned) files; vacuuming
+        the SOURCE past the cloned snapshot breaks the clone — the
+        same documented contract Delta's shallow clones have."""
+        src_version = self.current_version()
+        if src_version is None:
+            raise ValueError("cannot clone an empty table")
+        clone = TxnLogTable(
+            self.spark,
+            dest_path,
+            self._schema_at(src_version),
+            self.keys,
+            commit_backend=self.backend,
+        )
+        if clone.exists():
+            raise ValueError(f"destination already has a log: {dest_path}")
+        actions: list[dict] = [
+            {
+                "add": {
+                    "path": os.path.join(self.path, p),
+                    **meta,
+                }
+            }
+            for p, meta in self._live(src_version).items()
+        ]
+        actions += [
+            {"constraint": {"name": n, "expr": e}}
+            for n, e in sorted(self.constraints(src_version).items())
+        ]
+        # re-referencing commit: a losing race must clean up nothing
+        clone._commit("clone", actions, None, staged_adds=[])
+        return clone
 
     def commit_as(self, df: DataFrame, expected_version: int | None) -> int:
         """Full-snapshot CAS commit (the VersionedParquetTable
@@ -1400,9 +1454,19 @@ class TxnLogTable(ParquetTable):
         for v in vs:
             doomed |= set(self._live(v))
         doomed -= referenced
+        # a shallow clone's log references the SOURCE table's files by
+        # absolute path: vacuum only ever deletes files under THIS
+        # table's root (Delta's clone contract — the clone never owns,
+        # and never deletes, external files)
+        root = os.path.realpath(self.path) + os.sep
+        removed = []
         for rel in doomed:
+            full = os.path.join(self.path, rel)
+            if not os.path.realpath(full).startswith(root):
+                continue
             try:
-                os.remove(os.path.join(self.path, rel))
+                os.remove(full)
+                removed.append(rel)
             except OSError:
                 pass
-        return sorted(doomed)
+        return sorted(removed)

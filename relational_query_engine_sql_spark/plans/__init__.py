@@ -331,6 +331,7 @@ ROUND7_QUEUE = [
     "sketch_quantile_per_group",
     "s22_txnlog_restore",
     "s23_txnlog_check_constraint",
+    "s24_txnlog_shallow_clone",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -1352,3 +1352,71 @@ def s23_txnlog_check_constraint(
         "s_acctbal",
         F.lit(rejected).alias("violation_rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# S24: SHALLOW CLONE — branch a table for dev/test at metadata cost.
+# The clone's v0 re-references the source's live files by absolute
+# path (zero parquet copied — asserted in-plan by a file census of
+# the clone dir before its first write); a corrupting experiment on
+# the clone leaves the source bit-identical (asserted by comparing
+# snapshots); and the clone's own writes diverge it. The oracle
+# replays the clone's mutation in SQL over the source, so the green
+# hash proves the diverged clone's exact contents.
+# --------------------------------------------------------------------------
+@query(
+    "s24_txnlog_shallow_clone",
+    survey="beyond:txnlog,beyond:clone,S5",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey <= 3 THEN 0.0 ELSE s_acctbal END
+               AS s_acctbal,
+           TRUE AS clone_was_zero_copy, TRUE AS source_untouched
+    FROM supplier
+    """,
+)
+def s24_txnlog_shallow_clone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+
+    from ..operators.txnlog import TxnLogTable
+
+    sup = load_table(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="rqe-txn-clone-")
+    src = TxnLogTable(spark, f"{root}/src", sup.schema, ["s_suppkey"])
+    src.init(sup.repartition(4, "s_name"))
+    src_before = {
+        f
+        for d_, _, fs in _os.walk(f"{root}/src")
+        for f in fs
+    }
+
+    clone = src.clone_to(f"{root}/clone")
+    zero_copy = not any(
+        f.endswith(".parquet")
+        for d_, _, fs in _os.walk(f"{root}/clone")
+        for f in fs
+    )
+    assert zero_copy, "clone copied data files"
+
+    # the experiment runs on the clone only
+    clone.update(
+        F.col("s_suppkey") <= 3,
+        {"s_acctbal": F.lit(0.0).cast(sup.schema["s_acctbal"].dataType)},
+    )
+    src_after = {
+        f
+        for d_, _, fs in _os.walk(f"{root}/src")
+        for f in fs
+    }
+    untouched = src_before == src_after
+    assert untouched, "clone write touched the source"
+    return clone.read().select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.lit(zero_copy).alias("clone_was_zero_copy"),
+        F.lit(untouched).alias("source_untouched"),
+    )

@@ -74,6 +74,8 @@ POOLED_CASES = [
     ("test_txnlog", "test_restore_is_metadata_only_and_preserves_history"),
     ("test_txnlog", "test_restore_reinstates_pre_evolution_schema"),
     ("test_txnlog", "test_check_constraints_gate_writes"),
+    ("test_txnlog", "test_shallow_clone_is_zero_copy_and_diverges"),
+    ("test_txnlog", "test_losing_restore_race_deletes_no_data"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a

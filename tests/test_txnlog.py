@@ -957,3 +957,68 @@ def test_check_constraints_gate_writes(spark, base, tmp_path):
     t.drop_constraint("val_nonneg")
     t.upsert(_rows(spark, [(6, "g", -1.0)]))  # allowed again
     assert t.constraints() == {}
+
+
+def test_shallow_clone_is_zero_copy_and_diverges(spark, base, tmp_path):
+    """SHALLOW CLONE: v0 references the source's files by absolute
+    path (no parquet copied), writes diverge the clone without
+    touching the source, constraints ride along, and the clone's
+    vacuum never deletes source-owned files."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        ConstraintViolation,
+    )
+
+    src = TxnLogTable(spark, str(tmp_path / "src"), SCHEMA, ["k"])
+    src.init(base)
+    src.add_constraint("val_nonneg", "val >= 0")
+    want_src = _collect(src)
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero-copy: the clone dir holds no parquet at all yet
+    assert not _all_parquet_files(str(tmp_path / "clone"))
+    assert _collect(clone) == want_src
+
+    # the clone diverges; the source is untouched
+    clone.upsert(_rows(spark, [(0, "cloned", 123.0)]))
+    clone.delete_keys(_rows(spark, [(1, "g", 0.0)]).select("k"))
+    assert _collect(src) == want_src
+    got = {r["k"]: r["grp"] for r in clone.read().collect()}
+    assert got[0] == "cloned" and 1 not in got
+
+    # constraints rode along
+    with pytest.raises(ConstraintViolation):
+        clone.upsert(_rows(spark, [(2, "g", -9.0)]))
+
+    # the clone's vacuum must never delete source files
+    clone.compact(1)  # makes every referenced source file unreferenced
+    removed = clone.vacuum(keep_last=1)
+    for rel in removed:
+        assert not os.path.isabs(rel)  # only clone-owned files removed
+    assert _collect(src) == want_src  # source data fully intact
+
+
+def test_losing_restore_race_deletes_no_data(spark, base, tmp_path):
+    """A restore whose CAS loses must clean up NOTHING: its add
+    actions re-reference live historical files, not staged ones."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # v0
+    t.compact(2)  # v1: v0's files now historical but still on disk
+    from relational_query_engine_sql_spark.operators.mutation import (
+        CommitConflict,
+    )
+
+    # make the restore's CAS lose (instance-local patch — the loser
+    # cleanup path is exactly what we're testing)
+    real = t.backend.put_if_absent
+    t.backend = type(t.backend)()
+    t.backend.put_if_absent = lambda path, payload: False
+    with pytest.raises(CommitConflict):
+        t.restore(0)
+    t.backend.put_if_absent = real
+    # every file referenced anywhere in history still exists
+    for v in t.versions():
+        for rel in t._live(v):
+            assert os.path.exists(os.path.join(t.path, rel)), (v, rel)
+    assert t.read(1).count() == 100
+    t.restore(0)  # and the retried restore succeeds
+    assert t.read().count() == 100
