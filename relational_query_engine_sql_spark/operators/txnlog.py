@@ -81,11 +81,21 @@ CHECKPOINT_EVERY = 10
 # (every file spans nearly the full key range), which is exactly
 # Delta's motivation for file-level bloom indexes. Probe positions
 # are md5 hex slices (engine-neutral, same family as the stats
-# hashes); the bitmask is bounded metadata (BLOOM_BITS bits = ≤8 KB
-# hex per file however many rows the file holds). At petabyte scale
-# the masks would move to sidecar index files exactly like Delta's
-# _delta_index — the log protocol is unchanged either way.
-BLOOM_BITS = 32768
+# hashes). The mask is SIZED PER FILE from the file's observed
+# distinct-key count (Delta's fpp/numItems sizing knob): m = the
+# smallest power of two >= BLOOM_BITS_PER_KEY x distinct keys,
+# clamped to [BLOOM_MIN_BITS, BLOOM_MAX_BITS] — a fixed mask's
+# false-positive rate would climb toward 1 as files grow, silently
+# erasing the pruning benefit past the validated scale factors. Each
+# add-action records its own m/j, so readers probe with the writer's
+# geometry (and masks written by older fixed-size code keep working).
+# The cap is the probe-slice domain (2 x 16-bit slices => 65536
+# positions, <=16 KB hex per file); at petabyte scale the masks would
+# move to sidecar index files exactly like Delta's _delta_index — the
+# log protocol is unchanged either way.
+BLOOM_MIN_BITS = 1024
+BLOOM_MAX_BITS = 65536  # == the 16-bit probe-slice domain
+BLOOM_BITS_PER_KEY = 16  # with j=2 probes: fpr ~ (1-e^-1/8)^2 ~ 1.4%
 BLOOM_PROBES = 2  # hex slices [0:4) and [4:8) of the key's md5
 # mutations probe the bloom only for incoming key sets at most this
 # large: the probe values must come to the driver, so the fetch has
@@ -125,9 +135,11 @@ _BLOOM_KEY_TYPES = {
 }
 
 
-def _bloom_positions_py(v) -> list[int] | None:
-    """Driver-side probe positions for a lookup value; None when the
-    value's string form may not match Spark's cast (no prune)."""
+def _bloom_positions_py(v, m: int, j: int) -> list[int] | None:
+    """Driver-side probe positions for a lookup value against a mask
+    of ``m`` bits / ``j`` probes (the WRITER's recorded geometry);
+    None when the value's string form may not match Spark's cast (no
+    prune)."""
     import hashlib
 
     if isinstance(v, bool) or not isinstance(
@@ -137,20 +149,20 @@ def _bloom_positions_py(v) -> list[int] | None:
     if isinstance(v, datetime.datetime):  # date subclass, but formats
         return None  # with a time component Spark won't reproduce
     h = hashlib.md5(str(v).encode()).hexdigest()
-    return [
-        int(h[4 * j : 4 * j + 4], 16) % BLOOM_BITS
-        for j in range(BLOOM_PROBES)
-    ]
+    return [int(h[4 * i : 4 * i + 4], 16) % m for i in range(j)]
 
 
-def _bloom_contains(hexmask: str, v) -> bool:
-    """Membership probe against a file's serialized bitmask. False
-    means DEFINITELY absent (safe to skip the file); True means maybe
+def _bloom_contains(bloom: dict, v) -> bool:
+    """Membership probe against a file's serialized bitmask, using
+    the per-file m/j the action recorded at write time. False means
+    DEFINITELY absent (safe to skip the file); True means maybe
     present — including every un-probe-able value type."""
-    pos = _bloom_positions_py(v)
+    pos = _bloom_positions_py(
+        v, bloom.get("m", BLOOM_MAX_BITS), bloom.get("j", BLOOM_PROBES)
+    )
     if pos is None:
         return True
-    mask = int(hexmask, 16)
+    mask = int(bloom["hex"], 16)
     return all((mask >> p) & 1 for p in pos)
 
 
@@ -199,6 +211,111 @@ class LocalCommitBackend(CommitBackend):
         os.rename(tmp, path)
 
 
+class TransientStoreError(IOError):
+    """A store request failed at the network layer (S3 5xx / dropped
+    connection). The request may or may not have been applied — the
+    classic lost-response ambiguity the commit protocol must survive."""
+
+
+class ObjectStoreCommitBackend(CommitBackend):
+    """Commit backend with OBJECT-STORE write semantics, modeled
+    in-process so the commit protocol's behavior on S3/GCS is testable
+    without either (neither is reachable here; the semantics below are
+    the published ones).
+
+    Differences from :class:`LocalCommitBackend` that matter:
+
+    - ``put_if_absent`` is a CONDITIONAL PUT (S3 ``If-None-Match: *``,
+      GCS ``x-goog-if-generation-match: 0``): the store evaluates the
+      precondition and materializes the object ATOMICALLY server-side
+      — modeled by the per-store mutex — and the object becomes
+      visible ALL-OR-NOTHING. A POSIX ``open(x)`` create is atomic on
+      the *name* but then written incrementally; an object-store PUT
+      can never expose a torn object.
+    - ``publish_atomic`` is just a full-object PUT (every object-store
+      PUT is atomic; there is no rename to lean on).
+    - LOST RESPONSES: a PUT can succeed server-side while the writer
+      sees a network error. A naive retry of a conditional PUT then
+      gets 412 PreconditionFailed *for its own committed write* and
+      would wrongly report a lost race — losing a commit that actually
+      landed. The backend resolves the ambiguity the way a production
+      LogStore does: re-read the object and compare payloads. Commit
+      payloads embed the writer's uuid-staged file names, so
+      byte-equality identifies a self-win unambiguously.
+
+    Fault injection (tests only): ``inject_fault("before")`` drops the
+    next request before the store processes it; ``inject_fault
+    ("after")`` lets the store process it but loses the response.
+    ``max_retries=0`` turns a transient fault into a hard crash at the
+    caller, for crash-mid-commit / crash-mid-checkpoint scenarios.
+    """
+
+    def __init__(self, max_retries: int = 3) -> None:
+        import threading
+
+        self.max_retries = max_retries
+        self._mutex = threading.Lock()  # the store's server-side atomicity
+        self._faults: list[str] = []
+        self.generations: dict[str, int] = {}  # path -> PUT count
+
+    def inject_fault(self, when: str, n: int = 1) -> None:
+        """Queue faults for upcoming requests, in request order.
+        ``"before"`` = dropped pre-store, ``"after"`` = applied but
+        response lost, ``"ok"`` = let this request through (padding,
+        to aim a fault at the Nth request from now)."""
+        assert when in ("before", "after", "ok")
+        self._faults.extend([when] * n)
+
+    def _server_put(self, path: str, payload: str, if_absent: bool) -> bool:
+        """One request round-trip against the simulated store."""
+        fault = self._faults.pop(0) if self._faults else "ok"
+        if fault == "before":  # never reached the store
+            raise TransientStoreError(f"connection dropped: PUT {path}")
+        with self._mutex:
+            ok = not (if_absent and os.path.exists(path))
+            if ok:
+                # all-or-nothing visibility: the object appears fully
+                # written or not at all (temp+rename models the
+                # store's internal atomicity, not a filesystem API
+                # the protocol relies on)
+                tmp = f"{path}.{uuid.uuid4().hex[:8]}.staging"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(payload)
+                os.rename(tmp, path)
+                self.generations[path] = self.generations.get(path, 0) + 1
+        if fault == "after":  # applied, but the response was lost
+            raise TransientStoreError(f"response lost: PUT {path}")
+        return ok
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        attempts = 0
+        while True:
+            try:
+                return self._server_put(path, payload, if_absent=True)
+            except TransientStoreError:
+                attempts += 1
+                if attempts > self.max_retries:
+                    raise
+                # retry path: if the object now exists, disambiguate
+                # self-win (our lost-response PUT landed) from a lost
+                # race by payload comparison
+                if os.path.exists(path):
+                    with open(path, encoding="utf-8") as f:
+                        return f.read() == payload
+
+    def publish_atomic(self, path: str, payload: str) -> None:
+        attempts = 0
+        while True:
+            try:
+                self._server_put(path, payload, if_absent=False)
+                return
+            except TransientStoreError:
+                attempts += 1
+                if attempts > self.max_retries:
+                    raise
+                # unconditional PUT is idempotent: just retry
+
+
 def _js(v):
     """JSON-safe scalar for stats. Date/datetime isoformat is
     order-consistent under string compare, so those stay prunable.
@@ -234,12 +351,28 @@ def _col_overlaps(rng: list | None, lo, hi) -> bool:
         return True
 
 
-def _overlaps(stats: dict | None, bounds: dict) -> bool:
+def _norm_stats(stats, keys: list[str]) -> dict:
+    """Normalize an add-action's stats to the per-column dict shape.
+
+    The log format originally recorded a bare ``[min, max]`` list for
+    the FIRST key column only; the current format is
+    ``{col: [min, max], ...}``. A table written by the older code must
+    stay readable and mutable (its log entries and checkpoints carry
+    the old shape forever), so the legacy list is interpreted as
+    first-key-only stats — pruning degrades gracefully to what the old
+    writer actually knew instead of crashing on ``list.get``."""
+    if isinstance(stats, list):
+        return {keys[0]: stats}
+    return stats or {}
+
+
+def _overlaps(stats: dict | list | None, bounds: dict, keys: list[str]) -> bool:
     """Multi-column skip test: the file is prunable iff ANY key
     column's range is disjoint from the incoming bounds — on a
     composite-key table (the reference's ``(symbol, timestamp)``
     Stocks PK, sql/schema.sql:1-10) a write for one symbol's recent
     ticks prunes on BOTH columns, not just the first."""
+    stats = _norm_stats(stats, keys)
     if not stats:
         return True
     for col, (lo, hi) in bounds.items():
@@ -342,11 +475,20 @@ class TxnLogTable(ParquetTable):
 
     # -- schema evolution (Delta metadata-action shape) ---------------------
 
+    def _ckpt_payload(self, v: int) -> dict | None:
+        """Checkpoint payload at exactly version ``v``, or None."""
+        if not os.path.exists(self._ckpt_path(v)):
+            return None
+        with open(self._ckpt_path(v), encoding="utf-8") as f:
+            return json.load(f)
+
     def _schema_at(self, version: int | None):
         """Effective schema at ``version``: the newest metadata action
-        at or before it, else the constructor schema. Metadata lives
-        in the log (never in checkpoints), so the walk scans commit
-        entries newest-first — KB of driver-side JSON."""
+        at or before it, else the constructor schema. Checkpoints fold
+        the accumulated schema in (Delta checkpoints carry metaData
+        for the same reason), so the newest-first walk reads at most
+        CHECKPOINT_EVERY entries, not the whole history; checkpoints
+        written before this field existed just don't stop the walk."""
         import pyspark.sql.types as T
 
         if version is None:
@@ -354,6 +496,11 @@ class TxnLogTable(ParquetTable):
         if version is None:
             return self._base_schema
         for v in range(version, -1, -1):
+            ck = self._ckpt_payload(v)
+            if ck is not None and "schema" in ck:
+                # the checkpoint at v is written AFTER commit v and
+                # already reflects any metadata action in entry v
+                return T.StructType.fromJson(ck["schema"])
             if not os.path.exists(self._log_path(v)):
                 continue
             with open(self._log_path(v), encoding="utf-8") as f:
@@ -400,17 +547,30 @@ class TxnLogTable(ParquetTable):
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT shape) ----------
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
-        """Active CHECK constraints at ``version``: the log-walk
-        accumulation of constraint adds minus drops. Constraint
-        actions live only in the log (never checkpoints) and log
-        entries are never deleted, so the oldest-first walk is always
-        complete — KB of driver-side JSON."""
+        """Active CHECK constraints at ``version``: the accumulated
+        constraint set from the newest checkpoint at or before it,
+        plus the adds/drops of the entries after — at most
+        CHECKPOINT_EVERY entry reads per call. This matters because
+        ``_write_files`` consults the active set on EVERY write: an
+        un-checkpointed full-history walk would cost O(versions) file
+        reads per write, O(V^2) over a table's lifetime, against the
+        design goal that checkpoints bound replay. Checkpoints written
+        before the field existed fall back to the full oldest-first
+        walk (log entries are never deleted, so it is always
+        complete)."""
         if version is None:
             version = self.current_version()
         out: dict[str, str] = {}
         if version is None:
             return out
-        for v in range(0, version + 1):
+        start = 0
+        for v in range(version, -1, -1):
+            ck = self._ckpt_payload(v)
+            if ck is not None and "constraints" in ck:
+                out = dict(ck["constraints"])
+                start = v + 1
+                break
+        for v in range(start, version + 1):
             if not os.path.exists(self._log_path(v)):
                 continue
             with open(self._log_path(v), encoding="utf-8") as f:
@@ -526,12 +686,12 @@ class TxnLogTable(ParquetTable):
         data, _ = self._split_live(version)
         cands = []
         for p, meta in data.items():
-            rng = (meta.get("stats") or {}).get(k0)
+            rng = _norm_stats(meta.get("stats"), self.keys).get(k0)
             bloom = meta.get("bloom")
             for v in vals:
                 if rng is not None and not _col_overlaps(rng, v, v):
                     continue
-                if bloom and not _bloom_contains(bloom["hex"], v):
+                if bloom and not _bloom_contains(bloom, v):
                     continue
                 cands.append(p)
                 break
@@ -574,7 +734,9 @@ class TxnLogTable(ParquetTable):
         return [
             p
             for p, meta in data.items()
-            if _col_overlaps((meta.get("stats") or {}).get(col), jlo, jhi)
+            if _col_overlaps(
+                _norm_stats(meta.get("stats"), self.keys).get(col), jlo, jhi
+            )
         ]
 
     def read_where(
@@ -790,13 +952,18 @@ class TxnLogTable(ParquetTable):
             in _BLOOM_KEY_TYPES
         )
         if want_bloom:
-            # distinct probe positions per file, folded into the SAME
-            # stats aggregate — the set is bounded by BLOOM_BITS
-            # however many rows the file holds, so this stays metadata
+            # distinct RAW 16-bit probe slices per file, folded into
+            # the SAME stats aggregate — the set is bounded by the
+            # slice domain (BLOOM_MAX_BITS) however many rows the file
+            # holds, so this stays metadata. The mask size m is chosen
+            # per file on the driver from the observed distinct-slice
+            # count, then bits land at slice % m: sizing the filter to
+            # the file keeps the false-positive rate flat as files
+            # grow instead of drifting toward 1 at a fixed m.
             for j in range(BLOOM_PROBES):
                 pos = F.expr(
                     f"cast(conv(substring(md5(cast(`{k0}` as string)),"
-                    f" {1 + 4 * j}, 4), 16, 10) as int) % {BLOOM_BITS}"
+                    f" {1 + 4 * j}, 4), 16, 10) as int)"
                 )
                 aggs.append(F.collect_set(pos).alias(f"_bp{j}"))
         active = {} if dv else self.constraints()
@@ -835,12 +1002,22 @@ class TxnLogTable(ParquetTable):
                 },
             }
             if want_bloom:
+                # distinct slice count ~ distinct keys in the file
+                # (collisions only shrink it, which under-sizes m by
+                # at most the birthday-bound slack); m = next power of
+                # two >= BITS_PER_KEY x keys, clamped to the slice
+                # domain — beyond the cap the fpr climbs again, which
+                # is the documented envelope of a 2x16-bit-probe mask
+                ndv = max(len(r["_bp0"]), 1)
+                m = BLOOM_MIN_BITS
+                while m < ndv * BLOOM_BITS_PER_KEY and m < BLOOM_MAX_BITS:
+                    m *= 2
                 mask = 0
                 for j in range(BLOOM_PROBES):
                     for p in r[f"_bp{j}"]:
-                        mask |= 1 << p
+                        mask |= 1 << (p % m)
                 action["bloom"] = {
-                    "m": BLOOM_BITS,
+                    "m": m,
                     "j": BLOOM_PROBES,
                     "hex": format(mask, "x"),
                 }
@@ -896,10 +1073,21 @@ class TxnLogTable(ParquetTable):
             # checkpoints publish atomically (temp + rename): a reader
             # racing the writer — or a crash mid-write — must never
             # observe a torn checkpoint, which would make every
-            # version >= it unreadable until manually deleted
-            live = self._live(target)
+            # version >= it unreadable until manually deleted. Besides
+            # the live-file set, the payload folds in the accumulated
+            # TABLE METADATA — schema, CHECK constraints, streaming
+            # txn markers (exactly what Delta checkpoints carry as
+            # metaData/SetTransaction) — so _schema_at/constraints/
+            # last_txn_version replay <= CHECKPOINT_EVERY entries
+            # instead of walking the whole history on every call.
+            payload = {
+                "live": self._live(target),
+                "schema": self._schema_at(target).jsonValue(),
+                "constraints": self.constraints(target),
+                "txn": self._txn_markers(target),
+            }
             self.backend.publish_atomic(
-                self._ckpt_path(target), json.dumps({"live": live})
+                self._ckpt_path(target), json.dumps(payload)
             )
         return target
 
@@ -951,7 +1139,7 @@ class TxnLogTable(ParquetTable):
         cands = [
             p
             for p, meta in data.items()
-            if _overlaps(meta.get("stats"), bounds)
+            if _overlaps(meta.get("stats"), bounds, self.keys)
         ]
         k0 = self.keys[0]
         if (
@@ -973,7 +1161,7 @@ class TxnLogTable(ParquetTable):
                     for p in cands
                     if not data[p].get("bloom")
                     or any(
-                        _bloom_contains(data[p]["bloom"]["hex"], v)
+                        _bloom_contains(data[p]["bloom"], v)
                         for v in vals
                     )
                 ]
@@ -1019,7 +1207,7 @@ class TxnLogTable(ParquetTable):
             return []
         actions: list[dict] = []
         for relpath, meta in dvs.items():
-            if not _overlaps(meta.get("stats"), bounds):
+            if not _overlaps(meta.get("stats"), bounds, self.keys):
                 continue
             kept = self.spark.read.schema(self._dv_schema()).parquet(
                 os.path.join(self.path, relpath)
@@ -1104,24 +1292,48 @@ class TxnLogTable(ParquetTable):
         )
         self._commit("append", self._write_files(rows) + revive, base)
 
-    def last_txn_version(self, app_id: str) -> int | None:
-        """Newest streaming-transaction version committed for
-        ``app_id`` — Delta's SetTransaction (``txn``) action, the
-        idempotence handshake for exactly-once micro-batch sinks. Log
-        entries are never deleted (vacuum removes data files only), so
-        the newest-first walk always finds the marker; entries are KB
-        of driver-side JSON."""
-        for v in reversed(self.versions()):
+    def _txn_markers(self, version: int | None) -> dict[str, int]:
+        """app_id -> newest txn version at ``version``, replayed from
+        the newest checkpoint carrying the ``txn`` map (at most
+        CHECKPOINT_EVERY entry reads); pre-field checkpoints fall back
+        to the full walk."""
+        out: dict[str, int] = {}
+        if version is None:
+            return out
+        start = 0
+        for v in range(version, -1, -1):
+            ck = self._ckpt_payload(v)
+            if ck is not None and "txn" in ck:
+                out = dict(ck["txn"])
+                start = v + 1
+                break
+        for v in range(start, version + 1):
+            if not os.path.exists(self._log_path(v)):
+                continue
             with open(self._log_path(v), encoding="utf-8") as f:
                 entry = json.load(f)
             for a in entry["actions"]:
                 t = a.get("txn")
-                if t and t["app"] == app_id:
-                    return t["version"]
-        return None
+                if t:
+                    out[t["app"]] = max(
+                        t["version"], out.get(t["app"], t["version"])
+                    )
+        return out
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Newest streaming-transaction version committed for
+        ``app_id`` — Delta's SetTransaction (``txn``) action, the
+        idempotence handshake for exactly-once micro-batch sinks.
+        Checkpoints fold the accumulated marker map in (Delta
+        checkpoints carry SetTransaction for the same reason), so the
+        walk is bounded; log entries are never deleted (vacuum removes
+        data files only), so the fallback walk always finds the
+        marker."""
+        return self._txn_markers(self.current_version()).get(app_id)
 
     def append_once(
-        self, rows: DataFrame, app_id: str, version: int
+        self, rows: DataFrame, app_id: str, version: int,
+        max_retries: int = 10,
     ) -> bool:
         """Transactionally idempotent append: the data files and a
         ``txn`` marker ``(app_id, version)`` land in ONE commit, so a
@@ -1130,8 +1342,13 @@ class TxnLogTable(ParquetTable):
         exactly-once without relying on key-based dedup. Returns False
         when this (app_id, version) already committed. A CAS loser
         re-reads the marker before retrying, so two racing deliveries
-        of the same batch commit exactly once."""
-        while True:
+        of the same batch commit exactly once. Retries are CAPPED like
+        ``modify_with_retry``: under sustained contention from other
+        writers an unbounded loop would spin forever, re-writing and
+        re-deleting staged parquet each lap — a hot table should
+        surface :class:`CommitConflict` and let the sink's own retry
+        policy decide."""
+        for _ in range(max_retries + 1):
             base = self.current_version()
             last = self.last_txn_version(app_id)
             if last is not None and last >= version:
@@ -1149,6 +1366,10 @@ class TxnLogTable(ParquetTable):
                 return True
             except CommitConflict:
                 continue
+        raise CommitConflict(
+            f"append_once({app_id!r}, {version}) gave up after "
+            f"{max_retries} rebases"
+        )
 
     def insert_ignore(self, rows: DataFrame) -> int:
         base = self.current_version()
@@ -1347,9 +1568,15 @@ class TxnLogTable(ParquetTable):
         the subsequent read, same contract as vacuumed time travel),
         history is preserved (the restore is itself a new commit, so
         the "bad" era stays auditable and re-restorable), and the
-        schema of the restored era rides along as a metadata action
-        when it differs. At 100 TB this is the incident-response
-        primitive: undoing a bad pipeline write costs KB of JSON."""
+        TABLE METADATA of the restored era — schema AND the active
+        CHECK-constraint set — rides along when it differs (Delta's
+        RESTORE contract: constraints are table metadata, so a
+        constraint added after the target version is dropped rather
+        than left silently ungated over rows it never validated;
+        re-adding it afterwards re-runs the full existing-rows scan
+        via :meth:`add_constraint`). At 100 TB this is the
+        incident-response primitive: undoing a bad pipeline write
+        costs KB of JSON."""
         base = self.current_version()
         if base is None:
             raise ValueError("cannot restore an empty table")
@@ -1368,6 +1595,21 @@ class TxnLogTable(ParquetTable):
             actions.append(
                 {"metadata": {"schema": old_schema.jsonValue()}}
             )
+        # restore the constraint set of the target era: drop what the
+        # target didn't have, (re-)add what it had — drops precede
+        # adds in the entry so an expression change replays correctly
+        cons_now = self.constraints(base)
+        cons_then = self.constraints(version)
+        actions += [
+            {"constraint": {"name": n, "drop": True}}
+            for n in sorted(cons_now)
+            if cons_then.get(n) != cons_now[n]
+        ]
+        actions += [
+            {"constraint": {"name": n, "expr": e}}
+            for n, e in sorted(cons_then.items())
+            if cons_now.get(n) != e
+        ]
         # re-referencing commit: nothing freshly staged, so a losing
         # race must clean up NOTHING (the re-added files are live
         # historical data)

@@ -65,10 +65,37 @@ def _resolve_kwargs(fn, env: dict) -> dict:
     return kwargs
 
 
+def _param_sets(fn) -> list[dict]:
+    """Expand @pytest.mark.parametrize marks into kwarg dicts (cross
+    product across stacked marks), so a pooled case runs every variant
+    exactly as pytest would — e.g. the commit-protocol tests run once
+    per CommitBackend."""
+    sets: list[dict] = [{}]
+    for mark in getattr(fn, "pytestmark", []):
+        if mark.name != "parametrize":
+            continue
+        names, values = mark.args[0], mark.args[1]
+        if isinstance(names, str):
+            names = [n.strip() for n in names.split(",")]
+        expanded = []
+        for base in sets:
+            for v in values:
+                vals = (
+                    list(v)
+                    if isinstance(v, (tuple, list)) and len(names) > 1
+                    else [v]
+                )
+                expanded.append({**base, **dict(zip(names, vals))})
+        sets = expanded
+    return sets
+
+
 def _run_case(module: str, test: str, env: dict) -> str | None:
     try:
         fn = getattr(importlib.import_module(module), test)
-        fn(**_resolve_kwargs(fn, env))
+        for params in _param_sets(fn):
+            # fresh tmp dirs per variant: _resolve_kwargs mints them
+            fn(**_resolve_kwargs(fn, {**env, **params}))
         return None
     except Exception as ex:  # noqa: BLE001 — reported, not swallowed
         return f"{module}::{test}: {type(ex).__name__}: {ex}"

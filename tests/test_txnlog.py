@@ -25,7 +25,21 @@ from relational_query_engine_sql_spark.operators.mutation import (
     CommitConflict,
     ParquetTable,
 )
-from relational_query_engine_sql_spark.operators.txnlog import TxnLogTable
+from relational_query_engine_sql_spark.operators.txnlog import (
+    LocalCommitBackend,
+    ObjectStoreCommitBackend,
+    TxnLogTable,
+)
+
+# Contention/protocol tests run against BOTH commit backends: POSIX
+# O_EXCL and the object-store conditional-PUT model — the CAS
+# guarantees must hold identically (the 100 TB deployment target is an
+# object store, where the POSIX semantics don't exist).
+BACKENDS = pytest.mark.parametrize(
+    "make_backend",
+    [LocalCommitBackend, ObjectStoreCommitBackend],
+    ids=["posix", "objectstore"],
+)
 
 SCHEMA = T.StructType(
     [
@@ -148,8 +162,12 @@ def test_append_adds_files_without_rewrite(spark, base, tmp_path):
     assert before <= after and len(after) > len(before)
 
 
-def test_cas_conflict_and_retry(spark, base, tmp_path):
-    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+@BACKENDS
+def test_cas_conflict_and_retry(spark, base, tmp_path, make_backend):
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"],
+        commit_backend=make_backend(),
+    )
     t.init(base)
     v = t.current_version()
     t.commit_as(t.read().filter(F.col("k") < 50), v)
@@ -237,7 +255,10 @@ def test_zero_row_parts_never_enter_the_log(spark, base, tmp_path):
     assert t.read().count() == 3
 
 
-def test_concurrent_writers_serialize_through_cas(spark, base, tmp_path):
+@BACKENDS
+def test_concurrent_writers_serialize_through_cas(
+    spark, base, tmp_path, make_backend
+):
     """Two real threads hammer modify_with_retry concurrently (each
     increments a disjoint key range 5 times). The CAS log must
     serialize them: versions stay gapless 0..10, every commit lands,
@@ -245,7 +266,10 @@ def test_concurrent_writers_serialize_through_cas(spark, base, tmp_path):
     no lost update, the anomaly the protocol exists to prevent."""
     from concurrent.futures import ThreadPoolExecutor
 
-    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"],
+        commit_backend=make_backend(),
+    )
     t.init(base)  # v0, vals 0..99
 
     def writer(mod: int):
@@ -567,17 +591,23 @@ def test_direct_revive_of_tombstoned_key_never_duplicates(
 # -- commit backend / snapshot-pinning protocol -------------------------------
 
 
+@BACKENDS
 def test_intervening_commit_raises_instead_of_lost_update(
-    spark, base, tmp_path
+    spark, base, tmp_path, make_backend
 ):
     """The lost-update window: a commit landing between a mutation's
     snapshot read and its commit MUST surface as CommitConflict, not
     be silently built over (the stale snapshot would re-materialize
     the rival's deleted/updated rows). A rival commit is injected
     inside the window by wrapping _write_files."""
-    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    backend = make_backend()  # both handles talk to the same store
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
+    )
     t.init(base)
-    rival = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    rival = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
+    )
 
     real = t._write_files
     fired = {"done": False}
@@ -1022,3 +1052,303 @@ def test_losing_restore_race_deletes_no_data(spark, base, tmp_path):
     assert t.read(1).count() == 100
     t.restore(0)  # and the retried restore succeeds
     assert t.read().count() == 100
+
+
+# -- round-6 protocol hardening ------------------------------------------
+
+
+def test_legacy_list_stats_stay_readable_and_mutable(spark, tmp_path):
+    """Log-format compat: a table whose add-actions carry the ORIGINAL
+    bare [min, max] stats shape (first key only, pre-dict format) must
+    keep reading and mutating — the legacy list is interpreted as
+    first-key stats, never crashed on (stats.get on a list)."""
+    import json as _json
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(i, "g", float(i)) for i in range(100)]).coalesce(2))
+    # rewrite every add-action's stats to the legacy list shape
+    for v in t.versions():
+        with open(t._log_path(v), encoding="utf-8") as f:
+            entry = _json.load(f)
+        for a in entry["actions"]:
+            if "add" in a and isinstance(a["add"].get("stats"), dict):
+                a["add"]["stats"] = a["add"]["stats"]["k"]
+        with open(t._log_path(v), "w", encoding="utf-8") as f:
+            _json.dump(entry, f)
+    assert t.read().count() == 100
+    # keyed mutations replan from the legacy stats without crashing
+    t.upsert(_rows(spark, [(7, "patched", -1.0)]))
+    t.delete_keys(spark.createDataFrame([(99,)], "k long"))
+    got = {r["k"]: r["grp"] for r in t.read().collect()}
+    assert got[7] == "patched" and 99 not in got and len(got) == 99
+    # range scans on the first key still prune through the list shape
+    assert t.scan_candidates("k", 0, 3)
+
+
+def test_append_once_retry_cap_surfaces_conflict(spark, tmp_path):
+    """append_once must CAP its rebase loop (like modify_with_retry):
+    under sustained contention it surfaces CommitConflict instead of
+    spinning forever, and every retry's staged files are cleaned up."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        LocalCommitBackend,
+    )
+
+    class AlwaysLoses(LocalCommitBackend):
+        def __init__(self):
+            self.attempts = 0
+
+        def put_if_absent(self, path, payload):
+            self.attempts += 1
+            return False  # someone else always got there first
+
+    backend = AlwaysLoses()
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
+    )
+    # seed via a winning backend so the table exists
+    t0 = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t0.init(_rows(spark, [(0, "g", 0.0)]))
+    with pytest.raises(CommitConflict, match="gave up"):
+        t.append_once(_rows(spark, [(1, "g", 1.0)]), "app", 0, max_retries=3)
+    assert backend.attempts == 4  # initial try + 3 rebases, then stop
+    # every loser cleaned up its staged parquet: only v0's file remains
+    live_dirs = {p.split("/")[1] for p in t0._live()}
+    on_disk = set(os.listdir(os.path.join(str(tmp_path / "t"), "data")))
+    assert on_disk == live_dirs
+
+
+def test_restore_restores_constraint_set(spark, tmp_path):
+    """RESTORE is table-metadata restore too (Delta semantics): a
+    CHECK constraint added AFTER the target version is dropped by the
+    restore — it never validated the restored rows, so leaving it
+    active would gate future writes while the table silently holds
+    violating rows."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        ConstraintViolation,
+    )
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(1, "g", -5.0), (2, "g", 2.0)]))  # v0: has -5
+    t.delete_keys(spark.createDataFrame([(1,)], "k long"))  # v1: -5 gone
+    t.add_constraint("nonneg", "val >= 0")  # v2: validates clean table
+    with pytest.raises(ConstraintViolation):
+        t.append(_rows(spark, [(3, "g", -1.0)]))  # constraint is live
+    v = t.restore(0)  # back to the era BEFORE the constraint existed
+    assert t.constraints() == {}, "post-target constraint must not survive"
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    t.append(_rows(spark, [(3, "g", -1.0)]))  # ungated again, as at v0
+    # re-adding the constraint re-runs the full existing-rows scan and
+    # correctly refuses: the restored -5 row was never validated
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint("nonneg", "val >= 0")
+    # and the restore itself is auditable history, not a rewrite
+    assert t.history()[v]["op"] == "restore"
+
+
+def test_bloom_mask_sized_from_file_key_count(spark, tmp_path):
+    """Per-file bloom sizing: a small file gets a small mask, a large
+    file a proportionally larger one (fpr stays flat as files grow
+    instead of drifting toward 1 at a fixed m), each action records
+    its own geometry, and lookups stay exact either way."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        BLOOM_MAX_BITS,
+        BLOOM_MIN_BITS,
+    )
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(i, "s", 1.0) for i in range(40)]).coalesce(1))
+    t.append(
+        _rows(
+            spark, [(i, "b", 2.0) for i in range(1000, 13000)]
+        ).coalesce(1)
+    )
+    blooms = sorted(
+        (m["rows"], m["bloom"]["m"]) for m in t._live().values()
+    )
+    (small_rows, small_m), (big_rows, big_m) = blooms
+    assert (small_rows, big_rows) == (40, 12000)
+    assert small_m < big_m, blooms
+    for _, m in blooms:
+        assert BLOOM_MIN_BITS <= m <= BLOOM_MAX_BITS
+        assert m & (m - 1) == 0  # power of two
+    # correctness is unchanged: owner file always probes positive
+    assert {r["k"] for r in t.lookup([7, 1007]).collect()} == {7, 1007}
+    # and a sized mask still prunes: a key in neither file skips both
+    assert t.lookup_candidates([500]) == []
+
+
+def test_checkpoint_folds_metadata_and_bounds_walks(
+    spark, tmp_path, monkeypatch
+):
+    """Checkpoints carry schema/constraints/txn markers (Delta's
+    metaData + SetTransaction checkpoint fields): after the newest
+    checkpoint, the PRE-checkpoint log entries are not needed at all —
+    proven by deleting them from disk and getting identical answers.
+    This is what bounds _write_files' per-write constraint lookup to
+    O(CHECKPOINT_EVERY) instead of O(versions)."""
+    import relational_query_engine_sql_spark.operators.txnlog as txn
+
+    monkeypatch.setattr(txn, "CHECKPOINT_EVERY", 4)
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(i, "g", float(i)) for i in range(10)]))  # v0
+    t.add_constraint("nonneg", "val >= 0")  # v1
+    t.add_columns({"note": "string"})  # v2
+    assert t.append_once(
+        _rows(spark, [(10, "g", 10.0)]).withColumn("note", F.lit("x")),
+        "app",
+        7,
+    )  # v3
+    t.upsert(
+        _rows(spark, [(0, "u", 0.5)]).withColumn("note", F.lit("y"))
+    )  # v4 -> checkpoint with folded metadata
+    assert os.path.exists(t._ckpt_path(4))
+    before = (
+        _collect_v6(t),
+        t.constraints(),
+        t.schema.fieldNames(),
+        t.last_txn_version("app"),
+    )
+    for v in range(0, 4):  # drop every pre-checkpoint entry
+        os.remove(t._log_path(v))
+    t2 = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    after = (
+        _collect_v6(t2),
+        t2.constraints(),
+        t2.schema.fieldNames(),
+        t2.last_txn_version("app"),
+    )
+    assert after == before
+    assert after[1] == {"nonneg": "val >= 0"}
+    assert after[2] == ["k", "grp", "val", "note"]
+    assert after[3] == 7
+    # the folded constraint still gates writes on the reopened table
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        t2.append(
+            _rows(spark, [(99, "g", -1.0)]).withColumn("note", F.lit("z"))
+        )
+
+
+def _collect_v6(t):
+    return sorted(tuple(r) for r in t.read().collect())
+
+
+# -- object-store commit backend -----------------------------------------
+
+
+def test_objectstore_lost_response_self_win(tmp_path):
+    """The classic conditional-PUT ambiguity: the PUT lands but the
+    response is lost. A naive retry would see 412-for-its-own-write
+    and report a lost race — dropping a commit that IS durable. The
+    backend must re-read and recognize its own payload (self-win)."""
+    b = ObjectStoreCommitBackend()
+    log = str(tmp_path / "00000000000000000001.json")
+    b.inject_fault("after")  # applied server-side, response lost
+    assert b.put_if_absent(log, "mine") is True
+    with open(log, encoding="utf-8") as f:
+        assert f.read() == "mine"
+    assert b.generations[log] == 1  # exactly one PUT reached the store
+
+
+def test_objectstore_lost_response_lost_race(tmp_path):
+    """The same retry path must still report a genuine lost race: the
+    object exists with a DIFFERENT payload after the transient error
+    (the condition failed server-side; only the response was lost)."""
+    b = ObjectStoreCommitBackend()
+    log = str(tmp_path / "00000000000000000001.json")
+    assert b.put_if_absent(log, "rival") is True
+    b.inject_fault("after")  # 412 evaluated server-side, response lost
+    assert b.put_if_absent(log, "mine") is False
+    with open(log, encoding="utf-8") as f:
+        assert f.read() == "rival"  # the winner's object is untouched
+
+
+def test_objectstore_dropped_request_retries_clean(tmp_path):
+    """A request dropped BEFORE the store processes it leaves no
+    object; the internal retry then wins normally."""
+    b = ObjectStoreCommitBackend()
+    log = str(tmp_path / "00000000000000000001.json")
+    b.inject_fault("before")
+    assert b.put_if_absent(log, "mine") is True
+    assert b.generations[log] == 1
+
+
+def test_objectstore_hard_failure_surfaces(tmp_path):
+    """With retries exhausted the transient error propagates — the
+    caller (not the backend) owns give-up policy, exactly like a real
+    store client."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TransientStoreError,
+    )
+
+    b = ObjectStoreCommitBackend(max_retries=0)
+    with pytest.raises(TransientStoreError):
+        b.inject_fault("before")
+        b.put_if_absent(str(tmp_path / "x.json"), "p")
+
+
+def test_objectstore_crash_mid_checkpoint_heals(
+    spark, base, tmp_path, monkeypatch
+):
+    """Crash-mid-checkpoint on the object-store backend: the commit
+    itself is durable, the failed checkpoint PUT leaves either nothing
+    or a FULL object (torn objects are impossible on an object store),
+    readers replay from the log, and the next checkpoint heals."""
+    import relational_query_engine_sql_spark.operators.txnlog as txn
+
+    monkeypatch.setattr(txn, "CHECKPOINT_EVERY", 3)
+    backend = ObjectStoreCommitBackend(max_retries=0)
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
+    )
+    t.init(base)
+    # aim the fault at the CHECKPOINT publish: each upsert is one
+    # commit PUT, and v3's checkpoint is the 4th request from here
+    backend.inject_fault("ok", n=3)
+    backend.inject_fault("before")
+    fails = []
+    for i in range(3):  # v3 crosses the patched CHECKPOINT_EVERY
+        try:
+            t.upsert(_rows(spark, [(i, "u", 0.0)]))
+        except txn.TransientStoreError:
+            fails.append(t.current_version())
+    assert fails == [3], "exactly the checkpoint PUT failed"
+    assert not os.path.exists(t._ckpt_path(3))  # nothing, not torn
+    # the commit at v3 is durable and readable without the checkpoint
+    assert t.read().count() == 100
+    assert {r["grp"] for r in t.read().filter(F.col("k") < 3).collect()} == {
+        "u"
+    }
+    # three more commits: v6's checkpoint heals the gap
+    for i in range(3, 6):
+        t.upsert(_rows(spark, [(i, "u", 0.0)]))
+    assert os.path.exists(t._ckpt_path(6))
+    t2 = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"],
+        commit_backend=ObjectStoreCommitBackend(),
+    )
+    assert t2.read().filter(F.col("grp") == "u").count() == 6
+
+
+def test_objectstore_append_once_exactly_once_under_lost_response(
+    spark, tmp_path
+):
+    """End-to-end exactly-once through the table API when the commit
+    PUT's response is lost: the self-win detection means the batch is
+    recorded ONCE — no duplicate rows, no duplicate txn marker, no
+    spurious CommitConflict."""
+    backend = ObjectStoreCommitBackend()
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
+    )
+    t.init(_rows(spark, [(0, "g", 0.0)]))
+    backend.inject_fault("after")  # the append's commit PUT loses its ack
+    assert t.append_once(_rows(spark, [(1, "g", 1.0)]), "app", 0) is True
+    assert t.read().count() == 2
+    assert t.last_txn_version("app") == 0
+    # replay of the same batch is still skipped wholesale
+    assert t.append_once(_rows(spark, [(1, "g", 1.0)]), "app", 0) is False
+    assert t.read().count() == 2
