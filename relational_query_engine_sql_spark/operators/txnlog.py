@@ -389,12 +389,24 @@ class TxnLogTable(ParquetTable):
     mechanics: append-only data files, file-level copy-on-write,
     CAS commits.
 
-    ``partition_by`` is intentionally NOT honored here: hive directory
-    layout is the OTHER mechanism for skipping data, and this format's
-    per-file key stats subsume it for keyed writes (Delta likewise
-    leans on stats over physical partitioning). Passing it raises so a
-    caller migrating from ParquetTable can't silently lose pruning
-    they expected.
+    ``partition_by`` declares a PARTITION-COLUMN LAYOUT (Delta's
+    ``partitionValues`` mechanic): every data file holds exactly one
+    value per partition column, written under hive-style
+    ``p_<col>=<value>`` directories, and each add-action records the
+    values as string metadata. Scans and keyed writes then prune
+    partition-first — an EXACT directory-level skip (a file either is
+    the probed value or is not, no min/max overlap slop) — composing
+    with the per-file stats/bloom skipping for the non-partition
+    columns. This is the reference's fact-table use case
+    (sql/schema.sql:1-10 keys stocks by (symbol, timestamp);
+    src/routes/stocks.js:42-47 probes one symbol): partition by
+    symbol and a probe touches one directory's files, stats then
+    prune within it by timestamp. Unlike a plain hive layout the
+    pruning reads ONLY log metadata — no directory listing at plan
+    time, the property that matters when the store is S3 at 100 TB.
+    Unpartitioned tables rely on stats/bloom/Z-order alone, which
+    subsume the layout for keyed writes (Delta likewise leans on
+    stats over physical partitioning for high-cardinality keys).
     """
 
     def __init__(
@@ -402,12 +414,13 @@ class TxnLogTable(ParquetTable):
     ) -> None:
         super().__init__(*args, **kwargs)
         self.backend = commit_backend or LocalCommitBackend()
-        if self.partition_by:
-            raise ValueError(
-                "TxnLogTable skips files via per-file key stats; "
-                "partition_by is not supported — drop it or use "
-                "ParquetTable(partition_by=...)"
-            )
+        bad = [
+            c
+            for c in self.partition_by
+            if c not in self._base_schema.fieldNames()
+        ]
+        if bad:
+            raise ValueError(f"partition_by not in schema: {bad}")
 
     # -- log bookkeeping (driver-side metadata only) ------------------------
 
@@ -464,6 +477,11 @@ class TxnLogTable(ParquetTable):
                         **(
                             {"bloom": a["add"]["bloom"]}
                             if a["add"].get("bloom")
+                            else {}
+                        ),
+                        **(
+                            {"part": a["add"]["part"]}
+                            if a["add"].get("part")
                             else {}
                         ),
                         **({"dv": True} if a["add"].get("dv") else {}),
@@ -652,6 +670,38 @@ class TxnLogTable(ParquetTable):
         dvs = {p: m for p, m in live.items() if m.get("dv")}
         return data, dvs
 
+    def _typed_part(self, col: str, s: str | None):
+        """Parse a partition value back from its hive-path string form
+        to the column's type for range/equality pruning; None when the
+        value is the null sentinel or the type's string form is not
+        round-trippable (the file then just never partition-prunes)."""
+        if s is None:
+            return None
+        try:
+            base = self.schema[col].dataType.simpleString().split("(")[0]
+            if base in ("tinyint", "smallint", "int", "bigint"):
+                return int(s)
+            if base == "string":
+                return s
+            if base == "date":
+                return datetime.date.fromisoformat(s)
+        except (KeyError, ValueError):
+            return None
+        return None
+
+    def _file_stats(self, meta: dict) -> dict:
+        """The combined skip-metadata view of one file: per-column
+        min/max stats PLUS the partition values as degenerate [v, v]
+        ranges — so every pruning path (keyed writes, predicate scans,
+        point lookups) applies partition pruning and stats skipping
+        through one mechanism, partition columns pruning EXACTLY."""
+        stats = dict(_norm_stats(meta.get("stats"), self.keys))
+        for col, s in (meta.get("part") or {}).items():
+            v = self._typed_part(col, s)
+            if v is not None:
+                stats[col] = [_js(v), _js(v)]
+        return stats
+
     def read(self, version: int | None = None) -> DataFrame:
         # schema resolves AT the requested version, so time travel to a
         # pre-evolution snapshot shows the schema of that era
@@ -686,7 +736,7 @@ class TxnLogTable(ParquetTable):
         data, _ = self._split_live(version)
         cands = []
         for p, meta in data.items():
-            rng = _norm_stats(meta.get("stats"), self.keys).get(k0)
+            rng = self._file_stats(meta).get(k0)
             bloom = meta.get("bloom")
             for v in vals:
                 if rng is not None and not _col_overlaps(rng, v, v):
@@ -734,9 +784,7 @@ class TxnLogTable(ParquetTable):
         return [
             p
             for p, meta in data.items()
-            if _col_overlaps(
-                _norm_stats(meta.get("stats"), self.keys).get(col), jlo, jhi
-            )
+            if _col_overlaps(self._file_stats(meta).get(col), jlo, jhi)
         ]
 
     def read_where(
@@ -919,11 +967,27 @@ class TxnLogTable(ParquetTable):
         replay can tell data from tombstones."""
         rel_dir = f"data/{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, rel_dir)
+        parted = bool(self.partition_by) and not dv
         if dv:
             schema = self._dv_schema()
             df.select(
                 *[F.col(f.name).cast(f.dataType) for f in schema.fields]
             ).write.mode("error").parquet(out_dir)
+        elif parted:
+            # hive-style p_<col>=<value> directories via DUPLICATED
+            # partition columns: partitionBy drops its columns from
+            # file contents, so writing copies keeps the data files
+            # self-contained (read() stays one flat multi-file scan,
+            # no partition-inference coupling) while every file still
+            # holds exactly one partition value — which is what makes
+            # the recorded partitionValues an EXACT prune
+            schema = self.schema
+            out = self._conform(df)
+            for c in self.partition_by:
+                out = out.withColumn(f"p_{c}", F.col(c).cast("string"))
+            out.write.mode("error").partitionBy(
+                *[f"p_{c}" for c in self.partition_by]
+            ).parquet(out_dir)
         else:
             schema = self.schema
             self._conform(df).write.mode("error").parquet(out_dir)
@@ -976,10 +1040,24 @@ class TxnLogTable(ParquetTable):
                     F.expr(f"coalesce(not ({ce}), false)").cast("int")
                 ).alias(f"_cv{ci}")
             )
+        if parted:
+            # read the explicit LEAF file list: a directory read would
+            # partition-infer the p_<col>= dirs into extra columns
+            leaves = [
+                os.path.join(dp, fn)
+                for dp, _, fns in os.walk(out_dir)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+            stat_src = (
+                self.spark.read.schema(schema).parquet(*leaves)
+                if leaves
+                else self.spark.createDataFrame([], schema)
+            )
+        else:
+            stat_src = self.spark.read.schema(schema).parquet(out_dir)
         stat_rows = (
-            self.spark.read.schema(schema)
-            .parquet(out_dir)
-            .groupBy(F.input_file_name().alias("_f"))
+            stat_src.groupBy(F.input_file_name().alias("_f"))
             .agg(*aggs)
             .collect()
         )
@@ -991,16 +1069,37 @@ class TxnLogTable(ParquetTable):
                     f"write violates CHECK {cn!r} ({ce}): {bad} rows"
                 )
         adds = []
+        norm_out = os.path.normpath(out_dir)
         for r in stat_rows:
-            base = os.path.basename(r["_f"].split("?", 1)[0])
+            fp = r["_f"].split("?", 1)[0]
+            if fp.startswith("file:"):
+                fp = fp[len("file:") :]
+            sub = os.path.relpath(os.path.normpath(fp), norm_out)
             action = {
-                "path": f"{rel_dir}/{base}",
+                "path": f"{rel_dir}/{sub}",
                 "rows": r["_rows"],
                 "stats": {
                     k: [_js(r[f"_mn{i}"]), _js(r[f"_mx{i}"])]
                     for i, k in enumerate(stat_cols)
                 },
             }
+            if parted:
+                # Delta's partitionValues: the values as hive-path
+                # strings, parsed from the p_<col>=<value> segments
+                from urllib.parse import unquote
+
+                part: dict[str, str | None] = {}
+                for seg in sub.split(os.sep)[:-1]:
+                    if not seg.startswith("p_") or "=" not in seg:
+                        continue
+                    c, v = seg.split("=", 1)
+                    if c[2:] in self.partition_by:
+                        part[c[2:]] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(v)
+                        )
+                action["part"] = part
             if want_bloom:
                 # distinct slice count ~ distinct keys in the file
                 # (collisions only shrink it, which under-sizes m by
@@ -1026,10 +1125,15 @@ class TxnLogTable(ParquetTable):
             adds.append({"add": action})
         # zero-row part files never make it into the log; scrub them
         # so vacuum doesn't have to know about them
-        logged = {os.path.basename(a["add"]["path"]) for a in adds}
-        for f in os.listdir(out_dir):
-            if f.endswith(".parquet") and f not in logged:
-                os.remove(os.path.join(out_dir, f))
+        logged = {a["add"]["path"] for a in adds}
+        for dp, _, fns in os.walk(out_dir):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dp, fn)
+                sub = os.path.relpath(os.path.normpath(full), norm_out)
+                if f"{rel_dir}/{sub}" not in logged:
+                    os.remove(full)
         return adds
 
     def _commit(
@@ -1092,11 +1196,20 @@ class TxnLogTable(ParquetTable):
         return target
 
     def _bounds(self, incoming_keys: DataFrame) -> dict | None:
-        """Per-key-column [lo, hi] of the incoming frame — ONE tiny
-        aggregate over the columns present in ``incoming_keys`` (some
-        callers pass fewer than all key columns; pruning then uses the
-        subset). None when the incoming frame is empty."""
-        cols = [c for c in self.keys if c in incoming_keys.columns]
+        """Per-column [lo, hi] of the incoming frame over the key AND
+        partition columns present in it — ONE tiny aggregate (some
+        callers pass fewer columns; pruning then uses the subset).
+        Partition columns ride along so a keyed write that carries
+        them prunes partition-first against the recorded
+        partitionValues. None when the incoming frame is empty."""
+        cols = [
+            c
+            for c in (
+                *self.keys,
+                *[p for p in self.partition_by if p not in self.keys],
+            )
+            if c in incoming_keys.columns
+        ]
         aggs = []
         for i, k in enumerate(cols):
             aggs.append(F.min(k).alias(f"_lo{i}"))
@@ -1139,7 +1252,7 @@ class TxnLogTable(ParquetTable):
         cands = [
             p
             for p, meta in data.items()
-            if _overlaps(meta.get("stats"), bounds, self.keys)
+            if _overlaps(self._file_stats(meta), bounds, self.keys)
         ]
         k0 = self.keys[0]
         if (
@@ -1552,6 +1665,13 @@ class TxnLogTable(ParquetTable):
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
                 *cols
+            )
+        elif self.partition_by:
+            # co-locate each partition value in one task so the
+            # partitioned writer emits ~one file per value, not
+            # tasks x values
+            df = df.repartition(
+                target_files, *[F.col(c) for c in self.partition_by]
             )
         else:
             df = df.repartition(target_files)

@@ -332,6 +332,9 @@ ROUND7_QUEUE = [
     "s22_txnlog_restore",
     "s23_txnlog_check_constraint",
     "s24_txnlog_shallow_clone",
+    # round-6 session additions (strict-sim green at sf0.001 + sf0.01
+    # + sf0.1 when staged; ROUND6_PREFIX is frozen at 50 names)
+    "s25_txnlog_partition_prune",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

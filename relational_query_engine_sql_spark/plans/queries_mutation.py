@@ -1420,3 +1420,76 @@ def s24_txnlog_shallow_clone(
         F.lit(zero_copy).alias("clone_was_zero_copy"),
         F.lit(untouched).alias("source_untouched"),
     )
+
+
+# --------------------------------------------------------------------------
+# S25: declared PARTITION-COLUMN layout for the txnlog format — the
+# reference's fact-table case (sql/schema.sql:1-10 keys stocks by
+# (symbol, timestamp); src/routes/stocks.js:42-47 probes ONE symbol).
+# partition_by writes hive-style one-value-per-file directories and
+# records Delta-style partitionValues in each add-action, so a
+# single-partition probe prunes EXACTLY (no min/max overlap slop) from
+# log metadata alone — no directory listing at plan time — and
+# composes with the per-file key stats inside the partition. The
+# in-plan asserts pin the pruning facts (exactness + strictly fewer
+# files + keyed-write containment); the hashed result is the pruned
+# scan's contents, replayed by the oracle in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "s25_txnlog_partition_prune",
+    survey="beyond:txnlog,beyond:partition-layout,S2",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TRUE AS partition_prune_exact, TRUE AS pruned_fewer_files,
+           TRUE AS keyed_write_stays_in_partition
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def s25_txnlog_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-txn-part-")
+    t = TxnLogTable(
+        spark,
+        f"{root}/orders",
+        src.schema,
+        ["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    # hash-mixed tasks: every task holds every priority, so WITHOUT
+    # the partition layout each output file would span all priorities
+    # and a priority probe could prune nothing
+    t.init(src.repartition(4))
+    live = t._live()
+    cands = t.scan_candidates("o_orderpriority", "1-URGENT", "1-URGENT")
+    exact = bool(cands) and all(
+        live[p]["part"]["o_orderpriority"] == "1-URGENT" for p in cands
+    )
+    assert exact, "partition prune admitted a foreign-partition file"
+    fewer = len(cands) < len(live)
+    assert fewer, f"no pruning: {len(cands)}/{len(live)} files"
+    # keyed writes compose: an upsert of ONE urgent order's row stays
+    # inside the partition's candidate set (then key stats/bloom
+    # narrow further within it)
+    probe = src.filter(F.col("o_orderpriority") == "1-URGENT").limit(1)
+    probe = probe.select("o_orderkey", "o_orderpriority")
+    aff = t._affected(probe)
+    contained = bool(aff) and set(aff) <= set(cands)
+    assert contained, "keyed write escaped the partition"
+    return t.read_where(
+        "o_orderpriority", "1-URGENT", "1-URGENT"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit(exact).alias("partition_prune_exact"),
+        F.lit(fewer).alias("pruned_fewer_files"),
+        F.lit(contained).alias("keyed_write_stays_in_partition"),
+    )

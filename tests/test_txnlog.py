@@ -1352,3 +1352,98 @@ def test_objectstore_append_once_exactly_once_under_lost_response(
     # replay of the same batch is still skipped wholesale
     assert t.append_once(_rows(spark, [(1, "g", 1.0)]), "app", 0) is False
     assert t.read().count() == 2
+
+
+# -- partition-column layout ---------------------------------------------
+
+
+def test_partitioned_layout_prunes_exactly_and_reads_flat(spark, tmp_path):
+    """partition_by: every data file owns exactly one partition value
+    (recorded as Delta-style partitionValues metadata), keyed writes
+    and scans prune partition-FIRST and exactly, and the read path is
+    still one flat multi-file scan with full parity."""
+    schema = T.StructType(
+        [
+            T.StructField("sym", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("px", T.DoubleType()),
+        ]
+    )
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), schema, ["sym", "ts"],
+        partition_by=["sym"],
+    )
+    rows = spark.createDataFrame(
+        [(s, i, float(i)) for s in ("AAPL", "MSFT", "GOOG") for i in range(200)],
+        schema,
+    )
+    t.init(rows.repartition(4))
+    live = t._live()
+    parts = {m["part"]["sym"] for m in live.values()}
+    assert parts == {"AAPL", "MSFT", "GOOG"}
+    assert t.read().count() == 600
+
+    # a single-symbol keyed probe touches ONLY that symbol's files
+    probe = spark.createDataFrame([("AAPL", 5)], schema[:2])
+    aff = t._affected(probe)
+    assert aff and {live[p]["part"]["sym"] for p in aff} == {"AAPL"}
+    assert len(aff) < len(live)
+
+    # predicate scans partition-prune through the same path
+    cands = t.scan_candidates("sym", "MSFT", "MSFT")
+    assert {live[p]["part"]["sym"] for p in cands} == {"MSFT"}
+
+    # mutation parity inside one partition; other partitions untouched
+    untouched = {p for p in live if live[p]["part"]["sym"] != "AAPL"}
+    t.upsert(spark.createDataFrame([("AAPL", 5, 999.0)], schema))
+    assert untouched <= set(t._live())
+    got = t.read().filter((F.col("sym") == "AAPL") & (F.col("ts") == 5))
+    assert got.first()["px"] == 999.0 and t.read().count() == 600
+    # time travel replays the pre-upsert partition state
+    old = t.read(0).filter((F.col("sym") == "AAPL") & (F.col("ts") == 5))
+    assert old.first()["px"] == 5.0
+
+
+def test_partitioned_compact_and_checkpoint_keep_part_values(
+    spark, tmp_path, monkeypatch
+):
+    """partitionValues survive compaction rewrites and checkpoint
+    replay (the metadata rides the live-set payload), and NULL
+    partition values round-trip through the hive null sentinel."""
+    import relational_query_engine_sql_spark.operators.txnlog as txn
+
+    monkeypatch.setattr(txn, "CHECKPOINT_EVERY", 3)
+    schema = T.StructType(
+        [
+            T.StructField("sym", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("px", T.DoubleType()),
+        ]
+    )
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), schema, ["ts"], partition_by=["sym"]
+    )
+    t.init(
+        spark.createDataFrame(
+            [("A", 1, 1.0), ("B", 2, 2.0), (None, 3, 3.0)], schema
+        )
+    )
+    for i in range(4, 8):  # cross the patched checkpoint cadence
+        t.append(spark.createDataFrame([("A", i, float(i))], schema))
+    assert os.path.exists(t._ckpt_path(3))
+    t.compact(2)
+    live = t._live()
+    assert all("part" in m for m in live.values())
+    # NULL partition value: readable, and its file never prunes on sym
+    assert t.read().count() == 7
+    assert {r["ts"] for r in t.read().filter(F.col("sym").isNull()).collect()} == {3}
+    null_files = [p for p, m in live.items() if m["part"]["sym"] is None]
+    assert null_files
+    assert set(null_files) <= set(t.scan_candidates("sym", "A", "A")), (
+        "unknown (null) partition value must stay a candidate"
+    )
+    # reopened handle replays part metadata from the checkpoint
+    t2 = TxnLogTable(
+        spark, str(tmp_path / "t"), schema, ["ts"], partition_by=["sym"]
+    )
+    assert {m["part"]["sym"] for m in t2._live().values()} >= {"A", "B"}
