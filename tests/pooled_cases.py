@@ -46,6 +46,7 @@ POOLED_CASES = [
     ("test_streaming", "test_tumbling_file_sink_checkpoint_restart"),
     ("test_streaming", "test_stream_ingest_into_txnlog_table"),
     ("test_streaming", "test_stream_stream_join_checkpoint_restart"),
+    ("test_streaming", "test_stateful_totals_checkpoint_restart"),
     ("test_kmeans", "test_kmeans_recovers_planted_clusters"),
     ("test_kmeans", "test_kmeans_inertia_improves_over_seed_assignment"),
     ("test_kmeans", "test_kmeans_seed_determinism"),

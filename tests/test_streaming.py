@@ -799,3 +799,118 @@ def test_exactly_once_ingest_survives_checkpoint_loss(
     q2.awaitTermination()
     assert t.read().count() == n_first
     assert t.current_version() == v_first  # not even a no-op commit
+
+
+def test_stateful_totals_checkpoint_restart(spark, sf_small, tmp_path):
+    """applyInPandasWithState under driver restart: the custom
+    per-user (count, sum) state must be RESTORED from the checkpointed
+    state store, not rebuilt from zero — the one stateful surface the
+    other restart tests don't cover. Proves (1) the resumed run reads
+    only post-restart files, (2) users spanning both runs carry their
+    pre-restart totals forward (final row equals the batch aggregate
+    over ALL events), (3) nothing double-counts on redelivery."""
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("ts", "user_id", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .limit(2000)
+        .collect()
+    )
+    half = len(ev) // 2
+    schema = "ts timestamp, user_id long, value double, event_id long"
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "chunk*"))
+        )
+
+        def emit(batch_df, batch_id):
+            # update-mode emissions land with their batch id so the
+            # LAST emission per user is recoverable from the sink
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(sink))
+
+        q = (
+            stateful_running_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(emit)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    spark.createDataFrame(ev[:half], schema).coalesce(1).write.parquet(
+        str(src / "chunk0")
+    )
+    run()
+
+    spark.createDataFrame(ev[half:], schema).coalesce(1).write.parquet(
+        str(src / "chunk1")
+    )
+    q2 = run()
+    resumed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert resumed == len(ev) - half, (
+        f"resume re-read pre-restart files: {resumed} rows"
+    )
+
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(str(sink))
+    last = (
+        out.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n", "total")
+    )
+    got = {r["user_id"]: (r["n"], r["total"]) for r in last.collect()}
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in user_stats_batch_totals(spark, ev, schema).collect()
+    }
+    assert got == want
+    # state actually crossed the restart: some user has rows in both
+    # halves AND their final count covers both
+    first_users = {r["user_id"] for r in ev[:half]}
+    both = [
+        r["user_id"]
+        for r in ev[half:]
+        if r["user_id"] in first_users
+    ]
+    assert both, "no user spans the restart — test data too small"
+    spanning = both[0]
+    n_all = sum(1 for r in ev if r["user_id"] == spanning)
+    assert got[spanning][0] == n_all, (
+        "state was rebuilt from zero instead of restored"
+    )
+
+
+def user_stats_batch_totals(spark, ev, schema):
+    """Batch oracle for the stateful totals: per-user count and
+    HALF_UP-rounded sum over the full event list — what the stateful
+    operator's final emission per user must equal."""
+    from relational_query_engine_sql_spark.streaming.events import (
+        _round_half_up,
+    )
+
+    rows = {}
+    for r in ev:
+        t, n = rows.get(r["user_id"], (0.0, 0))
+        rows[r["user_id"]] = (t + float(r["value"]), n + 1)
+    return spark.createDataFrame(
+        [
+            (u, n, _round_half_up(t))
+            for u, (t, n) in rows.items()
+        ],
+        "user_id long, n long, total double",
+    )
