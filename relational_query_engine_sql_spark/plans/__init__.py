@@ -335,6 +335,9 @@ ROUND7_QUEUE = [
     # round-6 session additions (strict-sim green at sf0.001 + sf0.01
     # + sf0.1 when staged; ROUND6_PREFIX is frozen at 50 names)
     "s25_txnlog_partition_prune",
+    "eval_numpy_jvm_parity",
+    "eval_kmeans_invariants",
+    "ext_approx_distinct",  # upgraded rows-only -> oracled (5% envelope)
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

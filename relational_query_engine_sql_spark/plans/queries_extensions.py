@@ -115,14 +115,38 @@ def ext_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# No oracle: HLL sketch results are engine-specific by design. The
-# driver records a rows-only check; the ±5% accuracy bound vs the exact
-# count is asserted in tests/test_extensions.py.
-@query("ext_approx_distinct", survey="ext:approx-agg", priority=90)
+# The HLL sketch VALUE is engine-specific by design, so it cannot be
+# hashed cross-engine — but its ERROR ENVELOPE can: the hashed
+# contract is the exact distinct count plus a boolean pinning the
+# approx estimate within the sketch's configured 5% rsd (measured
+# 2.4–2.7% at sf0.001/0.01/0.1). A regression in the approx plan
+# (wrong column, broken rsd, bad merge) now flips a hash-checked bit
+# instead of passing a rows-only count. Exact per-register HLL parity
+# is separately pinned by sketch_hll_registers/sketch_hll_estimate.
+@query(
+    "ext_approx_distinct",
+    survey="ext:approx-agg",
+    priority=90,
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+        F.approx_count_distinct("l_partkey").alias("_approx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5pct"),
     )
 
 

@@ -601,3 +601,107 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         filter_cond=F.col("vec_id") % 3 == 0,
     )
+
+
+# --------------------------------------------------------------------------
+# Oracled bound for the rows-only BLAS path: the numpy mapInPandas
+# top-k must be IDENTICAL (same doc, same rounded cosine, same rank)
+# to the JVM expression path at every rank — both round to 9 decimals
+# before ranking with vec_id tiebreaks, so agreement is exact, not
+# approximate. The JVM path is itself hash-oracled against DuckDB
+# (ann_bruteforce_topk), so a green hash here transitively pins the
+# numpy kernel to the SQL oracle. This closes the "rows-only" gap for
+# ann_bruteforce_numpy with a hash-checked assertion.
+# --------------------------------------------------------------------------
+@query(
+    "eval_numpy_jvm_parity",
+    survey="beyond:ann-numpy,beyond:eval",
+    priority=90,
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           10 AS n_rank_matches,
+           TRUE AS paths_identical
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def eval_numpy_jvm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import cosine_topk, cosine_topk_numpy
+    from ..sources import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    q = _queries_df(emb)
+    jvm = cosine_topk(emb, q, k=10).select(
+        "query_id",
+        "rnk",
+        F.col("vec_id").alias("_jvm_id"),
+        F.col("cos").alias("_jvm_cos"),
+    )
+    blas = cosine_topk_numpy(emb, q, k=10).select(
+        "query_id", "rnk", "vec_id", "cos"
+    )
+    joined = blas.join(jvm, ["query_id", "rnk"])
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("vec_id") == F.col("_jvm_id"))
+                    & (F.col("cos") == F.col("_jvm_cos"))
+                ).cast("int")
+            ).alias("n_rank_matches")
+        )
+        .select(
+            "query_id",
+            F.col("n_rank_matches").cast("int").alias("n_rank_matches"),
+            (F.col("n_rank_matches") == 10).alias("paths_identical"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracled bounds for the rows-only k-means trainer: the floating-point
+# centroid VALUES are reduction-order-dependent (hence rows-only), but
+# Lloyd's algorithm guarantees hash-checkable invariants — every point
+# assigned exactly once, at most k non-empty clusters, and the total
+# inertia after more rounds never exceeds the inertia after fewer
+# (monotone descent; same deterministic md5 seeding puts both runs on
+# the same trajectory). A broken assign step, a lost partition, or a
+# diverging update step flips a hashed bit.
+# --------------------------------------------------------------------------
+@query(
+    "eval_kmeans_invariants",
+    survey="beyond:kmeans-train,beyond:eval",
+    priority=90,
+    oracle="""
+    SELECT COUNT(*) AS n_points,
+           TRUE AS every_point_assigned_once,
+           TRUE AS at_most_k_clusters,
+           TRUE AS inertia_monotone
+    FROM embeddings
+    """,
+)
+def eval_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.kmeans import train_kmeans
+    from ..sources import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    n_emb = emb.count()
+    one = train_kmeans(emb, k=10, iters=1).localCheckpoint(eager=True)
+    three = train_kmeans(emb, k=10, iters=3).localCheckpoint(eager=True)
+    i1 = one.agg(F.sum("dist")).first()[0]
+    i3, n3, k3 = three.agg(
+        F.sum("dist"), F.count(F.lit(1)), F.countDistinct("cluster")
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(n3),
+                bool(n3 == n_emb),
+                bool(1 <= k3 <= 10),
+                # strict descent up to float-reduction noise
+                bool(i3 <= i1 * (1 + 1e-9) + 1e-9),
+            )
+        ],
+        "n_points bigint, every_point_assigned_once boolean, "
+        "at_most_k_clusters boolean, inertia_monotone boolean",
+    )
