@@ -338,6 +338,7 @@ ROUND7_QUEUE = [
     "eval_numpy_jvm_parity",
     "eval_kmeans_invariants",
     "ext_approx_distinct",  # upgraded rows-only -> oracled (5% envelope)
+    "s26_txnlog_cdf",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -1493,3 +1493,78 @@ def s25_txnlog_partition_prune(
         F.lit(fewer).alias("pruned_fewer_files"),
         F.lit(contained).alias("keyed_write_stays_in_partition"),
     )
+
+
+# --------------------------------------------------------------------------
+# S26: change-data feed (Delta's table_changes / CDF). The net
+# row-level diff between two snapshots is computed by LOG REPLAY over
+# the files each commit actually churned — never a full snapshot scan
+# (operators/txnlog.py:_changes_inputs) — so CDC cost tracks commit
+# size, not table size, the property that makes downstream incremental
+# consumers viable at 100 TB. The scenario runs update → insert →
+# delete and hashes the full typed change set (pre/post images,
+# copy-along rows correctly absent); the oracle derives the same net
+# diff in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "s26_txnlog_cdf",
+    survey="beyond:txnlog,beyond:cdf,S6",
+    priority=60,
+    oracle="""
+    WITH off AS (SELECT MAX(c_custkey) AS o FROM customer),
+    ins AS (
+        SELECT c_custkey + o AS c_custkey, c_name, c_nationkey,
+               CAST(1.5 AS DOUBLE) AS c_acctbal,
+               'NEW' AS c_mktsegment
+        FROM customer, off WHERE c_custkey % 101 = 5
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           'delete' AS change_type
+    FROM customer WHERE c_custkey % 89 = 3
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           'insert'
+    FROM ins WHERE c_custkey % 89 <> 3
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           'update_preimage'
+    FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 89 <> 3
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, CAST(0.0 AS DOUBLE), 'GOLD',
+           'update_postimage'
+    FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 89 <> 3
+    """,
+)
+def s26_txnlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="rqe-txn-cdf-")
+    t = TxnLogTable(spark, f"{root}/customer", src.schema, ["c_custkey"])
+    t.init(src)  # v0
+    t.update(
+        F.col("c_custkey") % 97 == 0,
+        {
+            "c_acctbal": F.lit(0.0).cast("double"),
+            "c_mktsegment": F.lit("GOLD"),
+        },
+    )  # v1
+    off = src.agg(F.max("c_custkey")).first()[0]
+    t.append(
+        src.filter(F.col("c_custkey") % 101 == 5).select(
+            (F.col("c_custkey") + F.lit(off)).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            F.lit(1.5).cast("double").alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )  # v2
+    t.delete(F.col("c_custkey") % 89 == 3)  # v3
+    return t.table_changes(0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.col("_change_type").alias("change_type"),
+    )

@@ -1447,3 +1447,52 @@ def test_partitioned_compact_and_checkpoint_keep_part_values(
         spark, str(tmp_path / "t"), schema, ["ts"], partition_by=["sym"]
     )
     assert {m["part"]["sym"] for m in t2._live().values()} >= {"A", "B"}
+
+
+# -- change-data feed ------------------------------------------------------
+
+
+def test_table_changes_net_diff_and_dv_delta(spark, tmp_path):
+    """table_changes (the Delta CDF surface): net pre/post pairs for
+    updates, inserts and deletes with correct image values; rows that
+    were only COPIED ALONG by file-level rewrites are absent; and a
+    merge-on-read deferred delete — visibility change with ZERO data
+    file churn — is surfaced through the DV-delta branch."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(
+        _rows(spark, [(i, "g", float(i)) for i in range(100)]).coalesce(2)
+    )  # v0
+    # v1: deferred (MOR) delete of 3 keys — no data file changes
+    t.delete_keys_deferred(spark.createDataFrame([(5,), (6,), (7,)], "k long"))
+    ch01 = t.table_changes(0, 1).collect()
+    assert {(r["k"], r["_change_type"]) for r in ch01} == {
+        (5, "delete"), (6, "delete"), (7, "delete")
+    }
+    assert {r["val"] for r in ch01} == {5.0, 6.0, 7.0}  # pre-images
+
+    # v2: update a slice; v3: append new keys
+    t.update(F.col("k") < 3, {"grp": F.lit("upd")})
+    t.append(_rows(spark, [(200, "new", 1.0), (201, "new", 2.0)]))
+    ch = {(r["k"], r["_change_type"]): r for r in t.table_changes(0).collect()}
+    # net diff v0 -> v3: 3 deletes, 3 update pairs, 2 inserts — nothing else
+    assert sorted(ch) == sorted(
+        [(5, "delete"), (6, "delete"), (7, "delete")]
+        + [(k, "update_preimage") for k in range(3)]
+        + [(k, "update_postimage") for k in range(3)]
+        + [(200, "insert"), (201, "insert")]
+    ), sorted(ch)
+    assert ch[(0, "update_preimage")]["grp"] == "g"
+    assert ch[(0, "update_postimage")]["grp"] == "upd"
+    # copy-along: k=3..4 lived in the rewritten file but must not appear
+    assert not [k for (k, _c) in ch if 3 <= k <= 7 and _c != "delete"]
+
+    # intermediate-hop consistency: changes(0,2) sees no inserts yet
+    mid = {(r["k"], r["_change_type"]) for r in t.table_changes(0, 2).collect()}
+    assert (200, "insert") not in mid
+    # a row updated then later deleted nets to ONE delete with v0 image
+    t.delete(F.col("k") == 1)
+    net = {
+        (r["k"], r["_change_type"]): r for r in t.table_changes(0).collect()
+    }
+    assert (1, "update_preimage") not in net
+    assert net[(1, "delete")]["grp"] == "g"  # pre-image is the v0 value

@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""sf1-and-beyond scaling probe for the dedup/ANN families.
+
+SCALE.md's earlier probes measured 1x-10x of the sf0.1 volumes; this
+extends them to sf1-equivalent (10x sf0.1) and one point beyond (100x
+embeddings), and — the part the earlier tables lacked — records the
+FORMULA-PREDICTED candidate volume next to the measured one, so the
+volume-aware LSH sizing (`lsh_params`: random candidates <= 4n by
+construction) and the IVF nprobe recall compensation are validated at
+the next decade, not extrapolated.
+
+Synthetic inputs (perf probe, not a correctness oracle — correctness
+is the driver_sim hash gate):
+- embeddings: deterministic per-id isotropic unit vectors (dim 64)
+  with 2% planted near-dups at cos ~ 0.98 (noise tangent 0.2);
+- documents: sf0.1 documents replicated with copy-unique token
+  suffixes so cross-copy similarity collapses and the true pair
+  structure scales linearly (same construction as the earlier probe).
+
+Usage: python tools/scale_probe_sf1.py [--quick]
+Prints one markdown table per family; paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from relational_query_engine_sql_spark.datapipe.dedup import (
+    lsh_candidates,
+    minhash_signature,
+    shingles,
+)
+from relational_query_engine_sql_spark.datapipe.kmeans import train_kmeans
+from relational_query_engine_sql_spark.datapipe.similarity import (
+    _signlsh_bands,
+    cosine_topk_numpy,
+    embedding_near_dups_lsh,
+    ivf_topk,
+    lsh_params,
+)
+from relational_query_engine_sql_spark.session import get_spark
+
+DIM = 64
+DUP_FRAC = 0.02
+SEED = 7
+
+
+def gen_vectors(spark, n: int, clustered: bool = False):
+    """n base vectors + floor(n*DUP_FRAC) planted near-dups of the
+    first ids. Per-id seeded RNG keeps generation partition-order
+    independent; nothing ships from the driver.
+
+    ``clustered=False`` (sign-LSH probe): isotropic unit vectors — the
+    distribution the `lsh_params` random-collision bound is derived
+    for. ``clustered=True`` (IVF probe): a 64-center gaussian mixture
+    — IVF's actual use case; isotropic data is its degenerate worst
+    case (a random point's neighbors scatter uniformly over cells, so
+    no cell assignment can help)."""
+    n_dup = int(n * DUP_FRAC)
+
+    def make(pdfs):
+        for pdf in pdfs:
+            ids, vecs = [], []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                base_id = i if i < n else i - n  # dup ids copy base 0..n_dup
+                r = np.random.default_rng((SEED, base_id))
+                if clustered:
+                    c = np.random.default_rng(
+                        (SEED, 555, base_id % 64)
+                    ).standard_normal(DIM)
+                    v = c / np.linalg.norm(c) + 0.35 * r.standard_normal(DIM) / np.sqrt(DIM)
+                else:
+                    v = r.standard_normal(DIM)
+                v /= np.linalg.norm(v)
+                if i >= n:
+                    rn = np.random.default_rng((SEED, 1_000_000 + i))
+                    g = rn.standard_normal(DIM)
+                    g /= np.linalg.norm(g)
+                    v = v + 0.2 * g
+                    v /= np.linalg.norm(v)
+                ids.append(i)
+                vecs.append([float(x) for x in v])
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return (
+        spark.range(n + n_dup)
+        .repartition(32)
+        .mapInPandas(make, "vec_id long, embedding array<double>")
+    )
+
+
+def probe_sign_lsh(spark, sizes):
+    print("\n### sign-LSH embedding near-dup: formula vs measured\n")
+    print("| vectors | bits x bands | cand bound (4n) | cand measured "
+          "| planted | found | wall |")
+    print("|---|---|---|---|---|---|---|")
+    for n in sizes:
+        n_dup = int(n * DUP_FRAC)
+        total = n + n_dup
+        emb = gen_vectors(spark, n).localCheckpoint(eager=True)
+        bits, bands = lsh_params(total, 0.95)
+        t0 = time.perf_counter()
+        # candidate volume: distinct band-collision pairs (the thing
+        # the formula bounds), counted from the same signature pass
+        sigs = _signlsh_bands(emb, bands, bits, 42, "vec_id", "embedding")
+        # DISTINCT collision pairs — what the 4n bound actually bounds
+        # (a true near-dup collides in nearly every band; summing
+        # per-band bucket pairs would count it ~n_bands times)
+        a = sigs.toDF("v1", "band", "key")
+        b = sigs.toDF("v2", "band", "key")
+        cand = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("v1") < F.col("v2"))
+            .select("v1", "v2")
+            .distinct()
+            .count()
+        )
+        pairs = embedding_near_dups_lsh(emb, threshold=0.95, n=total)
+        found = pairs.filter(
+            (F.col("v2") - F.col("v1") == n) & (F.col("v1") < n_dup)
+        ).count()
+        wall = time.perf_counter() - t0
+        print(
+            f"| {total:,} | {bits}x{bands} | {4 * total:,} "
+            f"| {int(cand):,} | {n_dup:,} | {found:,} "
+            f"| {wall:.1f} s |"
+        )
+
+
+def probe_ivf(spark, sizes):
+    print("\n### IVF recall at scale: nprobe compensation\n")
+    print("| vectors | cells | nprobe | recall@10 | wall |")
+    print("|---|---|---|---|---|")
+    for n in sizes:
+        emb = gen_vectors(spark, n, clustered=True).localCheckpoint(
+            eager=True
+        )
+        k_cells = max(16, int((n + int(n * DUP_FRAC)) ** 0.5 // 4))
+        assigned = train_kmeans(emb, k=k_cells, iters=2).withColumnRenamed(
+            "cluster", "label"
+        )
+        tagged = emb.join(assigned.select("vec_id", "label"), "vec_id")
+        tagged = tagged.localCheckpoint(eager=True)
+        q = tagged.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        n_all = tagged.count()
+        truth = {
+            (r["query_id"], r["vec_id"])
+            for r in cosine_topk_numpy(tagged, q, k=10).collect()
+        }
+        for nprobe in (1, 4):
+            t0 = time.perf_counter()
+            got = {
+                (r["query_id"], r["vec_id"])
+                for r in ivf_topk(tagged, q, k=10, nprobe=nprobe).collect()
+            }
+            wall = time.perf_counter() - t0
+            rec = len(got & truth) / len(truth)
+            print(
+                f"| {n_all:,} | {k_cells} | {nprobe} "
+                f"| {rec:.3f} | {wall:.1f} s |"
+            )
+
+
+def probe_minhash_docs(spark, sf_dir: str, copies: int):
+    print("\n### MinHash-LSH text dedup at sf1 volume (10x sf0.1 docs)\n")
+    print("| docs | candidates | verified pairs | wall |")
+    print("|---|---|---|---|")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n0 = docs.count()
+    rep = spark.range(copies).select(F.col("id").alias("_copy"))
+    corpus = (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("_copy") * 10_000_000).alias("id"),
+            # copy-unique suffix token collapses cross-copy similarity
+            F.concat(
+                F.col("text"), F.lit(" zq"), F.col("_copy").cast("string")
+            ).alias("text"),
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n = corpus.count()
+    t0 = time.perf_counter()
+    sh = shingles(corpus, id_col="id").localCheckpoint(eager=True)
+    sig = minhash_signature(sh).localCheckpoint(eager=True)
+    cands = lsh_candidates(sig, max_bucket_size=64)
+    n_cand = cands.count()
+    from relational_query_engine_sql_spark.datapipe.dedup import (
+        jaccard_pairs,
+    )
+
+    verified = jaccard_pairs(sh, threshold=0.8, candidates=cands).count()
+    wall = time.perf_counter() - t0
+    print(f"| {n:,} ({copies}x{n0:,}) | {n_cand:,} | {verified:,} "
+          f"| {wall:.1f} s |")
+
+
+def main():
+    quick = "--quick" in sys.argv
+    spark = get_spark(app_name="scale-probe-sf1")
+    emb_sizes = [20_000] if quick else [20_000, 200_000]
+    probe_sign_lsh(spark, emb_sizes)
+    probe_ivf(spark, emb_sizes)
+    probe_minhash_docs(
+        spark, "/root/testdata/sf0.1", copies=2 if quick else 10
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
