@@ -61,6 +61,7 @@ import decimal
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame
@@ -639,7 +640,7 @@ class TxnLogTable(ParquetTable):
         )
 
     def history(self) -> list[dict]:
-        """One {version, op, n_add, n_remove} row per commit."""
+        """One {version, op, ts, n_add, n_remove} row per commit."""
         out = []
         for v in self.versions():
             with open(self._log_path(v), encoding="utf-8") as f:
@@ -649,11 +650,45 @@ class TxnLogTable(ParquetTable):
                 {
                     "version": v,
                     "op": e.get("op", "?"),
+                    "ts": e.get("ts"),
                     "n_add": sum(1 for a in acts if "add" in a),
                     "n_remove": sum(1 for a in acts if "remove" in a),
                 }
             )
         return out
+
+    def version_at(self, timestamp: float) -> int:
+        """Newest version whose commit time is <= ``timestamp`` —
+        Delta's TIMESTAMP AS OF resolution. Commit times are the
+        writer's wall clock at commit (monotone per table because
+        commits serialize through the CAS; a cross-writer clock skew
+        shows up here exactly as it does in Delta, which is why the
+        version form is the precise one). Raises when the timestamp
+        predates the table; entries from builds before the ``ts``
+        field count as time zero (always eligible)."""
+        best = None
+        for v in self.versions():
+            with open(self._log_path(v), encoding="utf-8") as f:
+                e = json.load(f)
+            if e.get("ts", 0.0) <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {timestamp} predates the table's first commit"
+            )
+        return best
+
+    def read_asof(self, timestamp) -> DataFrame:
+        """``SELECT ... TIMESTAMP AS OF`` — time travel by wall clock.
+        Accepts a unix float or a datetime (naive = UTC, matching the
+        session timezone)."""
+        if isinstance(timestamp, datetime.datetime):
+            if timestamp.tzinfo is None:
+                timestamp = timestamp.replace(
+                    tzinfo=datetime.timezone.utc
+                )
+            timestamp = timestamp.timestamp()
+        return self.read(self.version_at(timestamp))
 
     # -- read ---------------------------------------------------------------
 
@@ -1160,7 +1195,12 @@ class TxnLogTable(ParquetTable):
         live historical data."""
         os.makedirs(self._log_dir(), exist_ok=True)
         target = 0 if expected_version is None else expected_version + 1
-        entry = {"version": target, "op": op, "actions": actions}
+        entry = {
+            "version": target,
+            "op": op,
+            "ts": time.time(),  # commit wall-clock for TIMESTAMP AS OF
+            "actions": actions,
+        }
         if not self.backend.put_if_absent(
             self._log_path(target), json.dumps(entry)
         ):
@@ -1394,16 +1434,114 @@ class TxnLogTable(ParquetTable):
     def init(self, df: DataFrame) -> None:
         self._commit("init", self._write_files(df), self.current_version())
 
-    def append(self, rows: DataFrame) -> None:
+    def _rebase_safe_for_append(
+        self, from_v: int | None, to_v: int | None, bounds: dict | None
+    ) -> bool:
+        """Can a pure-ADD commit staged against snapshot ``from_v`` be
+        re-committed verbatim on top of ``to_v`` (Delta's blind-append
+        conflict resolution)? Adds/removes of OTHER data files never
+        conflict with fresh adds; what does is anything that would
+        have changed what we staged or how it reads back:
+
+        - a metadata action (schema changed under us) or a constraint
+          action (our staged rows were validated against the OLD set),
+        - a RESTORE (the table jumped eras),
+        - a deletion-vector add whose key range overlaps our incoming
+          keys (our new row would land already-tombstoned — the append
+          must instead recompute its revive actions).
+        """
+        start = 0 if from_v is None else from_v + 1
+        end = -1 if to_v is None else to_v
+        for v in range(start, end + 1):
+            if not os.path.exists(self._log_path(v)):
+                return False
+            with open(self._log_path(v), encoding="utf-8") as f:
+                entry = json.load(f)
+            if entry.get("op") == "restore":
+                return False
+            for a in entry["actions"]:
+                if "metadata" in a or "constraint" in a:
+                    return False
+                add = a.get("add")
+                if (
+                    add
+                    and add.get("dv")
+                    and bounds is not None
+                    and _overlaps(add.get("stats"), bounds, self.keys)
+                ):
+                    return False
+        return True
+
+    def _drop_staged(self, adds: list[dict] | None) -> None:
+        for a in adds or []:
+            if "add" in a:
+                p = os.path.join(self.path, a["add"]["path"])
+                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+
+    def _append_with_rebase(
+        self,
+        rows: DataFrame,
+        marker: tuple[str, int] | None,
+        max_retries: int,
+    ) -> bool:
+        """Shared engine for append / append_once: stage the data
+        files ONCE, and on a CAS conflict REBASE the same staged adds
+        onto the new head when the intervening commits are provably
+        disjoint (``_rebase_safe_for_append``) instead of deleting and
+        re-writing them — Delta's blind-append resolution. At 100 TB
+        the staged parquet is the expensive part of an append; under
+        writer contention the old loser-re-stages-everything loop
+        multiplies that cost by the retry count for zero benefit.
+        Snapshot-DEPENDENT pieces (revive actions for tombstoned keys)
+        are recomputed per attempt and re-staged only when present."""
+        keys_df = self._conform(rows).select(*self.keys)
+        bounds = self._bounds(keys_df)
+        staged: list[dict] | None = None
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            if marker is not None:
+                last = self.last_txn_version(marker[0])
+                if last is not None and last >= marker[1]:
+                    self._drop_staged(staged)
+                    return False
+            revive = self._revive_actions(keys_df, base)
+            if staged is None:
+                staged = self._write_files(rows)
+            actions = staged + revive
+            if marker is not None:
+                actions = actions + [
+                    {"txn": {"app": marker[0], "version": marker[1]}}
+                ]
+            try:
+                # cleanup is managed here (staged files survive a
+                # rebase), so _commit must not delete them on loss
+                self._commit("append", actions, base, staged_adds=[])
+                return True
+            except CommitConflict:
+                # snapshot-dependent revive files never survive a lap
+                self._drop_staged(
+                    [a for a in revive if "add" in a]
+                )
+                new_base = self.current_version()
+                if revive or not self._rebase_safe_for_append(
+                    base, new_base, bounds
+                ):
+                    self._drop_staged(staged)
+                    staged = None  # re-stage against the new snapshot
+                continue
+        self._drop_staged(staged)
+        raise CommitConflict(
+            f"append gave up after {max_retries} rebases"
+        )
+
+    def append(self, rows: DataFrame, max_retries: int = 10) -> None:
         # append-only: new files, zero rewrite — the op Versioned
         # ParquetTable pays a full table copy for. If an appended key
         # is currently tombstoned, the DV shrink AND the purge of its
-        # old masked row ride the same commit (_revive_actions).
-        base = self.current_version()
-        revive = self._revive_actions(
-            self._conform(rows).select(*self.keys), base
-        )
-        self._commit("append", self._write_files(rows) + revive, base)
+        # old masked row ride the same commit (_revive_actions). A CAS
+        # loss against a disjoint commit rebases the SAME staged files
+        # instead of re-writing them (blind-append resolution).
+        self._append_with_rebase(rows, marker=None, max_retries=max_retries)
 
     def _txn_markers(self, version: int | None) -> dict[str, int]:
         """app_id -> newest txn version at ``version``, replayed from
@@ -1455,33 +1593,15 @@ class TxnLogTable(ParquetTable):
         exactly-once without relying on key-based dedup. Returns False
         when this (app_id, version) already committed. A CAS loser
         re-reads the marker before retrying, so two racing deliveries
-        of the same batch commit exactly once. Retries are CAPPED like
-        ``modify_with_retry``: under sustained contention from other
-        writers an unbounded loop would spin forever, re-writing and
-        re-deleting staged parquet each lap — a hot table should
-        surface :class:`CommitConflict` and let the sink's own retry
-        policy decide."""
-        for _ in range(max_retries + 1):
-            base = self.current_version()
-            last = self.last_txn_version(app_id)
-            if last is not None and last >= version:
-                return False
-            revive = self._revive_actions(
-                self._conform(rows).select(*self.keys), base
-            )
-            actions = (
-                self._write_files(rows)
-                + revive
-                + [{"txn": {"app": app_id, "version": version}}]
-            )
-            try:
-                self._commit("append", actions, base)
-                return True
-            except CommitConflict:
-                continue
-        raise CommitConflict(
-            f"append_once({app_id!r}, {version}) gave up after "
-            f"{max_retries} rebases"
+        of the same batch commit exactly once; a loss against a
+        DISJOINT commit rebases the already-staged files instead of
+        re-writing them (blind-append resolution). Retries are CAPPED
+        like ``modify_with_retry``: under sustained contention from
+        other writers an unbounded loop would spin forever — a hot
+        table should surface :class:`CommitConflict` and let the
+        sink's own retry policy decide."""
+        return self._append_with_rebase(
+            rows, marker=(app_id, version), max_retries=max_retries
         )
 
     def insert_ignore(self, rows: DataFrame) -> int:

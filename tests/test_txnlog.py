@@ -1496,3 +1496,135 @@ def test_table_changes_net_diff_and_dv_delta(spark, tmp_path):
     }
     assert (1, "update_preimage") not in net
     assert net[(1, "delete")]["grp"] == "g"  # pre-image is the v0 value
+
+
+# -- blind-append rebase + timestamp time travel ---------------------------
+
+
+@BACKENDS
+def test_blind_append_rebases_without_restaging(
+    spark, base, tmp_path, make_backend
+):
+    """Delta's blind-append conflict resolution: two threads appending
+    disjoint keys never lose work AND never re-stage their parquet —
+    a CAS loser re-commits the SAME staged files on the new head. At
+    100 TB the staged data is the expensive half of an append; the
+    old loser-re-stages loop multiplied it by the retry count."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    backend = make_backend()
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
+    )
+    t.init(base)  # v0
+
+    def writer(lo: int):
+        for i in range(4):
+            t.append(_rows(spark, [(lo + i, "w", 1.0)]), max_retries=30)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(writer, lo) for lo in (1000, 2000)]:
+            f.result()
+
+    assert t.versions() == list(range(9))  # init + 8 appends, gapless
+    assert t.read().filter(F.col("grp") == "w").count() == 8
+    # no re-staging: every staged directory that was ever written is
+    # still referenced by the log (losers kept their files via rebase)
+    staged_dirs = {
+        d for d in os.listdir(os.path.join(str(tmp_path / "t"), "data"))
+    }
+    live_dirs = {p.split("/")[1] for p in t._live()}
+    referenced = set()
+    for v in t.versions():
+        for p in t._live(v):
+            referenced.add(p.split("/")[1])
+    assert staged_dirs == referenced, (
+        "orphan staged dirs imply a loser re-staged instead of rebasing"
+    )
+    assert live_dirs <= referenced
+
+
+def test_append_rebase_falls_back_on_overlapping_dv(spark, tmp_path):
+    """The rebase guard: an intervening MERGE-ON-READ delete whose key
+    range overlaps the append makes the commit snapshot-dependent —
+    the append must recompute (revive the tombstoned key) instead of
+    blindly rebasing a row that would land already-masked."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(i, "g", float(i)) for i in range(10)]))
+    rival = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+
+    real = t._commit
+    fired = {"done": False}
+
+    def inject(op, actions, expected_version, staged_adds=None):
+        if op == "append" and not fired["done"]:
+            fired["done"] = True
+            # rival tombstones the very key being appended, INSIDE the
+            # append's stage->commit window
+            rival.delete_keys_deferred(
+                spark.createDataFrame([(5,)], "k long")
+            )
+        return real(op, actions, expected_version, staged_adds)
+
+    t._commit = inject
+    t.append(_rows(spark, [(5, "re", 55.0)]))
+    t._commit = real
+    got = t.read().filter(F.col("k") == 5).collect()
+    assert [(r["grp"], r["val"]) for r in got] == [("re", 55.0)], got
+    assert t.read().count() == 10  # revived exactly once, no dup
+
+
+def test_append_rebase_falls_back_on_new_constraint(spark, tmp_path):
+    """An intervening ADD CONSTRAINT invalidates staged files (they
+    were validated against the old set): the rebase guard must force
+    re-staging, which re-runs validation and REFUSES the violating
+    append."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        ConstraintViolation,
+    )
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(1, "g", 1.0)]))
+    rival = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+
+    real = t._commit
+    fired = {"done": False}
+
+    def inject(op, actions, expected_version, staged_adds=None):
+        if op == "append" and not fired["done"]:
+            fired["done"] = True
+            rival.add_constraint("nonneg", "val >= 0")
+        return real(op, actions, expected_version, staged_adds)
+
+    t._commit = inject
+    with pytest.raises(ConstraintViolation):
+        t.append(_rows(spark, [(2, "bad", -1.0)]))
+    t._commit = real
+    assert t.read().count() == 1  # nothing landed
+
+
+def test_timestamp_time_travel(spark, base, tmp_path):
+    """TIMESTAMP AS OF: commits carry wall-clock stamps, version_at
+    resolves the newest commit at-or-before a timestamp, and read_asof
+    replays that snapshot. Probed with the table's own recorded
+    stamps, so the test is clock-speed independent."""
+    import datetime as dt
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # v0: 100 rows
+    t.delete(F.col("k") >= 50)  # v1: 50 rows
+    t.append(_rows(spark, [(500, "late", 5.0)]))  # v2: 51 rows
+    ts = {h["version"]: h["ts"] for h in t.history()}
+    assert all(ts[v] is not None for v in range(3))
+    assert ts[0] <= ts[1] <= ts[2]  # CAS-serialized commits
+    assert t.version_at(ts[0]) == 0
+    assert t.version_at((ts[0] + ts[1]) / 2) in (0,)
+    assert t.version_at(ts[2] + 1000) == 2
+    assert t.read_asof(ts[1]).count() == 50
+    assert t.read_asof(ts[2]).count() == 51
+    # +1ms slack: fromtimestamp rounds to microseconds and can land
+    # BELOW the exact commit float, which would predate v0
+    when = dt.datetime.fromtimestamp(ts[0] + 0.001, dt.timezone.utc)
+    assert t.read_asof(when).count() == 100
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(ts[0] - 1000)
