@@ -1918,17 +1918,35 @@ class TxnLogTable(ParquetTable):
                 continue
         raise CommitConflict(f"gave up after {max_retries} rebases")
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
-        """Physically delete data files not referenced by any of the
-        newest ``keep_last`` snapshots. Log entries stay (they are KB
-        of metadata and keep CAS version numbering monotonic — Delta's
-        log-retention model); time travel to a vacuumed snapshot fails
-        loudly at read when Spark finds the files gone. Returns the
-        relpaths removed."""
+    def vacuum(
+        self,
+        keep_last: int = 2,
+        retain_hours: float | None = None,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """Physically delete data files not referenced by any retained
+        snapshot. Retention is the UNION of the newest ``keep_last``
+        versions and (when ``retain_hours`` is given) every version
+        committed within that window — Delta's ``VACUUM ... RETAIN n
+        HOURS`` contract, resolvable here because commits carry wall
+        clocks: time travel and TIMESTAMP AS OF stay exact inside the
+        window. ``dry_run=True`` returns what WOULD be deleted without
+        touching anything (the audit step a 100 TB operator runs
+        first). Log entries always stay (KB of metadata; CAS version
+        numbering stays monotonic — Delta's log-retention model); time
+        travel past the retention fails loudly at read when Spark
+        finds the files gone. Returns the relpaths removed (or doomed,
+        under ``dry_run``)."""
         vs = self.versions()
         if not vs:
             return []
-        keep_vs = vs[-keep_last:] if keep_last > 0 else []
+        keep_vs = set(vs[-keep_last:] if keep_last > 0 else [])
+        if retain_hours is not None:
+            cutoff = time.time() - retain_hours * 3600.0
+            for v in vs:
+                with open(self._log_path(v), encoding="utf-8") as f:
+                    if json.load(f).get("ts", 0.0) >= cutoff:
+                        keep_vs.add(v)
         referenced: set[str] = set()
         for v in keep_vs:
             referenced |= set(self._live(v))
@@ -1945,6 +1963,10 @@ class TxnLogTable(ParquetTable):
         for rel in doomed:
             full = os.path.join(self.path, rel)
             if not os.path.realpath(full).startswith(root):
+                continue
+            if dry_run:
+                if os.path.exists(full):
+                    removed.append(rel)
                 continue
             try:
                 os.remove(full)

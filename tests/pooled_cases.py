@@ -77,6 +77,26 @@ POOLED_CASES = [
     ("test_txnlog", "test_check_constraints_gate_writes"),
     ("test_txnlog", "test_shallow_clone_is_zero_copy_and_diverges"),
     ("test_txnlog", "test_losing_restore_race_deletes_no_data"),
+    # round-6 additions (audited: spark/tmp_path/base only; the
+    # rebase_falls_back tests patch an INSTANCE attribute on their own
+    # table handle, not a module global; blind_append's internal
+    # ThreadPool nests fine under the pool)
+    ("test_txnlog", "test_legacy_list_stats_stay_readable_and_mutable"),
+    ("test_txnlog", "test_append_once_retry_cap_surfaces_conflict"),
+    ("test_txnlog", "test_restore_restores_constraint_set"),
+    ("test_txnlog", "test_bloom_mask_sized_from_file_key_count"),
+    ("test_txnlog", "test_partitioned_layout_prunes_exactly_and_reads_flat"),
+    ("test_txnlog", "test_table_changes_net_diff_and_dv_delta"),
+    ("test_txnlog", "test_blind_append_rebases_without_restaging"),
+    ("test_txnlog", "test_append_rebase_falls_back_on_overlapping_dv"),
+    ("test_txnlog", "test_append_rebase_falls_back_on_new_constraint"),
+    ("test_txnlog", "test_timestamp_time_travel"),
+    (
+        "test_txnlog",
+        "test_objectstore_append_once_exactly_once_under_lost_response",
+    ),
+    ("test_txnlog", "test_vacuum_retain_hours_and_dry_run"),
+    ("test_txnlog", "test_cas_conflict_and_retry"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a

@@ -9,20 +9,19 @@ from relational_query_engine_sql_spark import plans
 
 
 def test_approx_distinct_error_bound(spark, sf_oracle):
-    """approx_count_distinct has no cross-engine oracle; pin its
-    accuracy against the exact distinct count (HLL++ default rsd is
-    5%; assert a 10% envelope for headroom)."""
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
-        for r in plans.get("ext_approx_distinct").fn(spark, sf_oracle).collect()
-    }
+    """The HLL estimate's error envelope is now hashed INSIDE the
+    query (round 6: within_5pct rides the oracled result); this test
+    pins the remaining local facts — the exact counts agree with the
+    independent distinct-agg query and every envelope bit is True."""
+    rows = plans.get("ext_approx_distinct").fn(spark, sf_oracle).collect()
     exact = {
         r["l_returnflag"]: r["n_parts"]
         for r in plans.get("ext_distinct_agg").fn(spark, sf_oracle).collect()
     }
-    assert set(approx) == set(exact)
-    for flag, n in exact.items():
-        assert abs(approx[flag] - n) <= max(2, 0.10 * n), (flag, approx[flag], n)
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_parts"] == exact[r["l_returnflag"]]
+        assert r["within_5pct"] is True, r
 
 
 def test_rollup_has_grand_total(spark, sf_oracle):

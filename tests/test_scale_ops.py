@@ -647,28 +647,21 @@ class TestRotationSelfAdvance:
     def test_current_prefix_matches_judged_round(self):
         from relational_query_engine_sql_spark import plans
         from relational_query_engine_sql_spark.plans import (
-            ROUND3_PREFIX,
-            ROUND4_PREFIX,
-            ROUND5_PREFIX,
+            _ROTATIONS,
             _judged_round,
         )
 
-        expect = {3: ROUND3_PREFIX, 4: ROUND4_PREFIX, 5: ROUND5_PREFIX}[
-            min(_judged_round() + 1, 5)
-        ]
+        top = max(_ROTATIONS)
+        expect = _ROTATIONS[min(_judged_round() + 1, top)]
         names = list(plans.all_queries())
         assert names[: len(expect)] == expect
 
     def test_all_prefixes_resolve_and_are_unique(self):
         from relational_query_engine_sql_spark import plans
-        from relational_query_engine_sql_spark.plans import (
-            ROUND3_PREFIX,
-            ROUND4_PREFIX,
-            ROUND5_PREFIX,
-        )
+        from relational_query_engine_sql_spark.plans import _ROTATIONS
 
         registered = set(plans.all_queries())
-        for prefix in (ROUND3_PREFIX, ROUND4_PREFIX, ROUND5_PREFIX):
+        for prefix in _ROTATIONS.values():
             assert set(prefix) <= registered
             assert len(set(prefix)) == len(prefix)
 

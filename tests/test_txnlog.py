@@ -1628,3 +1628,35 @@ def test_timestamp_time_travel(spark, base, tmp_path):
     assert t.read_asof(when).count() == 100
     with pytest.raises(ValueError, match="predates"):
         t.version_at(ts[0] - 1000)
+
+
+def test_vacuum_retain_hours_and_dry_run(spark, base, tmp_path):
+    """Time-based retention (VACUUM RETAIN n HOURS): versions inside
+    the window survive even beyond keep_last, dry_run reports without
+    deleting, and shrinking the window actually deletes — with time
+    travel exact inside the retained window throughout."""
+    import json as _json
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base)  # v0
+    t.delete(F.col("k") >= 50)  # v1
+    t.upsert(_rows(spark, [(0, "z", 0.1)]))  # v2
+    # age v0's commit far into the past (stamps are plain JSON)
+    with open(t._log_path(0), encoding="utf-8") as f:
+        e0 = _json.load(f)
+    e0["ts"] = e0["ts"] - 48 * 3600
+    with open(t._log_path(0), "w", encoding="utf-8") as f:
+        _json.dump(e0, f)
+
+    # 24h window: v1/v2 are recent -> keep_last=1 still retains them
+    doomed = t.vacuum(keep_last=1, retain_hours=24, dry_run=True)
+    assert doomed  # v0-only files are outside the window
+    assert t.read(1).count() == 50  # dry run deleted nothing
+    assert t.read(0).count() == 100
+    got = t.vacuum(keep_last=1, retain_hours=24)
+    assert got == doomed
+    # inside the window time travel is exact; outside it fails loudly
+    assert t.read(1).count() == 50
+    assert t.read(2).count() == 50
+    with pytest.raises(Exception):
+        t.read(0).count()  # vacuumed era
