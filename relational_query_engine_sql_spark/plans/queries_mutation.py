@@ -1568,3 +1568,128 @@ def s26_txnlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("_change_type").alias("change_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# S27: TIMESTAMP AS OF time travel. Wall clocks are not reproducible,
+# so the scenario resolves AGAINST ITS OWN recorded commit stamps
+# (midpoint between v0 and v1 must resolve to v0; after v1 must
+# resolve to v1) and hashes the resolved snapshots plus the
+# resolution booleans — the oracle replays both eras in SQL. Pinned
+# in-plan: a pre-creation timestamp raises.
+# --------------------------------------------------------------------------
+@query(
+    "s27_txnlog_timestamp_travel",
+    survey="beyond:txnlog,beyond:time-travel,S2",
+    priority=60,
+    oracle="""
+    SELECT n_nationkey, n_name,
+           'v0' AS era, TRUE AS resolved_correctly
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, 'v1', TRUE
+    FROM nation WHERE n_nationkey % 2 = 0
+    """,
+)
+def s27_txnlog_timestamp_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-txn-ts-")
+    t = TxnLogTable(spark, f"{root}/nation", nat.schema, ["n_nationkey"])
+    t.init(nat)  # v0
+    t.delete(F.col("n_nationkey") % 2 == 1)  # v1
+    ts = {h["version"]: h["ts"] for h in t.history()}
+    mid = (ts[0] + ts[1]) / 2
+    ok = (
+        t.version_at(mid) == 0
+        and t.version_at(ts[1] + 3600) == 1
+    )
+    assert ok, "timestamp resolution picked the wrong version"
+    try:
+        t.version_at(ts[0] - 3600)
+        pre_creation_raises = False
+    except ValueError:
+        pre_creation_raises = True
+    assert pre_creation_raises
+    flag = F.lit(ok & pre_creation_raises).alias("resolved_correctly")
+    return t.read_asof(mid).select(
+        "n_nationkey", "n_name", F.lit("v0").alias("era"), flag
+    ).unionByName(
+        t.read_asof(ts[1] + 3600).select(
+            "n_nationkey", "n_name", F.lit("v1").alias("era"), flag
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S28: retention vacuum running on the OBJECT-STORE commit backend —
+# the registry-level proof that the whole write/commit/vacuum protocol
+# runs unchanged on conditional-PUT semantics (the 100 TB deployment
+# target), not just in unit tests. The scenario ages v0 artificially,
+# dry-runs (nothing deleted, time travel intact), then vacuums with a
+# retention window; the hashed result is the surviving snapshot plus
+# the audit facts.
+# --------------------------------------------------------------------------
+@query(
+    "s28_txnlog_vacuum_retention",
+    survey="beyond:txnlog,beyond:retention,S7",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name,
+           TRUE AS dry_run_deleted_nothing,
+           TRUE AS window_kept_recent,
+           TRUE AS old_era_gone
+    FROM supplier WHERE s_suppkey % 3 <> 0
+    """,
+)
+def s28_txnlog_vacuum_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+
+    from ..operators.txnlog import ObjectStoreCommitBackend, TxnLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-txn-vac-")
+    t = TxnLogTable(
+        spark,
+        f"{root}/supplier",
+        sup.schema,
+        ["s_suppkey"],
+        commit_backend=ObjectStoreCommitBackend(),
+    )
+    t.init(sup)  # v0
+    t.delete(F.col("s_suppkey") % 3 == 0)  # v1 (recent)
+    # age v0 two days into the past so the 24h window excludes it
+    with open(t._log_path(0), encoding="utf-8") as f:
+        e0 = _json.load(f)
+    e0["ts"] -= 48 * 3600
+    with open(t._log_path(0), "w", encoding="utf-8") as f:
+        _json.dump(e0, f)
+
+    doomed = t.vacuum(keep_last=1, retain_hours=24, dry_run=True)
+    dry_ok = bool(doomed) and t.read(0).count() == sup.count()
+    assert dry_ok, "dry run must report candidates and delete nothing"
+    removed = t.vacuum(keep_last=1, retain_hours=24)
+    kept_ok = removed == doomed and t.read(1).count() > 0
+    assert kept_ok
+    try:
+        t.read(0).count()
+        old_gone = False
+    except Exception:
+        old_gone = True
+    assert old_gone, "vacuumed era must fail loudly at read"
+    return t.read().select(
+        "s_suppkey",
+        "s_name",
+        F.lit(dry_ok).alias("dry_run_deleted_nothing"),
+        F.lit(kept_ok).alias("window_kept_recent"),
+        F.lit(old_gone).alias("old_era_gone"),
+    )
