@@ -33,16 +33,19 @@ from pyspark.sql import functions as F
 Z_BITS = 8  # bits per dimension after normalization (2 dims → 16-bit z)
 
 
-def zvalue(x: Column, y: Column, bits: int = Z_BITS) -> Column:
-    """Morton code of two ``bits``-wide non-negative ints: x's bit i
-    lands at position 2i, y's at 2i+1."""
+def zvalue_nd(cols: list[Column], bits: int = Z_BITS) -> Column:
+    """Morton code of N ``bits``-wide non-negative ints: column j's
+    bit i lands at position i*N + j (round-robin interleave — the
+    direct N-dimensional generalization; each z-prefix bucket is a
+    2^N-tree cell bounding EVERY dimension at once). N*bits must fit
+    a signed long, so N <= 7 at the default 8-bit grid."""
+    n = len(cols)
+    assert 2 <= n * bits <= 62, (n, bits)
     terms = [
-        F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(1), 2 * i)
-        for i in range(bits)
-    ] + [
         F.shiftleft(
-            F.shiftright(y.cast("long"), i).bitwiseAND(1), 2 * i + 1
+            F.shiftright(c.cast("long"), i).bitwiseAND(1), i * n + j
         )
+        for j, c in enumerate(cols)
         for i in range(bits)
     ]
     out = terms[0]
@@ -51,12 +54,25 @@ def zvalue(x: Column, y: Column, bits: int = Z_BITS) -> Column:
     return out
 
 
-def zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:
-    """The identical Morton expression as portable SQL text."""
-    terms = [f"(({x} >> {i}) & 1) << {2 * i}" for i in range(bits)] + [
-        f"(({y} >> {i}) & 1) << {2 * i + 1}" for i in range(bits)
+def zvalue(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Two-dimensional Morton code (thin wrapper over zvalue_nd)."""
+    return zvalue_nd([x, y], bits)
+
+
+def zvalue_nd_sql(names: list[str], bits: int = Z_BITS) -> str:
+    """The identical N-dim Morton expression as portable SQL text."""
+    n = len(names)
+    terms = [
+        f"(({c} >> {i}) & 1) << {i * n + j}"
+        for j, c in enumerate(names)
+        for i in range(bits)
     ]
     return " | ".join(f"({t})" for t in terms)
+
+
+def zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    """Two-dimensional Morton SQL (thin wrapper over zvalue_nd_sql)."""
+    return zvalue_nd_sql([x, y], bits)
 
 
 def norm_expr(v: str, vmin: str, vmax: str, bits: int = Z_BITS) -> str:
@@ -69,34 +85,42 @@ def norm_expr(v: str, vmin: str, vmax: str, bits: int = Z_BITS) -> str:
     )
 
 
+def zorder_key_nd(
+    df: DataFrame, cols: list[str], bits: int = Z_BITS
+) -> DataFrame:
+    """Attach the normalized N-dimensional Morton key as column ``z``.
+
+    One aggregate computes every dimension's min/max (single row,
+    broadcast back); the normalization and interleave are a pure
+    projection. Sorting/range-partitioning on ``z`` before a write
+    yields a layout whose per-file stats bound EVERY listed column —
+    Delta's multi-column ``OPTIMIZE ZORDER BY (a, b, c)``."""
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"_zmn{j}"))
+        aggs.append(F.max(c).alias(f"_zmx{j}"))
+    stats = df.agg(*aggs)
+    top = (1 << bits) - 1
+    with_stats = df.crossJoin(F.broadcast(stats))
+    normed = [
+        F.expr(
+            f"CASE WHEN _zmx{j} = _zmn{j} THEN 0 "
+            f"ELSE (({c} - _zmn{j}) * {top}) div (_zmx{j} - _zmn{j}) END"
+        )
+        for j, c in enumerate(cols)
+    ]
+    drop = [f"_zmn{j}" for j in range(len(cols))] + [
+        f"_zmx{j}" for j in range(len(cols))
+    ]
+    return with_stats.withColumn("z", zvalue_nd(normed, bits)).drop(*drop)
+
+
 def zorder_key(
     df: DataFrame, x: str, y: str, bits: int = Z_BITS
 ) -> DataFrame:
-    """Attach the normalized Morton key as column ``z``.
-
-    One aggregate computes the per-dimension min/max (single row,
-    broadcast back); the normalization and interleave are a pure
-    projection. Sorting/range-partitioning on ``z`` before a write
-    yields the clustered layout."""
-    stats = df.agg(
-        F.min(x).alias("_xmin"),
-        F.max(x).alias("_xmax"),
-        F.min(y).alias("_ymin"),
-        F.max(y).alias("_ymax"),
-    )
-    top = (1 << bits) - 1
-    with_stats = df.crossJoin(F.broadcast(stats))
-    xn = F.expr(
-        f"CASE WHEN _xmax = _xmin THEN 0 "
-        f"ELSE (({x} - _xmin) * {top}) div (_xmax - _xmin) END"
-    )
-    yn = F.expr(
-        f"CASE WHEN _ymax = _ymin THEN 0 "
-        f"ELSE (({y} - _ymin) * {top}) div (_ymax - _ymin) END"
-    )
-    return with_stats.withColumn("z", zvalue(xn, yn, bits)).drop(
-        "_xmin", "_xmax", "_ymin", "_ymax"
-    )
+    """Two-dimensional clustered key (thin wrapper over the N-dim
+    form, kept for the established call sites)."""
+    return zorder_key_nd(df, [x, y], bits)
 
 
 def zorder_page_profile(

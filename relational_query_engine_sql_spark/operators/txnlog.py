@@ -1751,7 +1751,7 @@ class TxnLogTable(ParquetTable):
         self,
         target_files: int,
         cluster_by: list[str] | None = None,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
     ) -> None:
         """Small-files compaction; with ``cluster_by``, a CLUSTERED
         rewrite (Delta OPTIMIZE ZORDER / liquid-clustering shape):
@@ -1767,16 +1767,16 @@ class TxnLogTable(ParquetTable):
         live = list(data) + list(dvs)
         df = self._read_files_mor(list(data), base)
         if zorder_by:
-            # OPTIMIZE ZORDER: Morton-interleave two NUMERIC dims
+            # OPTIMIZE ZORDER: Morton-interleave N NUMERIC dims
             # (operators/layout.py) so each output file owns a small
-            # 2-D bounding box — the logged per-file stats then prune
-            # range scans on EITHER dimension, which a lexicographic
-            # cluster_by can only give its leading column
-            from .layout import zorder_key
+            # N-D bounding box — the logged per-file stats then prune
+            # range scans on ANY listed dimension, which a
+            # lexicographic cluster_by can only give its leading
+            # column
+            from .layout import zorder_key_nd
 
-            x, y = zorder_by
             df = (
-                zorder_key(df, x, y)
+                zorder_key_nd(df, list(zorder_by))
                 .repartitionByRange(target_files, "z")
                 .sortWithinPartitions("z")
                 .drop("z")

@@ -1660,3 +1660,51 @@ def test_vacuum_retain_hours_and_dry_run(spark, base, tmp_path):
     assert t.read(2).count() == 50
     with pytest.raises(Exception):
         t.read(0).count()  # vacuumed era
+
+
+def test_zorder_nd_bounds_every_dimension(spark, tmp_path):
+    """Multi-column OPTIMIZE ZORDER (N=3): after a z-ordered compact,
+    per-file stats prune range scans on EACH of the three listed
+    dimensions — the property a lexicographic sort gives only its
+    leading column. Also pins that the 2-dim wrapper is a true
+    special case (same z for the same inputs)."""
+    import pyspark.sql.types as T
+
+    from relational_query_engine_sql_spark.operators.layout import (
+        zorder_key,
+        zorder_key_nd,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+    rows = spark.createDataFrame(
+        [
+            (i, i % 97, (i * 31) % 89, (i * 57) % 101)
+            for i in range(6000)
+        ],
+        schema,
+    )
+    t = TxnLogTable(spark, str(tmp_path / "t"), schema, ["k"])
+    t.init(rows.repartition(8))
+    t.compact(8, zorder_by=("a", "b", "c"))
+    data, _ = t._split_live()
+    n_files = len(data)
+    assert n_files >= 6
+    for col, lo, hi in (("a", 0, 9), ("b", 0, 8), ("c", 0, 10)):
+        cands = t.scan_candidates(col, lo, hi)
+        assert len(cands) < n_files, (col, len(cands), n_files)
+        # and the pruned read is exact vs the unpruned filter
+        got = t.read_where(col, lo, hi).count()
+        want = t.read().filter(F.col(col).between(lo, hi)).count()
+        assert got == want and want > 0
+
+    # wrapper equivalence: zorder_key(x, y) == zorder_key_nd([x, y])
+    two = {r["k"]: r["z"] for r in zorder_key(rows, "a", "b").select("k", "z").collect()}
+    nd = {r["k"]: r["z"] for r in zorder_key_nd(rows, ["a", "b"]).select("k", "z").collect()}
+    assert two == nd
