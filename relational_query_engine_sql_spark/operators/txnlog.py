@@ -1404,6 +1404,56 @@ class TxnLogTable(ParquetTable):
         actions.extend(self._dv_shrink_actions(revived, version))
         return actions
 
+    def _rebase_safe_for_rewrite(
+        self,
+        from_v: int | None,
+        to_v: int | None,
+        doomed: set[str],
+        bounds: dict | None,
+    ) -> bool:
+        """Can a keyed copy-on-write commit built against snapshot
+        ``from_v`` land verbatim on ``to_v`` (Delta's WriteSerializable
+        conflict rules)? Safe iff every intervening commit is provably
+        DISJOINT from what this mutation read and wrote:
+
+        - it removed none of our ``doomed`` files (a remove there
+          means our kept-rows snapshot is stale —
+          ConcurrentDeleteReadException territory),
+        - it added no file — data or deletion vector — whose key
+          stats/partition values can overlap our incoming key bounds
+          (an overlapping add could carry one of our keys, and our
+          rewrite would duplicate or wrongly order it —
+          ConcurrentAppendException territory),
+        - no metadata/constraint action and no restore (the table
+          changed shape under us).
+        """
+        if bounds is None:
+            return False
+        start = 0 if from_v is None else from_v + 1
+        end = -1 if to_v is None else to_v
+        for v in range(start, end + 1):
+            if not os.path.exists(self._log_path(v)):
+                return False
+            with open(self._log_path(v), encoding="utf-8") as f:
+                entry = json.load(f)
+            if entry.get("op") == "restore":
+                return False
+            for a in entry["actions"]:
+                if "metadata" in a or "constraint" in a:
+                    return False
+                if "remove" in a and a["remove"]["path"] in doomed:
+                    return False
+                add = a.get("add")
+                if add and _overlaps(
+                    self._file_stats(
+                        {"stats": add.get("stats"), "part": add.get("part")}
+                    ),
+                    bounds,
+                    self.keys,
+                ):
+                    return False
+        return True
+
     def _rewrite(
         self,
         op: str,
@@ -1411,16 +1461,44 @@ class TxnLogTable(ParquetTable):
         out: DataFrame,
         extra: list[dict] | None = None,
         expected_version: int | None = None,
+        rebase_bounds: dict | None = None,
+        max_rebases: int = 10,
     ) -> int:
         """Copy-on-write commit: replace ``doomed`` files with ``out``
         (remove+add in ONE atomic log entry — readers never see a
         half-applied mutation). ``extra`` actions (e.g. a DV shrink)
         ride the same commit. ``expected_version`` must be the version
-        the caller's snapshot (doomed list, kept rows) was read at."""
+        the caller's snapshot (doomed list, kept rows) was read at.
+
+        ``rebase_bounds`` (the incoming key bounds of a KEYED
+        mutation) opts into file-disjoint conflict resolution: a CAS
+        loss against commits that touched none of our files and none
+        of our key range re-commits the SAME staged output at the new
+        head — no recompute, no re-stage. Writers on disjoint key
+        ranges of a clustered 100 TB table then serialize without
+        ever re-running each other's work, which is the Delta
+        WriteSerializable behavior. Predicate mutations (update /
+        delete) read EVERY live file, so they never pass bounds and
+        keep strict raise-on-conflict."""
         extra = extra or []
         adds = self._write_files(out)
-        removes = [{"remove": {"path": p}} for p in doomed]
-        return self._commit(op, removes + adds + extra, expected_version)
+        actions = [{"remove": {"path": p}} for p in doomed] + adds + extra
+        base = expected_version
+        for _ in range(max_rebases + 1):
+            try:
+                return self._commit(op, actions, base, staged_adds=[])
+            except CommitConflict:
+                new_base = self.current_version()
+                if rebase_bounds is None or not self._rebase_safe_for_rewrite(
+                    base, new_base, set(doomed), rebase_bounds
+                ):
+                    self._drop_staged(
+                        [a for a in actions if "add" in a]
+                    )
+                    raise
+                base = new_base
+        self._drop_staged([a for a in actions if "add" in a])
+        raise CommitConflict(f"{op} gave up after {max_rebases} rebases")
 
     # -- mutations (same surface as ParquetTable) ---------------------------
     #
@@ -1636,6 +1714,7 @@ class TxnLogTable(ParquetTable):
             kept.unionByName(incoming),
             extra=self._dv_shrink_actions(incoming.select(*self.keys), base),
             expected_version=base,
+            rebase_bounds=self._bounds(incoming),
         )
 
     def delete_keys(self, keys_df: DataFrame) -> None:
@@ -1646,7 +1725,13 @@ class TxnLogTable(ParquetTable):
         out = self._read_files_mor(affected, base).join(
             keys_df, self.keys, "left_anti"
         )
-        self._rewrite("delete_keys", affected, out, expected_version=base)
+        self._rewrite(
+            "delete_keys",
+            affected,
+            out,
+            expected_version=base,
+            rebase_bounds=self._bounds(keys_df),
+        )
 
     def delete_keys_deferred(self, keys_df: DataFrame) -> None:
         """Merge-on-read DELETE (Delta/Iceberg v2 deletion-vector
@@ -1745,6 +1830,7 @@ class TxnLogTable(ParquetTable):
             out,
             extra=self._dv_shrink_actions(source.select(*self.keys), base),
             expected_version=base,
+            rebase_bounds=self._bounds(source.select(*self.keys)),
         )
 
     def compact(

@@ -595,16 +595,19 @@ def test_direct_revive_of_tombstoned_key_never_duplicates(
 def test_intervening_commit_raises_instead_of_lost_update(
     spark, base, tmp_path, make_backend
 ):
-    """The lost-update window: a commit landing between a mutation's
-    snapshot read and its commit MUST surface as CommitConflict, not
-    be silently built over (the stale snapshot would re-materialize
-    the rival's deleted/updated rows). A rival commit is injected
-    inside the window by wrapping _write_files."""
+    """The lost-update window: a commit that OVERLAPS a mutation's
+    read set landing between its snapshot read and its commit MUST
+    surface as CommitConflict, not be silently built over (the stale
+    snapshot would re-materialize the rival's deleted/updated rows).
+    The table is a single file so the rival's delete provably removes
+    a file the upsert read (file-DISJOINT rivals are the rebase case
+    — test_disjoint_keyed_writes_rebase_without_conflict). A rival
+    commit is injected inside the window by wrapping _write_files."""
     backend = make_backend()  # both handles talk to the same store
     t = TxnLogTable(
         spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
     )
-    t.init(base)
+    t.init(base.coalesce(1))  # ONE file: rival and t must collide
     rival = TxnLogTable(
         spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
     )
@@ -1708,3 +1711,64 @@ def test_zorder_nd_bounds_every_dimension(spark, tmp_path):
     two = {r["k"]: r["z"] for r in zorder_key(rows, "a", "b").select("k", "z").collect()}
     nd = {r["k"]: r["z"] for r in zorder_key_nd(rows, ["a", "b"]).select("k", "z").collect()}
     assert two == nd
+
+
+@BACKENDS
+def test_disjoint_keyed_writes_rebase_without_conflict(
+    spark, tmp_path, make_backend
+):
+    """Delta's WriteSerializable resolution for KEYED mutations: a CAS
+    loss against a commit that touched none of our files and none of
+    our key range re-commits the same staged output — no error, no
+    recompute — while both writers' effects land. Layout: three
+    disjoint key-range files, writers in different ranges."""
+    backend = make_backend()
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
+    )
+    for lo in (0, 1000, 2000):
+        t.append(
+            _rows(spark, [(lo + i, "g", 1.0) for i in range(50)]).coalesce(1)
+        )
+    rival = TxnLogTable(
+        spark, str(tmp_path / "t"), SCHEMA, ["k"], commit_backend=backend
+    )
+
+    real = t._write_files
+    fired = {"done": False}
+
+    def inject_then_write(df, dv=False):
+        out = real(df, dv=dv)
+        if not fired["done"]:
+            fired["done"] = True
+            # rival mutates a DIFFERENT key range (other file) inside
+            # t's stage->commit window
+            rival.upsert(_rows(spark, [(2005, "rival", 9.0)]))
+        return out
+
+    t._write_files = inject_then_write
+    t.upsert(_rows(spark, [(5, "mine", -1.0)]))  # must NOT raise
+    t._write_files = real
+
+    got = {r["k"]: r["grp"] for r in t.read().collect()}
+    assert got[5] == "mine" and got[2005] == "rival"
+    assert t.read().count() == 150
+    # t's commit landed ON TOP of the rival's (rebase, not overwrite)
+    ops = [h["op"] for h in t.history()]
+    assert ops[-2:] == ["upsert", "upsert"]
+    # delete_keys rebases the same way
+    fired["done"] = False
+
+    def inject_then_write2(df, dv=False):
+        out = real(df, dv=dv)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.delete_keys(spark.createDataFrame([(2010,)], "k long"))
+        return out
+
+    t._write_files = inject_then_write2
+    t.delete_keys(spark.createDataFrame([(10,)], "k long"))
+    t._write_files = real
+    keys = {r["k"] for r in t.read().collect()}
+    assert 10 not in keys and 2010 not in keys
+    assert t.read().count() == 148
