@@ -341,6 +341,7 @@ ROUND7_QUEUE = [
     "s26_txnlog_cdf",
     "s27_txnlog_timestamp_travel",
     "s28_txnlog_vacuum_retention",
+    "stream_txnlog_source",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -1045,3 +1045,79 @@ def stream_ingest_exactly_once(
         "value",
         F.lit(noop).alias("replay_was_noop"),
     )
+
+
+# --------------------------------------------------------------------------
+# The txnlog table as a STREAMING SOURCE (Delta readStream parity,
+# Spark 4 Python Data Source API — sources/txnlog_stream.py): offsets
+# ARE commit versions, so the engine's offset checkpoint composes
+# with the table's atomic commits into exactly-once consumption of an
+# append-only feed. The scenario lands events in two commit waves and
+# streams each through the SAME checkpoint: the restarted run must
+# consume exactly the second wave (asserted in-plan from
+# recentProgress), and the union must equal the batch table — hashed
+# against the SQL oracle. partitions() is driver-side log metadata;
+# each added file is one executor-side Arrow-batch read, so a
+# micro-batch costs the commit's files, never the table.
+# --------------------------------------------------------------------------
+@query(
+    "stream_txnlog_source",
+    survey="beyond:txnlog,beyond:streaming-source,S3",
+    priority=60,
+    oracle="""
+    SELECT event_id, event_type, value,
+           TRUE AS restart_consumed_only_new
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+)
+def stream_txnlog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.txnlog import TxnLogTable
+    from ..sources.txnlog_stream import TxnLogStreamDataSource
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    n_second = second.count()
+    root = tempfile.mkdtemp(prefix="rqe-txn-src-")
+    t = TxnLogTable(spark, f"{root}/t", ev.schema, ["event_id"])
+    t.init(first)
+
+    def run_once():
+        q = (
+            spark.readStream.format("txnlog")
+            .option("path", f"{root}/t")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{root}/sink")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    run_once()  # wave 1
+    t.append(second)  # wave 2 lands as its own commit
+    resumed = run_once()
+    only_new = resumed == n_second
+    assert only_new, (
+        f"restart re-read old commits: {resumed} rows vs {n_second}"
+    )
+    return (
+        spark.read.schema(ev.schema)
+        .parquet(f"{root}/sink")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.lit(only_new).alias("restart_consumed_only_new"),
+        )
+    )

@@ -1,0 +1,216 @@
+"""TxnLogTable as a Structured Streaming SOURCE (Delta readStream
+parity) via Spark 4's Python Data Source API.
+
+``spark.readStream.format("txnlog").option("path", p).load()`` tails
+the commit log: each micro-batch consumes exactly the data files
+ADDED by the commits in ``(start_version, end_version]`` — offsets
+ARE log versions, so the engine's offset checkpointing composes with
+the table's own atomic commits to give exactly-once consumption of an
+append-only feed with zero extra bookkeeping (Delta's streaming-source
+design; reference ingest loop src/routes/stocks.js:137-142 is the
+batch shape this streams).
+
+Scale shape: ``partitions()`` is driver-side METADATA (replaying KB
+of JSON per commit — never data); each added file becomes one input
+partition, and ``read()`` executes on executors, yielding Arrow
+record batches straight from the parquet footer (no Python row
+loop). A 10-file commit is a 10-partition micro-batch regardless of
+table size.
+
+Change semantics: by default a REMOVE of a data file inside the
+consumed range raises (the stream is an append-only contract, same
+default as Delta's readStream); ``.option("ignoreChanges", "true")``
+relaxes it to adds-only delivery (rewritten files re-emit their rows
+— Delta's documented ignoreChanges caveat applies verbatim).
+Merge-on-read deletion vectors are metadata files and are never
+emitted.
+
+Cited reference behavior: the reference tails its stocks feed by
+polling the newest rows (src/routes/stocks.js:42-47); here the table
+itself is the replayable feed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_ARROW_TO_DDL = {
+    "bool": "boolean",
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _arrow_field_ddl(field) -> str:
+    t = str(field.type)
+    if t in _ARROW_TO_DDL:
+        return _ARROW_TO_DDL[t]
+    if t.startswith("timestamp["):
+        return "timestamp"
+    if t.startswith("decimal128(") or t.startswith("decimal("):
+        return t.replace("decimal128", "decimal")
+    if t.startswith("list<") or t.startswith("large_list<"):
+        inner = field.type.value_field
+        return f"array<{_arrow_field_ddl(inner)}>"
+    raise ValueError(
+        f"txnlog stream source cannot map arrow type {t!r} "
+        f"(column {field.name!r}); pass an explicit .schema(...)"
+    )
+
+
+class _LogView:
+    """Driver-side, Spark-free view of a txnlog table's commit log —
+    just enough replay to turn version ranges into added-file lists.
+    (The full TxnLogTable class needs a SparkSession; the stream
+    reader must not.)"""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.log_dir = os.path.join(path, "_txn_log")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        )
+
+    def entry(self, v: int) -> dict:
+        p = os.path.join(self.log_dir, f"{v:020d}.json")
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+
+    def added_data_files(
+        self, after: int, upto: int, ignore_changes: bool
+    ) -> list[str]:
+        """Absolute paths of data files added in (after, upto]."""
+        out: list[str] = []
+        for v in range(after + 1, upto + 1):
+            entry = self.entry(v)
+            for a in entry["actions"]:
+                if (
+                    "remove" in a
+                    and not ignore_changes
+                    and not a["remove"]["path"].startswith("_")
+                ):
+                    raise RuntimeError(
+                        f"txnlog stream: version {v} "
+                        f"({entry.get('op', '?')}) removed data file "
+                        f"{a['remove']['path']!r}; the stream is an "
+                        "append-only contract — set "
+                        "option('ignoreChanges', 'true') to consume "
+                        "adds-only (rewritten rows re-emit)"
+                    )
+                add = a.get("add")
+                if add and not add.get("dv") and add.get("rows"):
+                    p = add["path"]
+                    out.append(
+                        p if os.path.isabs(p) else os.path.join(self.path, p)
+                    )
+        return out
+
+    def any_data_file(self) -> str | None:
+        live: dict[str, bool] = {}
+        for v in self.versions():
+            for a in self.entry(v)["actions"]:
+                if "add" in a:
+                    live[a["add"]["path"]] = not a["add"].get("dv")
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+        for p, is_data in live.items():
+            if is_data:
+                return p if os.path.isabs(p) else os.path.join(self.path, p)
+        return None
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class TxnLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.view = _LogView(options["path"])
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        start = options.get("startingversion")
+        self.starting = int(start) if start is not None else None
+
+    def initialOffset(self) -> dict:
+        if self.starting is not None:
+            # startingVersion v ⇒ the first batch INCLUDES version v
+            return {"version": self.starting - 1}
+        vs = self.view.versions()
+        # default: consume the table from the beginning (version 0's
+        # init rides the first batch), matching Delta's default of
+        # processing the full existing snapshot first
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        vs = self.view.versions()
+        return {"version": vs[-1] if vs else -1}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        files = self.view.added_data_files(
+            int(start["version"]), int(end["version"]), self.ignore_changes
+        )
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine's checkpoint
+
+
+class TxnLogStreamDataSource(DataSource):
+    """``format("txnlog")`` — register once per session with
+    ``spark.dataSource.register(TxnLogStreamDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txnlog"
+
+    def schema(self) -> str:
+        view = _LogView(self.options["path"])
+        sample = view.any_data_file()
+        if sample is None:
+            raise ValueError(
+                f"txnlog table at {self.options['path']!r} has no data "
+                "files; pass an explicit .schema(...)"
+            )
+        import pyarrow.parquet as pq
+
+        arrow = pq.read_schema(sample)
+        cols = ", ".join(
+            f"`{f.name}` {_arrow_field_ddl(f)}" for f in arrow
+        )
+        return cols
+
+    def streamReader(self, schema) -> TxnLogStreamReader:
+        return TxnLogStreamReader(self.options)

@@ -98,6 +98,7 @@ POOLED_CASES = [
     ("test_txnlog", "test_vacuum_retain_hours_and_dry_run"),
     ("test_txnlog", "test_cas_conflict_and_retry"),
     ("test_txnlog", "test_zorder_nd_bounds_every_dimension"),
+    ("test_txnlog", "test_disjoint_keyed_writes_rebase_without_conflict"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a

@@ -914,3 +914,87 @@ def user_stats_batch_totals(spark, ev, schema):
         ],
         "user_id long, n long, total double",
     )
+
+
+def test_txnlog_table_as_streaming_source(spark, sf_small, tmp_path):
+    """The txnlog table as a Structured Streaming SOURCE (Delta
+    readStream parity, Spark 4 Python Data Source API): offsets are
+    log versions, a checkpointed restart consumes exactly the commits
+    that landed since, a non-append change fails loud by default, and
+    ignoreChanges relaxes to adds-only delivery."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(300)
+    )
+    t = TxnLogTable(
+        spark,
+        str(tmp_path / "t"),
+        ev.schema,
+        ["event_id"],
+    )
+    rows = ev.collect()
+    t.init(spark.createDataFrame(rows[:200], ev.schema))
+    t.append(spark.createDataFrame(rows[200:250], ev.schema))
+    sink, ckpt = tmp_path / "sink", tmp_path / "ckpt"
+
+    def run():
+        q = (
+            spark.readStream.format("txnlog")
+            .option("path", str(tmp_path / "t"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    run()
+    assert spark.read.parquet(str(sink)).count() == 250
+    # restart consumes ONLY the new commit
+    t.append(spark.createDataFrame(rows[250:], ev.schema))
+    q2 = run()
+    assert sum(p["numInputRows"] for p in q2.recentProgress) == 50
+    got = {r["event_id"] for r in spark.read.parquet(str(sink)).collect()}
+    assert got == {r["event_id"] for r in rows}
+    # inferred schema round-trips types
+    assert (
+        spark.read.parquet(str(sink)).schema.simpleString()
+        == ev.schema.simpleString()
+    )
+    # a rewrite breaks the append-only contract loudly
+    t.upsert(
+        spark.createDataFrame([rows[0]], ev.schema).withColumn(
+            "value", F.lit(0.0)
+        )
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="append-only contract"):
+        run()
+    # ignoreChanges consumes adds-only without failing
+    q3 = (
+        spark.readStream.format("txnlog")
+        .option("path", str(tmp_path / "t"))
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink2"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "sink2")).count() >= 300
