@@ -1105,8 +1105,18 @@ class TxnLogTable(ParquetTable):
                 )
         adds = []
         norm_out = os.path.normpath(out_dir)
+        from urllib.parse import unquote
+
         for r in stat_rows:
-            fp = r["_f"].split("?", 1)[0]
+            # input_file_name() returns a URI: the FILESYSTEM name is
+            # its single-unquote (space -> %20, and hive-escaped dirs
+            # like p_c=A%25B -> A%2525B in URI form). The log must
+            # store the literal on-disk path or every later consumer
+            # that doesn't URI-decode (pyarrow in the stream reader,
+            # os.remove in the zero-row scrub — which would otherwise
+            # DELETE freshly-written files it fails to match) breaks
+            # on any partition value needing escapes.
+            fp = unquote(r["_f"].split("?", 1)[0])
             if fp.startswith("file:"):
                 fp = fp[len("file:") :]
             sub = os.path.relpath(os.path.normpath(fp), norm_out)

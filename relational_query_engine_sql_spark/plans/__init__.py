@@ -342,6 +342,8 @@ ROUND7_QUEUE = [
     "s27_txnlog_timestamp_travel",
     "s28_txnlog_vacuum_retention",
     "stream_txnlog_source",
+    "eval_quantization_recall",
+    "s29_txnlog_partition_stream",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -705,3 +705,68 @@ def eval_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points bigint, every_point_assigned_once boolean, "
         "at_most_k_clusters boolean, inertia_monotone boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Oracled bound on the int8 quantization lever: candidate generation
+# over DEQUANTIZED vectors (q·scale — the 4-8× shuffle-bytes saving)
+# must retain the float-precision top-k. Recall@10 per query rides the
+# hashed result as an exact integer, with the acceptance floor as a
+# boolean — a quantizer regression (bad scale, tie-break drift,
+# truncation) drops hits and flips hash-checked bits. The measured
+# floor at the driver SFs is 10/10 on every query; the asserted bound
+# is >= 8/10 so the row stays stable if future driver data lands near
+# a rank boundary.
+# --------------------------------------------------------------------------
+@query(
+    "eval_quantization_recall",
+    survey="beyond:embedding-quantize,beyond:eval",
+    priority=90,
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           10 AS k, TRUE AS recall_ge_80pct
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def eval_quantization_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..datapipe.similarity import cosine_topk, quantize_embeddings
+    from ..sources import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    q = quantize_embeddings(emb)
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda x: x.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    queries_deq = deq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = cosine_topk(deq, queries_deq, k=10).select(
+        "query_id", "vec_id"
+    )
+    want = cosine_topk(emb, _queries_df(emb), k=10).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        want.join(got, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .count()
+        .withColumnRenamed("count", "_hits")
+    )
+    return (
+        want.groupBy("query_id")
+        .count()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("count").cast("int").alias("k"),
+            (
+                F.coalesce(F.col("_hits"), F.lit(0))
+                >= F.col("count") * 0.8
+            ).alias("recall_ge_80pct"),
+        )
+    )

@@ -1121,3 +1121,82 @@ def stream_txnlog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(only_new).alias("restart_consumed_only_new"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Composition proof: the PARTITION-COLUMN layout (s25) and the
+# streaming source (stream_txnlog_source) work together — partitioned
+# commits add files under hive-style p_<col>= directories, and the
+# stream reader consumes those relpaths verbatim from the log
+# metadata (the data files are self-contained, so no partition
+# reconstruction is needed at read). Restart through the same
+# checkpoint consumes exactly the second wave.
+# --------------------------------------------------------------------------
+@query(
+    "s29_txnlog_partition_stream",
+    survey="beyond:txnlog,beyond:streaming-source,beyond:partition-layout",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           TRUE AS restart_consumed_only_new
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+)
+def s29_txnlog_partition_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.txnlog import TxnLogTable
+    from ..sources.txnlog_stream import TxnLogStreamDataSource
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    first = src.filter(F.col("o_orderkey") % 2 == 0)
+    second = src.filter(F.col("o_orderkey") % 2 == 1)
+    n_second = second.count()
+    root = tempfile.mkdtemp(prefix="rqe-txn-pstr-")
+    t = TxnLogTable(
+        spark,
+        f"{root}/orders",
+        src.schema,
+        ["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    t.init(first)
+
+    def run_once():
+        q = (
+            spark.readStream.format("txnlog")
+            .option("path", f"{root}/orders")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{root}/sink")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    run_once()
+    t.append(second)
+    resumed = run_once()
+    only_new = resumed == n_second
+    assert only_new, (
+        f"restart re-read old commits: {resumed} vs {n_second}"
+    )
+    return (
+        spark.read.schema(src.schema)
+        .parquet(f"{root}/sink")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.lit(only_new).alias("restart_consumed_only_new"),
+        )
+    )

@@ -99,6 +99,7 @@ POOLED_CASES = [
     ("test_txnlog", "test_cas_conflict_and_retry"),
     ("test_txnlog", "test_zorder_nd_bounds_every_dimension"),
     ("test_txnlog", "test_disjoint_keyed_writes_rebase_without_conflict"),
+    ("test_txnlog", "test_partition_values_with_special_chars_round_trip"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a

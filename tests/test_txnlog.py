@@ -1772,3 +1772,34 @@ def test_disjoint_keyed_writes_rebase_without_conflict(
     keys = {r["k"] for r in t.read().collect()}
     assert 10 not in keys and 2010 not in keys
     assert t.read().count() == 148
+
+
+def test_partition_values_with_special_chars_round_trip(spark, tmp_path):
+    """Hive-escaped partition directories (space, %, =, /): the log
+    must store the LITERAL on-disk path — input_file_name returns a
+    URI, and logging its escaped form made the zero-row scrub delete
+    freshly-written files whose partition value needed escaping (the
+    s29 discovery: the '4-NOT SPECIFIED' orders partition silently
+    vanished at init). Values must also parse back exactly."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("p", T.StringType()),
+        ]
+    )
+    t = TxnLogTable(
+        spark, str(tmp_path / "t"), schema, ["k"], partition_by=["p"]
+    )
+    vals = {1: "NOT SPECIFIED", 2: "A%B", 3: "ok", 4: "a=b/c"}
+    t.init(spark.createDataFrame(sorted(vals.items()), schema))
+    assert {m["part"]["p"] for m in t._live().values()} == set(vals.values())
+    got = {r["k"]: r["p"] for r in t.read().collect()}
+    assert got == vals
+    # exact partition prune on the escaped values
+    for v in vals.values():
+        cands = t.scan_candidates("p", v, v)
+        assert len(cands) == 1, (v, cands)
+        assert t.read_where("p", v, v).count() == 1
+    # keyed rewrite inside an escaped partition keeps everything
+    t.upsert(spark.createDataFrame([(1, "NOT SPECIFIED")], schema))
+    assert t.read().count() == 4
