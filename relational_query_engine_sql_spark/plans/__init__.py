@@ -344,6 +344,7 @@ ROUND7_QUEUE = [
     "stream_txnlog_source",
     "eval_quantization_recall",
     "s29_txnlog_partition_stream",
+    "stream_txnlog_sink",
 ]
 _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"

@@ -1200,3 +1200,72 @@ def s29_txnlog_partition_stream(
             F.lit(only_new).alias("restart_consumed_only_new"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The txnlog table as an exactly-once streaming SINK
+# (writeStream.format("txnlog"), sources/txnlog_stream.py): executors
+# stage Arrow batches as immutable parquet files WITH key stats
+# computed from the in-memory batch, and the driver lands each
+# micro-batch plus a txn{appId, batchId} marker in one CAS commit.
+# The scenario ingests two file-source waves through one checkpoint,
+# then REPLAYS the whole source through a fresh checkpoint with the
+# same appId — the txn markers make the replay a wholesale no-op, and
+# the hashed result (the table, exactly once) plus the in-plan assert
+# pin it.
+# --------------------------------------------------------------------------
+@query(
+    "stream_txnlog_sink",
+    survey="beyond:txnlog,beyond:streaming-sink,S3",
+    priority=60,
+    oracle="""
+    SELECT event_id, event_type, value,
+           TRUE AS replay_was_noop
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.txnlog import TxnLogTable
+    from ..sources.txnlog_stream import TxnLogStreamDataSource
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    n_total = ev.count()
+    root = tempfile.mkdtemp(prefix="rqe-txn-sink-")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{root}/src/c0")
+
+    def run(ckpt: str):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{root}/src/c*")
+            .writeStream.format("txnlog")
+            .option("path", f"{root}/table")
+            .option("checkpointLocation", ckpt)
+            .option("appId", "ingest")
+            .option("keys", "event_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(f"{root}/ckpt")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{root}/src/c1")
+    run(f"{root}/ckpt")
+    t = TxnLogTable(spark, f"{root}/table", ev.schema, ["event_id"])
+    assert t.read().count() == n_total
+    # replay EVERYTHING via a fresh checkpoint, same appId
+    run(f"{root}/ckpt2")
+    noop = t.read().count() == n_total
+    assert noop, "replayed ingest duplicated rows"
+    return t.read().select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit(noop).alias("replay_was_noop"),
+    )

@@ -38,8 +38,10 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _ARROW_TO_DDL = {
@@ -188,6 +190,164 @@ class TxnLogStreamReader(DataSourceStreamReader):
         pass  # offsets live in the engine's checkpoint
 
 
+class _StagedFile(WriterCommitMessage):
+    """One executor-written parquet file awaiting the driver-side
+    commit: (relpath, rows, per-column min/max stats)."""
+
+    def __init__(self, relpath: str, rows: int, stats: dict | None):
+        self.relpath = relpath
+        self.rows = rows
+        self.stats = stats
+
+
+class TxnLogStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("txnlog")`` — the table as an EXACTLY-ONCE
+    streaming sink, the write-side twin of the streaming source.
+
+    Protocol per micro-batch (Delta's transactional sink shape):
+    executors stream their Arrow batches straight into immutable
+    parquet files under the table's ``data/`` (one file per task,
+    stats computed from the in-memory Arrow table — no second read),
+    and the DRIVER lands every staged file plus a
+    ``txn {appId, batchId}`` marker in ONE CAS commit. A replayed
+    micro-batch (sink retry after a crash between write and
+    checkpoint) finds its marker and drops its staged files — the
+    same SetTransaction idempotence ``append_once`` gives foreachBatch
+    ingest, here native to the writeStream API. CAS losses against
+    disjoint commits rebase the same staged adds (blind-append rules);
+    a table-shape change (constraint/metadata/restore) mid-stream
+    fails the query loudly.
+
+    Contract notes: ``option("appId", ...)`` names the idempotence
+    stream (default ``txnlog-sink``); ``option("keys", "a,b")``
+    selects the stat columns for later pruning (optional — unstatted
+    files simply never prune until a compact rewrites them); sinking
+    into a table with active CHECK constraints is refused (this path
+    bypasses the write-time validation pass).
+    """
+
+    def __init__(self, options: dict, schema) -> None:
+        self.path = options["path"]
+        self.app_id = options.get("appid", "txnlog-sink")
+        keys = options.get("keys", "")
+        self.stat_cols = [k for k in keys.split(",") if k]
+        self.schema = schema
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> _StagedFile:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _StagedFile("", 0, None)
+        table = pa.Table.from_batches(batches)
+        rel = f"data/sink-{_uuid.uuid4().hex[:12]}/part-{_uuid.uuid4().hex[:8]}.parquet"
+        full = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(table, full)
+        stats = {}
+        import pyarrow.compute as pc
+
+        for c in self.stat_cols:
+            if c not in table.column_names:
+                continue
+            mm = pc.min_max(table[c])
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if isinstance(mn, (int, str, float)) or mn is None:
+                stats[c] = [mn, mx]
+        return _StagedFile(rel, table.num_rows, stats or None)
+
+    # -- driver side --------------------------------------------------------
+    def _table(self):
+        from ..operators.txnlog import TxnLogTable
+
+        # driver-side metadata work only — no SparkSession needed, and
+        # none is passed (read paths are never touched here)
+        return TxnLogTable(None, self.path, self.schema, ["__none__"])
+
+    def commit(self, messages, batchId: int) -> None:
+        from ..operators.txnlog import CommitConflict
+
+        staged = [
+            m for m in messages if isinstance(m, _StagedFile) and m.rows
+        ]
+        adds = [
+            {
+                "add": {
+                    "path": m.relpath,
+                    "rows": m.rows,
+                    **({"stats": m.stats} if m.stats else {}),
+                }
+            }
+            for m in staged
+        ]
+        t = self._table()
+        for _ in range(11):
+            base = t.current_version()
+            if t.constraints(base):
+                self._drop(staged)
+                raise RuntimeError(
+                    "txnlog sink cannot write to a table with active "
+                    "CHECK constraints (the sink path bypasses "
+                    "write-time validation); drop the constraint or "
+                    "ingest via foreachBatch + append_once"
+                )
+            last = t.last_txn_version(self.app_id)
+            if last is not None and last >= batchId:
+                self._drop(staged)  # replayed batch: exactly-once no-op
+                return
+            actions = adds + [
+                {"txn": {"app": self.app_id, "version": batchId}}
+            ]
+            try:
+                t._commit("append", actions, base, staged_adds=[])
+                return
+            except CommitConflict:
+                new_base = t.current_version()
+                # pure adds: safe over any intervening commit except a
+                # table-shape change or an overlapping DV (unknown key
+                # bounds here, so ANY deletion-vector add blocks)
+                if not self._adds_safe(t, base, new_base):
+                    self._drop(staged)
+                    raise
+        self._drop(staged)
+        raise CommitConflict(
+            f"txnlog sink gave up after 10 rebases (batch {batchId})"
+        )
+
+    def _adds_safe(self, t, from_v, to_v) -> bool:
+        start = 0 if from_v is None else from_v + 1
+        end = -1 if to_v is None else to_v
+        for v in range(start, end + 1):
+            if not os.path.exists(t._log_path(v)):
+                return False
+            with open(t._log_path(v), encoding="utf-8") as f:
+                entry = json.load(f)
+            if entry.get("op") == "restore":
+                return False
+            for a in entry["actions"]:
+                if "metadata" in a or "constraint" in a:
+                    return False
+                if a.get("add", {}).get("dv"):
+                    return False
+        return True
+
+    def _drop(self, staged) -> None:
+        import shutil
+
+        for m in staged:
+            full = os.path.join(self.path, m.relpath)
+            shutil.rmtree(os.path.dirname(full), ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop(
+            [m for m in messages if isinstance(m, _StagedFile) and m.rows]
+        )
+
+
 class TxnLogStreamDataSource(DataSource):
     """``format("txnlog")`` — register once per session with
     ``spark.dataSource.register(TxnLogStreamDataSource)``."""
@@ -214,3 +374,12 @@ class TxnLogStreamDataSource(DataSource):
 
     def streamReader(self, schema) -> TxnLogStreamReader:
         return TxnLogStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> TxnLogStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "txnlog sink is append-only (exactly-once transactional "
+                "appends); complete/overwrite output modes are not "
+                "supported"
+            )
+        return TxnLogStreamWriter(self.options, schema)

@@ -998,3 +998,80 @@ def test_txnlog_table_as_streaming_source(spark, sf_small, tmp_path):
     )
     q3.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "sink2")).count() >= 300
+
+
+def test_txnlog_table_as_streaming_sink(spark, sf_small, tmp_path):
+    """The txnlog table as an EXACTLY-ONCE streaming SINK: executors
+    stage Arrow batches as immutable parquet with in-memory key
+    stats, the driver lands each micro-batch + its txn marker in one
+    CAS commit, a replay through a FRESH checkpoint (same appId) is a
+    wholesale no-op, and constraint-gated tables are refused."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    schema = "event_id long, event_type string, value double"
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(400)
+        .collect()
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(ev[:300], schema).coalesce(1).write.parquet(
+        str(src / "c0")
+    )
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "c*"))
+            .writeStream.format("txnlog")
+            .option("path", str(tmp_path / "table"))
+            .option("checkpointLocation", str(ckpt))
+            .option("appId", "ingest")
+            .option("keys", "event_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(tmp_path / "ckpt")
+    t = TxnLogTable(
+        spark,
+        str(tmp_path / "table"),
+        spark.createDataFrame([], schema).schema,
+        ["event_id"],
+    )
+    assert t.read().count() == 300
+    # staged Arrow stats make the files prunable immediately
+    assert all(
+        (m.get("stats") or {}).get("event_id") for m in t._live().values()
+    )
+    # second wave through the SAME checkpoint
+    spark.createDataFrame(ev[300:], schema).coalesce(1).write.parquet(
+        str(src / "c1")
+    )
+    run(tmp_path / "ckpt")
+    assert t.read().count() == 400
+    # full replay via a FRESH checkpoint, same appId: exactly-once no-op
+    run(tmp_path / "ckpt2")
+    assert t.read().count() == 400
+    got = {r["event_id"] for r in t.read().collect()}
+    assert got == {r["event_id"] for r in ev}
+    # constraint-gated tables refuse the sink (bypasses validation)
+    t.add_constraint("pos", "value >= -1e18")
+    spark.createDataFrame(ev[:1], schema).coalesce(1).write.parquet(
+        str(src / "c2")
+    )
+    with pytest.raises(Exception, match="CHECK constraints"):
+        run(tmp_path / "ckpt3")
+    # and the refused batch left no debris: same live set, same count
+    assert t.read().count() == 400
