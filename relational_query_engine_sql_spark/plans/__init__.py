@@ -350,6 +350,10 @@ _unknown_r7 = [n for n in ROUND7_QUEUE if n not in all_queries()]
 assert not _unknown_r7, f"ROUND7_QUEUE names not registered: {_unknown_r7}"
 
 ROUND7_PREFIX = ROUND7_QUEUE + [
+    # the one round-6 driver-red row, re-staged after the hash-stable
+    # rewrite (est_e4 floor-scaled BIGINT instead of round(double,4) —
+    # see queries_sketches.py); MUST earn a green row this round
+    "sketch_hll_estimate",
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",

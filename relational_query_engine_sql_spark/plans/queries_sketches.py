@@ -305,13 +305,16 @@ _HLL_EST_SQL = f"""
     est1 AS (
         SELECT s_scaled, empty_buckets,
                CASE WHEN est_raw <= 640.0 AND empty_buckets > 0
-                    THEN round(256.0 * ln(256.0 / empty_buckets), 4)
-                    ELSE round(est_raw, 4) END AS est
+                    THEN CAST(floor(256.0 * ln(256.0 / empty_buckets)
+                                    * 10000.0 + 0.5) AS BIGINT)
+                    ELSE CAST(floor(est_raw * 10000.0 + 0.5) AS BIGINT)
+               END AS est_e4
         FROM est0
     ),
     ex AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem)
-    SELECT est, n_exact, empty_buckets, s_scaled,
-           abs(est / n_exact - 1.0) <= 0.195 AS within_bound
+    SELECT est_e4, n_exact, empty_buckets, s_scaled,
+           abs(CAST(est_e4 AS DOUBLE) / 10000.0
+               / CAST(n_exact AS DOUBLE) - 1.0) <= 0.195 AS within_bound
     FROM est1, ex
 """
 
@@ -346,18 +349,27 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "s_scaled",
         "empty_buckets",
+        # Hash-stable emission: never return round(<double>, n) from a
+        # hash-compared query — Spark rounds doubles via decimal-string
+        # HALF_UP while DuckDB rounds in binary, so the two can disagree
+        # near scale-4 halfway points even when est_raw is bit-identical.
+        # floor(x * 1e4 + 0.5) is pure IEEE multiply/add/floor (exact and
+        # identical cross-engine on the same double), cast to BIGINT.
         "CASE WHEN est_raw <= 640.0 AND empty_buckets > 0"
-        " THEN round(256.0 * ln(256.0 / empty_buckets), 4)"
-        " ELSE round(est_raw, 4) END AS est",
+        " THEN CAST(floor(256.0 * ln(256.0 / empty_buckets)"
+        "                 * 10000.0 + 0.5) AS BIGINT)"
+        " ELSE CAST(floor(est_raw * 10000.0 + 0.5) AS BIGINT)"
+        " END AS est_e4",
     )
     exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
     # 1-row × 1-row scalar join (broadcast; never a data crossjoin)
     return est.crossJoin(F.broadcast(exact)).selectExpr(
-        "est",
+        "est_e4",
         "n_exact",
         "empty_buckets",
         "s_scaled",
-        "abs(est / n_exact - 1.0) <= 0.195 AS within_bound",
+        "abs(CAST(est_e4 AS DOUBLE) / 10000.0"
+        " / CAST(n_exact AS DOUBLE) - 1.0) <= 0.195 AS within_bound",
     )
 
 
