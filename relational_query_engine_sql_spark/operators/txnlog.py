@@ -657,20 +657,39 @@ class TxnLogTable(ParquetTable):
             )
         return out
 
-    def version_at(self, timestamp: float) -> int:
-        """Newest version whose commit time is <= ``timestamp`` —
-        Delta's TIMESTAMP AS OF resolution. Commit times are the
-        writer's wall clock at commit (monotone per table because
-        commits serialize through the CAS; a cross-writer clock skew
-        shows up here exactly as it does in Delta, which is why the
-        version form is the precise one). Raises when the timestamp
-        predates the table; entries from builds before the ``ts``
-        field count as time zero (always eligible)."""
-        best = None
+    def _effective_ts(self) -> dict[int, float]:
+        """Per-version commit timestamps with Delta-style MONOTONIC
+        adjustment: commit ``ts`` is the writer's raw wall clock, so
+        with multiple writers and clock skew the sequence can be
+        non-monotone in version order even though the CAS serializes
+        the commits themselves. Delta resolves this during replay by
+        clamping each commit's effective timestamp to
+        max(raw, prev + 1ms); we do the same here so TIMESTAMP AS OF
+        and vacuum retention resolve against a sequence that respects
+        the commit order (a version can never look OLDER than an
+        earlier-numbered commit). Entries from builds before the
+        ``ts`` field count as time zero before adjustment."""
+        out: dict[int, float] = {}
+        prev: float | None = None
         for v in self.versions():
             with open(self._log_path(v), encoding="utf-8") as f:
-                e = json.load(f)
-            if e.get("ts", 0.0) <= timestamp:
+                ts = float(json.load(f).get("ts") or 0.0)
+            if prev is not None and ts <= prev:
+                ts = prev + 0.001
+            out[v] = ts
+            prev = ts
+        return out
+
+    def version_at(self, timestamp: float) -> int:
+        """Newest version whose effective commit time is <=
+        ``timestamp`` — Delta's TIMESTAMP AS OF resolution, over the
+        monotonically adjusted sequence (``_effective_ts``), so a
+        skewed writer clock can never resolve a timestamp to a version
+        older than an earlier-numbered commit. Raises when the
+        timestamp predates the table."""
+        best = None
+        for v, ts in self._effective_ts().items():
+            if ts <= timestamp:
                 best = v
         if best is None:
             raise ValueError(
@@ -1493,6 +1512,16 @@ class TxnLogTable(ParquetTable):
         extra = extra or []
         adds = self._write_files(out)
         actions = [{"remove": {"path": p}} for p in doomed] + adds + extra
+        # The rebase conflict set must cover EVERY file this commit
+        # removes, not just the caller's doomed data files: ``extra``
+        # carries deletion-vector shrinks (remove+add on a DV file
+        # built from OUR snapshot). If a rival commit shrank the same
+        # DV — possible even for disjoint key ranges, since one DV file
+        # can span both ranges — re-committing our stale DV copy would
+        # resurrect tombstones the rival cleared, silently masking its
+        # newly written rows (lost update). Seeing the rival's remove
+        # of any file we also remove forces the strict-raise path.
+        removed = {a["remove"]["path"] for a in actions if "remove" in a}
         base = expected_version
         for _ in range(max_rebases + 1):
             try:
@@ -1500,7 +1529,7 @@ class TxnLogTable(ParquetTable):
             except CommitConflict:
                 new_base = self.current_version()
                 if rebase_bounds is None or not self._rebase_safe_for_rewrite(
-                    base, new_base, set(doomed), rebase_bounds
+                    base, new_base, removed, rebase_bounds
                 ):
                     self._drop_staged(
                         [a for a in actions if "add" in a]
@@ -2038,11 +2067,14 @@ class TxnLogTable(ParquetTable):
             return []
         keep_vs = set(vs[-keep_last:] if keep_last > 0 else [])
         if retain_hours is not None:
+            # monotonically adjusted timestamps (_effective_ts): with
+            # skewed writer clocks a raw ts could make a NEWER version
+            # look older than the cutoff while an older one is kept —
+            # the adjusted sequence keeps retention a contiguous suffix
             cutoff = time.time() - retain_hours * 3600.0
-            for v in vs:
-                with open(self._log_path(v), encoding="utf-8") as f:
-                    if json.load(f).get("ts", 0.0) >= cutoff:
-                        keep_vs.add(v)
+            for v, ts in self._effective_ts().items():
+                if ts >= cutoff:
+                    keep_vs.add(v)
         referenced: set[str] = set()
         for v in keep_vs:
             referenced |= set(self._live(v))

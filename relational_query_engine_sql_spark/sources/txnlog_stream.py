@@ -23,7 +23,9 @@ default as Delta's readStream); ``.option("ignoreChanges", "true")``
 relaxes it to adds-only delivery (rewritten files re-emit their rows
 — Delta's documented ignoreChanges caveat applies verbatim).
 Merge-on-read deletion vectors are metadata files and are never
-emitted.
+emitted as rows; a deletion-vector ADD (a deferred delete) raises in
+default mode like a remove does, since it drops rows without any
+remove action — Delta's readStream fails on DV deletes the same way.
 
 Cited reference behavior: the reference tails its stocks feed by
 polling the newest rows (src/routes/stocks.js:42-47); here the table
@@ -58,6 +60,42 @@ _ARROW_TO_DDL = {
     "large_binary": "binary",
     "date32[day]": "date",
 }
+
+
+def _arrow_field_spark_type(field):
+    """Arrow field -> pyspark DataType, PURE PYTHON — the sink's
+    driver-side commit runs in a Spark-free worker process where
+    ``_parse_datatype_string`` (which needs an active SparkContext)
+    is unavailable."""
+    import pyspark.sql.types as T
+
+    t = str(field.type)
+    simple = {
+        "bool": T.BooleanType(),
+        "int8": T.ByteType(),
+        "int16": T.ShortType(),
+        "int32": T.IntegerType(),
+        "int64": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "large_string": T.StringType(),
+        "binary": T.BinaryType(),
+        "large_binary": T.BinaryType(),
+        "date32[day]": T.DateType(),
+    }
+    if t in simple:
+        return simple[t]
+    if t.startswith("timestamp["):
+        return T.TimestampType()
+    if t.startswith("decimal128(") or t.startswith("decimal("):
+        return T.DecimalType(field.type.precision, field.type.scale)
+    if t.startswith("list<") or t.startswith("large_list<"):
+        return T.ArrayType(_arrow_field_spark_type(field.type.value_field))
+    raise ValueError(
+        f"txnlog stream cannot map arrow type {t!r} "
+        f"(column {field.name!r})"
+    )
 
 
 def _arrow_field_ddl(field) -> str:
@@ -123,6 +161,25 @@ class _LogView:
                         "adds-only (rewritten rows re-emit)"
                     )
                 add = a.get("add")
+                if add and add.get("dv") and not ignore_changes:
+                    # a deletion-vector ADD is a deferred delete
+                    # (delete_keys_deferred commits are add-only: the
+                    # DV grows, no data file is removed) — rows vanish
+                    # from the table without any remove action, so the
+                    # append-only contract must raise here too, exactly
+                    # as Delta's readStream fails on DV-based deletes.
+                    # (A DV SHRINK — revive — also rewrites/purges a
+                    # data file in the same commit, so it already
+                    # raises via the remove check above.)
+                    raise RuntimeError(
+                        f"txnlog stream: version {v} "
+                        f"({entry.get('op', '?')}) added deletion "
+                        f"vector {add['path']!r} (a deferred delete); "
+                        "the stream is an append-only contract — set "
+                        "option('ignoreChanges', 'true') to consume "
+                        "adds-only (deferred-deleted rows are NOT "
+                        "retracted)"
+                    )
                 if add and not add.get("dv") and add.get("rows"):
                     p = add["path"]
                     out.append(
@@ -261,12 +318,75 @@ class TxnLogStreamWriter(DataSourceStreamArrowWriter):
         return _StagedFile(rel, table.num_rows, stats or None)
 
     # -- driver side --------------------------------------------------------
+    def _resolved_table_schema(self):
+        """The TABLE's authoritative schema, never the stream's:
+        newest checkpoint/metadata schema from the log walk (the same
+        precedence as ``TxnLogTable._schema_at``), else inferred from
+        an existing data file, else — for a virgin table with no data
+        — the stream's schema, which then legitimately DEFINES the
+        table. Without this resolution the throwaway commit table's
+        ``_base_schema`` would be the stream DataFrame's schema, and a
+        sink commit crossing a CHECKPOINT_EVERY boundary would persist
+        that ad-hoc schema into the checkpoint's ``schema`` field —
+        silently rewriting the table's effective schema for every
+        subsequent reader."""
+        import pyspark.sql.types as T
+
+        view = _LogView(self.path)
+        for v in reversed(view.versions()):
+            ck_path = os.path.join(
+                view.log_dir, f"{v:020d}.checkpoint.json"
+            )
+            if os.path.exists(ck_path):
+                with open(ck_path, encoding="utf-8") as f:
+                    ck = json.load(f)
+                if "schema" in ck:
+                    return T.StructType.fromJson(ck["schema"])
+            for a in view.entry(v)["actions"]:
+                if "metadata" in a:
+                    return T.StructType.fromJson(a["metadata"]["schema"])
+        sample = view.any_data_file()
+        if sample is not None:
+            import pyarrow.parquet as pq
+
+            arrow = pq.read_schema(sample)
+            return T.StructType(
+                [
+                    T.StructField(f.name, _arrow_field_spark_type(f))
+                    for f in arrow
+                ]
+            )
+        return self.schema
+
     def _table(self):
         from ..operators.txnlog import TxnLogTable
 
+        resolved = self._resolved_table_schema()
+        # conform-or-reject: the stream must carry exactly the table's
+        # columns with the table's types (order and nullability are
+        # immaterial — files are read by name under an explicit
+        # schema). A retyped/extra/missing column would write data
+        # files that mismatch the table's effective schema, so it
+        # fails the query loudly instead.
+        want = {
+            f.name: f.dataType.simpleString() for f in resolved.fields
+        }
+        got = {
+            f.name: f.dataType.simpleString() for f in self.schema.fields
+        }
+        if want != got:
+            raise RuntimeError(
+                "txnlog sink: stream schema does not conform to the "
+                f"table's schema at {self.path!r}; table has {want}, "
+                f"stream has {got} — align the stream's columns/types "
+                "or evolve the table first (add_columns)"
+            )
         # driver-side metadata work only — no SparkSession needed, and
-        # none is passed (read paths are never touched here)
-        return TxnLogTable(None, self.path, self.schema, ["__none__"])
+        # none is passed (read paths are never touched here). The
+        # RESOLVED schema (not the stream's) becomes _base_schema, so
+        # any checkpoint this commit writes persists the table's own
+        # schema.
+        return TxnLogTable(None, self.path, resolved, ["__none__"])
 
     def commit(self, messages, batchId: int) -> None:
         from ..operators.txnlog import CommitConflict
@@ -284,7 +404,11 @@ class TxnLogStreamWriter(DataSourceStreamArrowWriter):
             }
             for m in staged
         ]
-        t = self._table()
+        try:
+            t = self._table()  # raises on stream/table schema mismatch
+        except Exception:
+            self._drop(staged)
+            raise
         for _ in range(11):
             base = t.current_version()
             if t.constraints(base):

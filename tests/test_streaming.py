@@ -1075,3 +1075,140 @@ def test_txnlog_table_as_streaming_sink(spark, sf_small, tmp_path):
         run(tmp_path / "ckpt3")
     # and the refused batch left no debris: same live set, same count
     assert t.read().count() == 400
+
+
+def test_stream_source_raises_on_deferred_delete(spark, tmp_path):
+    """A delete_keys_deferred commit is add-only (the DV grows; no
+    data file is removed), yet rows vanish from the table — the
+    source's append-only contract must raise on it exactly as it does
+    on a remove (Delta's readStream fails on DV deletes too);
+    ignoreChanges relaxes to adds-only delivery with the documented
+    no-retraction caveat."""
+    from pyspark.sql import types as T
+
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    t = TxnLogTable(spark, str(tmp_path / "t"), schema, ["k"])
+    t.init(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], schema
+        ).coalesce(1)
+    )
+    t.delete_keys_deferred(spark.createDataFrame([(3,)], "k long"))
+
+    def run(sink, ckpt, **opts):
+        reader = spark.readStream.format("txnlog").option(
+            "path", str(tmp_path / "t")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / sink))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="deferred delete"):
+        run("sink1", "ckpt1")
+    # ignoreChanges: adds-only, the DV is metadata, no retraction
+    run("sink2", "ckpt2", ignoreChanges="true")
+    got = spark.read.parquet(str(tmp_path / "sink2"))
+    assert got.count() == 10
+    assert {r["k"] for r in got.collect()} == set(range(10))
+
+
+def test_stream_sink_conforms_to_table_schema(spark, tmp_path):
+    """The sink must never let a stream's ad-hoc schema become the
+    table's: a retyped column is refused loudly (else its data files
+    mismatch the table's effective schema, and a checkpoint-crossing
+    commit would persist the stream schema as authoritative for every
+    reader); a merely REORDERED stream conforms, and the schema the
+    sink's commit table persists is the TABLE's, not the stream's."""
+    from pyspark.sql import types as T
+
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+        TxnLogStreamWriter,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    t = TxnLogTable(spark, str(tmp_path / "table"), schema, ["k"])
+    t.init(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], schema)
+    )
+
+    def run(src_name, ddl, rows, ckpt):
+        src = tmp_path / src_name
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            str(src / "c0")
+        )
+        q = (
+            spark.readStream.schema(ddl)
+            .parquet(str(src / "c*"))
+            .writeStream.format("txnlog")
+            .option("path", str(tmp_path / "table"))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .option("appId", src_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # retyped column (val string) → refused, no debris
+    with pytest.raises(Exception, match="does not conform"):
+        run(
+            "bad",
+            "k long, grp string, val string",
+            [(3, "c", "oops")],
+            "ckpt_bad",
+        )
+    assert t.read().count() == 2
+    # reordered columns conform (files are read by name)
+    run(
+        "reord",
+        "val double, k long, grp string",
+        [(3.0, 3, "c")],
+        "ckpt_ok",
+    )
+    got = {r["k"]: (r["grp"], r["val"]) for r in t.read().collect()}
+    assert got[3] == ("c", 3.0)
+    # the schema the sink's commit table would persist into a
+    # checkpoint is the TABLE's (inferred from the log/data), not the
+    # stream's reordered one
+    w = TxnLogStreamWriter(
+        {"path": str(tmp_path / "table")},
+        T.StructType(
+            [schema["val"], schema["k"], schema["grp"]]
+        ),
+    )
+    assert [f.name for f in w._resolved_table_schema().fields] == [
+        "k",
+        "grp",
+        "val",
+    ]

@@ -1803,3 +1803,99 @@ def test_partition_values_with_special_chars_round_trip(spark, tmp_path):
     # keyed rewrite inside an escaped partition keeps everything
     t.upsert(spark.createDataFrame([(1, "NOT SPECIFIED")], schema))
     assert t.read().count() == 4
+
+
+def test_rewrite_rebase_blocks_on_shared_dv_shrink(spark, tmp_path):
+    """Two keyed writers on DISJOINT key ranges can still race on the
+    SAME deletion-vector file when one DV spans both ranges. The CAS
+    loser's rebase must treat the rival's DV remove as a conflict:
+    re-committing the loser's stale shrunk-DV copy would re-tombstone
+    the key the rival revived, silently masking the rival's newly
+    written row (lost update). The conflict set therefore covers ALL
+    removes in the commit (doomed data files + the extra DV shrink),
+    not just the doomed list."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            _rows(spark, [(lo + i, "g", 1.0) for i in range(50)]).coalesce(1)
+        )
+    # ONE deletion vector spanning the outer ranges (stats [5, 2005])
+    t.delete_keys_deferred(
+        spark.createDataFrame([(5,), (2005,)], "k long").coalesce(1)
+    )
+    rival = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+
+    real = t._write_files
+    fired = {"done": False}
+
+    def inject(df, dv=False):
+        out = real(df, dv=dv)
+        if not fired["done"]:
+            fired["done"] = True
+            # the rival revives tombstoned key 2005 inside t's
+            # stage->commit window: its commit shrinks the shared DV
+            # to {5} and rewrites the 2000-range file
+            rival.upsert(_rows(spark, [(2005, "rival", 9.0)]))
+        return out
+
+    t._write_files = inject
+    # t writes key 1005 — key-range-disjoint from the rival, but t's
+    # staged commit carries a stale DV copy still containing 2005
+    with pytest.raises(CommitConflict):
+        t.upsert(_rows(spark, [(1005, "mine", -1.0)]))
+    t._write_files = real
+    # retry on a fresh snapshot (the caller's contract) loses nothing
+    t.upsert(_rows(spark, [(1005, "mine", -1.0)]))
+    got = {r["k"]: r["grp"] for r in t.read().collect()}
+    assert got[2005] == "rival"  # the revived row SURVIVED
+    assert got[1005] == "mine"
+    assert 5 not in got  # the untouched tombstone stays
+    assert t.read().count() == 149
+
+
+def test_timestamp_travel_monotonic_under_clock_skew(spark, tmp_path):
+    """Commit ``ts`` values are raw writer wall clocks; with multiple
+    writers and clock skew they can be non-monotone in version order
+    even though the CAS serializes the commits. TIMESTAMP AS OF and
+    vacuum retention must resolve over the Delta-style monotonically
+    adjusted sequence (each effective ts >= predecessor + 1ms), never
+    letting a version look OLDER than an earlier-numbered commit."""
+    import json as _json
+    import time as _time
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(1, "a", 1.0)]))  # v0
+    t.append(_rows(spark, [(2, "b", 1.0)]))  # v1
+    t.upsert(_rows(spark, [(2, "b2", 2.0)]))  # v2 rewrites v1's file
+
+    def _set_ts(stamps):
+        for v, ts in stamps:
+            p = t._log_path(v)
+            with open(p, encoding="utf-8") as f:
+                e = _json.load(f)
+            e["ts"] = ts
+            with open(p, "w", encoding="utf-8") as f:
+                _json.dump(e, f)
+
+    # v2's writer clock is BEHIND v1's
+    _set_ts([(0, 1000.0), (1, 2000.0), (2, 1500.0)])
+    eff = t._effective_ts()
+    assert list(eff) == [0, 1, 2]
+    assert eff[1] == 2000.0 and eff[2] == pytest.approx(2000.001)
+    # a raw scan would resolve 1800 to v2 — effects of a commit whose
+    # wall clock (2000) is AFTER the asked timestamp
+    assert t.version_at(1800.0) == 0
+    assert t.version_at(2000.0) == 1
+    assert t.version_at(2000.1) == 2
+    with pytest.raises(ValueError):
+        t.version_at(999.0)
+
+    # vacuum retention stays a contiguous suffix: v2 (the newest
+    # commit) has a skewed-old raw clock outside the window while v1
+    # is inside — raw timestamps would retain {v1} but not v2, and
+    # vacuum would delete v2's CURRENT file while keeping v1's dead one
+    now = _time.time()
+    _set_ts([(0, now - 7200.0), (1, now - 100.0), (2, now - 7000.0)])
+    doomed = set(t.vacuum(keep_last=0, retain_hours=1.0, dry_run=True))
+    assert not (doomed & set(t._live()))
+    assert t.read().count() == 2
