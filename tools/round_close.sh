@@ -48,6 +48,7 @@ run_step() {
 : > "$LOG.steps"
 note "round_close r${ROUND} begin; HEAD=$(git rev-parse --short HEAD); dirty=$(git status --porcelain | wc -l) files"
 
+run_step hash_lint         python tools/hash_lint.py
 run_step strict_suite      bash tools/strict_suite.sh
 run_step sweep_sf0.1       python tools/driver_sim.py --sf /root/testdata/sf0.1
 run_step bench_headline    python bench.py
