@@ -354,6 +354,9 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
     # rewrite (est_e4 floor-scaled BIGINT instead of round(double,4) —
     # see queries_sketches.py); MUST earn a green row this round
     "sketch_hll_estimate",
+    # round-7 additions (strict-sim green at sf0.001 + 0.01 + 0.1
+    # when staged)
+    "stream_txnlog_windowed",  # txnlog source × stateful window agg
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",

@@ -1203,6 +1203,91 @@ def s29_txnlog_partition_stream(
 
 
 # --------------------------------------------------------------------------
+# STATEFUL consumer composition: the txnlog streaming source feeding a
+# watermarked tumbling-window aggregate across a CHECKPOINT RESTART —
+# the remaining untested join of the two round-6 surfaces (the source
+# was proven alone and with the partition layout; here its offsets
+# compose with Spark's aggregation state). Two commit waves stream
+# through the SAME checkpoint in complete mode: the restarted run must
+# consume exactly the second wave (asserted from recentProgress) while
+# the final output still covers BOTH waves — i.e. the window state
+# survived the restart and was UPDATED by wave 2, not rebuilt from a
+# re-read. The oracle is the plain batch GROUP BY over everything, so
+# the green hash proves state restoration + exactly-once consumption
+# in one row. total_value follows the vetted DECIMAL(27,6)-quantized
+# emission (exact cross-engine; whitelisted in tools/hash_lint.py).
+# --------------------------------------------------------------------------
+@query(
+    "stream_txnlog_windowed",
+    survey="beyond:txnlog,beyond:streaming-source,streaming:tumbling",
+    priority=60,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS total_value,
+           TRUE AS restart_consumed_only_new
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_txnlog_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..operators.txnlog import TxnLogTable
+    from ..sources.txnlog_stream import TxnLogStreamDataSource
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    n_second = second.count()
+    root = tempfile.mkdtemp(prefix="rqe-txn-win-")
+    t = TxnLogTable(spark, f"{root}/t", ev.schema, ["event_id"])
+    t.init(first)
+    name = f"txn_win_{uuid.uuid4().hex[:8]}"
+
+    def run_once():
+        q = (
+            tumbling_aggregate(
+                spark.readStream.format("txnlog")
+                .option("path", f"{root}/t")
+                .load(),
+                window="1 hour",
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    run_once()  # wave 1 builds the window state
+    t.append(second)  # wave 2 lands as its own commit
+    resumed = run_once()  # restart: state restored, only wave 2 read
+    only_new = resumed == n_second
+    assert only_new, (
+        f"restart re-read old commits: {resumed} rows vs {n_second}"
+    )
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "n",
+        "total_value",
+        F.lit(only_new).alias("restart_consumed_only_new"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The txnlog table as an exactly-once streaming SINK
 # (writeStream.format("txnlog"), sources/txnlog_stream.py): executors
 # stage Arrow batches as immutable parquet files WITH key stats

@@ -238,9 +238,28 @@ class TxnLogStreamReader(DataSourceStreamReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
+        # Spark's default parquet timestamp encoding (INT96) reads back
+        # through pyarrow as timestamp[ns], which the engine's Arrow
+        # bridge rejects (UNSUPPORTED_ARROWTYPE). Spark timestamps are
+        # microsecond-precision, so the ns->us cast is exact for any
+        # Spark-written file (and matches Spark's own read semantics
+        # for genuinely-ns data).
+        fields = []
+        changed = False
+        for f in table.schema:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                fields.append(
+                    pa.field(f.name, pa.timestamp("us", f.type.tz))
+                )
+                changed = True
+            else:
+                fields.append(f)
+        if changed:
+            table = table.cast(pa.schema(fields))
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:

@@ -1212,3 +1212,78 @@ def test_stream_sink_conforms_to_table_schema(spark, tmp_path):
         "grp",
         "val",
     ]
+
+
+def test_txnlog_source_windowed_state_survives_restart(
+    spark, sf_small, tmp_path
+):
+    """Composition of the txnlog streaming source with Spark's
+    stateful window aggregation across a checkpoint restart: the
+    restarted run must consume ONLY the new commit, yet windows that
+    span both waves must show the UNION's totals — i.e. the restored
+    aggregation state was updated by wave 2, not rebuilt from a
+    re-read of wave 1."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+    from relational_query_engine_sql_spark.streaming.events import (
+        tumbling_aggregate,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+        .limit(400)
+    )
+    # parity split ⇒ both waves share hours, so shared windows UPDATE
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    n_second = second.count()
+    t = TxnLogTable(spark, str(tmp_path / "t"), ev.schema, ["event_id"])
+    t.init(first)
+
+    def run(name):
+        q = (
+            tumbling_aggregate(
+                spark.readStream.format("txnlog")
+                .option("path", str(tmp_path / "t"))
+                .load(),
+                window="1 hour",
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    run("txnwin_a")
+    after_1 = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.table("txnwin_a").collect()
+    }
+    t.append(second)
+    consumed = run("txnwin_b")
+    assert consumed == n_second  # restart read exactly the new commit
+    after_2 = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.table("txnwin_b").collect()
+    }
+    # final state equals the batch aggregate over BOTH waves
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in tumbling_aggregate(ev, window="1 hour").collect()
+    }
+    assert after_2 == want
+    # and at least one window visible after wave 1 GREW — state was
+    # updated across the restart, not recomputed from a full re-read
+    grew = [k for k in after_1 if after_2.get(k, 0) > after_1[k]]
+    assert grew, "no shared window updated across the restart"

@@ -155,6 +155,10 @@ WHITELIST: set[tuple[str, str]] = {
     ("stream_mv_hourly_rollup", "value_sum"),
     ("stream_static_enrich", "total_value"),
     ("stream_tumbling_hourly", "total_value"),
+    # DECIMAL(27,6)-quantized sum rounded as decimal then cast to
+    # double — exact cross-engine (same emission as its green
+    # siblings stream_tumbling_hourly / stream_tumbling_live)
+    ("stream_txnlog_windowed", "total_value"),
     ("text_lexical_diversity", "ttr"),
     ("text_lm_score", "lm_bits"),
     ("text_quality_metrics", "alpha_ratio"),
