@@ -249,6 +249,44 @@ class ObjectStoreCommitBackend(CommitBackend):
     ("after")`` lets the store process it but loses the response.
     ``max_retries=0`` turns a transient fault into a hard crash at the
     caller, for crash-mid-commit / crash-mid-checkpoint scenarios.
+
+    PRODUCTION ADAPTER MAPPING — a real S3/GCS backend is this class
+    with ``_server_put`` and the disambiguation read swapped for SDK
+    calls; nothing above the interface changes. Per method:
+
+    ============================  ==============================================
+    model operation               production call
+    ============================  ==============================================
+    ``put_if_absent`` request     boto3 ``put_object(Bucket, Key, Body,
+                                  IfNoneMatch="*")`` — 412
+                                  ``PreconditionFailed`` ⇒ return False;
+                                  GCS ``blob.upload_from_string(payload,
+                                  if_generation_match=0)`` — 412 ⇒ False;
+                                  Azure ``upload_blob(...,
+                                  overwrite=False)`` —
+                                  ``ResourceExistsError`` ⇒ False
+    ``publish_atomic`` request    unconditional ``put_object`` /
+                                  ``upload_from_string`` (every
+                                  object-store PUT is atomic; retry freely,
+                                  it is idempotent)
+    ``TransientStoreError``       the SDK's retryable transport errors
+                                  (boto3 ``ConnectionError`` /
+                                  ``ReadTimeoutError``, HTTP 5xx after SDK
+                                  retries)
+    self-win disambiguation       ``get_object`` / ``blob.download_as_text``
+    (re-read + payload compare)   and byte-compare against our payload —
+                                  commit payloads embed the writer's
+                                  uuid-staged file names, so equality is
+                                  unambiguous
+    ``generations`` bookkeeping   S3 ``x-amz-version-id`` / GCS
+                                  ``generation`` from the PUT response
+                                  (observability only; the protocol never
+                                  reads it)
+    store without conditional     Delta's DynamoDB LogStore shape: an
+    PUT (pre-Nov-2024 S3)         external table keyed by (table, version)
+                                  with a conditional ``PutItem`` — still
+                                  exactly ``put_if_absent``
+    ============================  ==============================================
     """
 
     def __init__(self, max_retries: int = 3) -> None:
@@ -415,6 +453,22 @@ class TxnLogTable(ParquetTable):
     ) -> None:
         super().__init__(*args, **kwargs)
         self.backend = commit_backend or LocalCommitBackend()
+        # version-keyed SNAPSHOT CACHE for the replayed live-file map
+        # (Delta caches snapshots the same way): a table version is
+        # immutable once committed, so caching by version is always
+        # correct — concurrent writers create NEW versions, which miss
+        # the cache naturally. Without it every plan-time probe
+        # (scan_candidates / lookup / read) re-parses the whole log;
+        # at the 200-file sf1 probe that was ~1.1 s of driver-side
+        # JSON per call (SCALE.md round-7 notes).
+        self._snap_cache: dict[int, dict] = {}
+        # same idea for the effective schema: _schema_at walks log
+        # entries (json.load per version — entries carry KB-scale
+        # bloom hexes), and the plan-time pruning path consults the
+        # schema once per FILE per probe (_typed_part). At the 200-file
+        # sf1 probe the uncached walk was 5.8 s of redundant JSON per
+        # 8-key lookup.
+        self._schema_cache: dict[int, object] = {}
         bad = [
             c
             for c in self.partition_by
@@ -458,6 +512,11 @@ class TxnLogTable(ParquetTable):
             version = self.current_version()
         if version is None:
             return {}
+        cached = self._snap_cache.get(version)
+        if cached is not None:
+            # shallow copy: callers may add/pop entries of THEIR view;
+            # per-file meta dicts are treated as immutable everywhere
+            return dict(cached)
         if not os.path.exists(self._log_path(version)):
             raise ValueError(f"no such version: {version}")
         start, live = 0, {}
@@ -490,7 +549,10 @@ class TxnLogTable(ParquetTable):
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
                 # "metadata" actions don't touch the file set
-        return live
+        self._snap_cache[version] = live
+        if len(self._snap_cache) > 8:  # keep recent snapshots only
+            self._snap_cache.pop(min(self._snap_cache))
+        return dict(live)
 
     # -- schema evolution (Delta metadata-action shape) ---------------------
 
@@ -514,20 +576,35 @@ class TxnLogTable(ParquetTable):
             version = self.current_version()
         if version is None:
             return self._base_schema
+        cache = getattr(self, "_schema_cache", None)
+        if cache is not None and version in cache:
+            return cache[version]
+        out = None
         for v in range(version, -1, -1):
             ck = self._ckpt_payload(v)
             if ck is not None and "schema" in ck:
                 # the checkpoint at v is written AFTER commit v and
                 # already reflects any metadata action in entry v
-                return T.StructType.fromJson(ck["schema"])
+                out = T.StructType.fromJson(ck["schema"])
+                break
             if not os.path.exists(self._log_path(v)):
                 continue
             with open(self._log_path(v), encoding="utf-8") as f:
                 entry = json.load(f)
             for a in entry["actions"]:
                 if "metadata" in a:
-                    return T.StructType.fromJson(a["metadata"]["schema"])
-        return self._base_schema
+                    out = T.StructType.fromJson(a["metadata"]["schema"])
+                    break
+            if out is not None:
+                break
+        if out is None:
+            out = self._base_schema
+        # version-keyed: the schema AT a committed version is immutable
+        if cache is not None:
+            cache[version] = out
+            if len(cache) > 8:
+                cache.pop(min(cache))
+        return out
 
     @property
     def schema(self):
@@ -1077,10 +1154,14 @@ class TxnLogTable(ParquetTable):
             # per file on the driver from the observed distinct-slice
             # count, then bits land at slice % m: sizing the filter to
             # the file keeps the false-positive rate flat as files
-            # grow instead of drifting toward 1 at a fixed m.
+            # grow instead of drifting toward 1 at a fixed m. The key
+            # md5 is computed ONCE per row (the _md5k projection added
+            # to stat_src below); each probe reads its own 4-hex-char
+            # slice of it — hashing was the dominant cost of this agg
+            # when evaluated per probe (measured on s13, round 7).
             for j in range(BLOOM_PROBES):
                 pos = F.expr(
-                    f"cast(conv(substring(md5(cast(`{k0}` as string)),"
+                    f"cast(conv(substring(_md5k,"
                     f" {1 + 4 * j}, 4), 16, 10) as int)"
                 )
                 aggs.append(F.collect_set(pos).alias(f"_bp{j}"))
@@ -1110,6 +1191,10 @@ class TxnLogTable(ParquetTable):
             )
         else:
             stat_src = self.spark.read.schema(schema).parquet(out_dir)
+        if want_bloom:
+            stat_src = stat_src.withColumn(
+                "_md5k", F.expr(f"md5(cast(`{k0}` as string))")
+            )
         stat_rows = (
             stat_src.groupBy(F.input_file_name().alias("_f"))
             .agg(*aggs)

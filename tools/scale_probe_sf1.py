@@ -210,6 +210,107 @@ def probe_minhash_docs(spark, sf_dir: str, copies: int):
           f"| {wall:.1f} s |")
 
 
+def probe_partition_layout(spark, sf_dir: str, copies: int):
+    """The s25/s29 composition (partition layout + per-file stats +
+    bloom masks) at sf1-equivalent FILE counts: `copies` commit waves
+    of the sf0.1 orders table into a txnlog table partitioned by
+    o_orderpriority and keyed by o_orderkey, then the three probe
+    shapes the reference's dominant per-symbol pattern maps to
+    (stocks.js:42-47): partition-value scan, narrow key-window scan,
+    and bloom point lookup — recording files pruned and the log
+    metadata bytes a planner actually reads (newest checkpoint +
+    entries after it, vs the full log)."""
+    import json as _json
+    import tempfile
+
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+
+    print("\n### Partition+stats+bloom layout at 10x files "
+          "(s25/s29 composition)\n")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    n0 = orders.count()
+    root = tempfile.mkdtemp(prefix="rqe-probe-part-")
+    t = TxnLogTable(
+        spark,
+        f"{root}/orders",
+        orders.schema,
+        ["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    t0 = time.perf_counter()
+    for c in range(copies):
+        wave = orders.select(
+            (F.col("o_orderkey") + c * 10_000_000).alias("o_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        ).repartition(4)
+        (t.init if c == 0 else t.append)(wave)
+    build_wall = time.perf_counter() - t0
+    live = t._live()
+    n_files = len(live)
+    parts = sorted({m["part"]["o_orderpriority"] for m in live.values()})
+
+    # probe 1: partition value (the per-symbol scan)
+    t0 = time.perf_counter()
+    part_files = len(t.scan_candidates("o_orderpriority", parts[0], parts[0]))
+    part_wall = time.perf_counter() - t0
+    # probe 2: ~5% key window inside one wave (data-derived, the
+    # registry's selectivity rule)
+    lo, hi = 1, int(n0 * 4 * 0.05)  # orderkeys are 1..4n at sf0.1
+    t0 = time.perf_counter()
+    win_files = len(t.scan_candidates("o_orderkey", lo, hi))
+    win_wall = time.perf_counter() - t0
+    # probe 3: bloom point lookups (8 known keys, one per wave parity)
+    keys = [1 + c * 10_000_000 for c in range(min(copies, 8))]
+    t0 = time.perf_counter()
+    bloom_files = len(t.lookup_candidates(keys))
+    range_only = len(
+        {
+            p
+            for k in keys
+            for p in t.scan_candidates("o_orderkey", k, k)
+        }
+    )
+    bloom_wall = time.perf_counter() - t0
+
+    # plan-time metadata bytes: newest checkpoint + entries after it
+    log_dir = f"{root}/orders/_txn_log"
+    sizes = {
+        f: os.path.getsize(os.path.join(log_dir, f))
+        for f in os.listdir(log_dir)
+    }
+    total_bytes = sum(sizes.values())
+    vs = t.versions()
+    newest_ck = max(
+        (v for v in vs if os.path.exists(t._ckpt_path(v))), default=None
+    )
+    if newest_ck is None:
+        read_bytes = total_bytes
+    else:
+        read_bytes = sizes[os.path.basename(t._ckpt_path(newest_ck))] + sum(
+            sizes.get(os.path.basename(t._log_path(v)), 0)
+            for v in vs
+            if v > newest_ck
+        )
+    print("| rows | files | partition probe | 5% key window | "
+          "bloom 8-key lookup (range-only) | plan metadata read | "
+          "build wall |")
+    print("|---|---|---|---|---|---|---|")
+    print(
+        f"| {n0 * copies:,} | {n_files} "
+        f"| {part_files}/{n_files} ({part_wall * 1000:.0f} ms) "
+        f"| {win_files}/{n_files} ({win_wall * 1000:.0f} ms) "
+        f"| {bloom_files}/{n_files} ({range_only} range-only, "
+        f"{bloom_wall * 1000:.0f} ms) "
+        f"| {read_bytes / 1024:.0f} KiB of {total_bytes / 1024:.0f} KiB "
+        f"| {build_wall:.1f} s |"
+    )
+
+
 def main():
     quick = "--quick" in sys.argv
     spark = get_spark(app_name="scale-probe-sf1")
@@ -218,6 +319,9 @@ def main():
     probe_ivf(spark, emb_sizes)
     probe_minhash_docs(
         spark, "/root/testdata/sf0.1", copies=2 if quick else 10
+    )
+    probe_partition_layout(
+        spark, "/root/testdata/sf0.1", copies=3 if quick else 10
     )
     spark.stop()
 
