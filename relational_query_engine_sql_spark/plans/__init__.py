@@ -357,6 +357,10 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
     # round-7 additions (strict-sim green at sf0.001 + 0.01 + 0.1
     # when staged)
     "stream_txnlog_windowed",  # txnlog source × stateful window agg
+    "sketch_hll_union_estimate",  # merge law at the estimate level
+    "ext_dynamic_partition_pruning",  # runtime star-schema scan prune
+    "feat_quantile_binning",  # equal-frequency discretization
+    "s30_txnlog_monotonic_time_travel",  # clock-skew-safe AS OF
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",

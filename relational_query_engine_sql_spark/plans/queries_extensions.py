@@ -1056,3 +1056,66 @@ def ext_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > F.col("avg_n"))
         .select("h", "n")
     )
+
+
+@query(
+    "ext_dynamic_partition_pruning",
+    survey="ext:dpp,J1,F1",
+    priority=60,
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))), 4)
+                AS DOUBLE) AS revenue,
+           TRUE AS dpp_in_plan
+    FROM orders o
+    WHERE substr(o.o_orderpriority, 1, 1) IN ('1', '2')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ext_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive-partitioned fact joined to a dim whose filter is NOT a
+    literal on the join key: Catalyst's DYNAMIC partition pruning
+    plants a runtime subquery filter (``dynamicpruning#``) on the
+    fact scan's partition column, so the fact reads only the
+    partitions the filtered dim actually joins to. At 100 TB this is
+    the canonical star-schema scan-killer — the fact side here reads
+    2 of 5 priority partitions with zero literal predicate the
+    planner could fold statically. The plan fact is asserted in-plan
+    and hashed as an audit column; the rows are the surviving
+    partitions' revenue rollup. (Static partition pruning is pinned
+    separately by src_partitioned_pruning.)"""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="rqe-dpp-")
+    orders.write.partitionBy("o_orderpriority").parquet(f"{root}/fact")
+    fact = spark.read.parquet(f"{root}/fact")
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .filter(F.substring("o_orderpriority", 1, 1).isin("1", "2"))
+    )
+    joined = (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)")), 4
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    has_dpp = "dynamicpruning" in plan.lower()
+    assert has_dpp, "expected DynamicPruningExpression on the fact scan"
+    return joined.select(
+        "o_orderpriority",
+        "n",
+        "revenue",
+        F.lit(has_dpp).alias("dpp_in_plan"),
+    )

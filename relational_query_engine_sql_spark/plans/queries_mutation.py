@@ -1693,3 +1693,62 @@ def s28_txnlog_vacuum_retention(
         F.lit(kept_ok).alias("window_kept_recent"),
         F.lit(old_gone).alias("old_era_gone"),
     )
+
+
+@query(
+    "s30_txnlog_monotonic_time_travel",
+    survey="beyond:txnlog,beyond:time-travel",
+    priority=60,
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           CAST(0 AS BIGINT) AS resolved_version,
+           TRUE AS skew_hidden
+    FROM customer WHERE c_custkey <= 20
+    """,
+)
+def s30_txnlog_monotonic_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP AS OF under writer clock skew: commit wall clocks are
+    raw writer clocks, so with multiple writers version 2 can carry an
+    EARLIER timestamp than version 1 even though the CAS serialized
+    them. Resolution runs over the monotonically adjusted sequence
+    (``_effective_ts``: each effective ts >= predecessor + 1ms,
+    Delta's replay adjustment), so asking for a time between v0 and v1
+    returns v0 — a raw scan would return the skewed v2, exposing
+    effects of a commit whose wall clock is AFTER the asked time. The
+    scenario plants the skew by rewriting the committed ts fields,
+    asserts the resolved version in-plan, and hashes v0's content."""
+    import json as _json
+
+    from ..operators.txnlog import TxnLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-s30-")
+    t = TxnLogTable(spark, f"{root}/c", cust.schema, ["c_custkey"])
+    t.init(cust.filter(F.col("c_custkey") <= 20))  # v0
+    t.append(
+        cust.filter(F.col("c_custkey").between(21, 40))
+    )  # v1: a fast-clock writer
+    t.append(
+        cust.filter(F.col("c_custkey").between(41, 60))
+    )  # v2: a slow-clock writer — wall clock BEHIND v1's
+    for v, ts in ((0, 1.0e9), (1, 1.0e9 + 100.0), (2, 1.0e9 + 50.0)):
+        p = t._log_path(v)
+        with open(p, encoding="utf-8") as f:
+            e = _json.load(f)
+        e["ts"] = ts
+        with open(p, "w", encoding="utf-8") as f:
+            _json.dump(e, f)
+    asked = 1.0e9 + 75.0
+    v = t.version_at(asked)
+    assert v == 0, f"skewed clock resolved to v{v}, not v0"
+    return t.read_asof(asked).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit(v).cast("long").alias("resolved_version"),
+        F.lit(True).alias("skew_hidden"),
+    )

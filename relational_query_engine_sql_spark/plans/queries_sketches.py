@@ -259,6 +259,15 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
 _HLL_C = _HLL_ALPHA * 256 * 256 * 2.0**61  # alpha*m^2 * scale
+
+
+def _hll_est_sql(col: str) -> str:
+    """The full register→estimate pipeline as DuckDB SQL, parametrized
+    by key column (shared by the direct-estimate and the merged-shard
+    union-estimate rows)."""
+    return _HLL_EST_SQL.replace("l_orderkey", col)
+
+
 _HLL_EST_SQL = f"""
     WITH keys AS (
         SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h
@@ -330,6 +339,14 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     regs = hll_sketch(li, "l_orderkey")
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
+    return _estimate_from_regs(regs, exact)
+
+
+def _estimate_from_regs(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Registers → (est_e4, n_exact, empty_buckets, s_scaled,
+    within_bound): the hash-stable estimate emission shared by the
+    direct and merged-shard rows."""
     agg = regs.agg(
         F.expr(
             "CAST(SUM(CAST(shiftleft(CAST(1 AS BIGINT), 61 - r) "
@@ -361,7 +378,6 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(floor(est_raw * 10000.0 + 0.5) AS BIGINT)"
         " END AS est_e4",
     )
-    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
     # 1-row × 1-row scalar join (broadcast; never a data crossjoin)
     return est.crossJoin(F.broadcast(exact)).selectExpr(
         "est_e4",
@@ -371,6 +387,41 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abs(CAST(est_e4 AS DOUBLE) / 10000.0"
         " / CAST(n_exact AS DOUBLE) - 1.0) <= 0.195 AS within_bound",
     )
+
+
+# --------------------------------------------------------------------------
+# The merge law at the ESTIMATE level: per-shard sketches merged by
+# per-bucket max, run through the full bias-corrected estimate
+# pipeline, must equal the single-pass estimate of the UNION — the
+# DuckDB oracle computes the estimate directly over the whole table,
+# so a green hash proves estimate(merge(shards)) == estimate(union)
+# EXACTLY, not within tolerance. This is the property that lets a
+# 100 TB scan keep one 256-register sketch per partition and combine
+# them map-side (sketch_hll_merge pins it at the register level; this
+# row pins the user-facing number). Emission is the hash-stable
+# est_e4 scaled integer (tools/hash_lint.py rationale).
+# --------------------------------------------------------------------------
+@query(
+    "sketch_hll_union_estimate",
+    survey="beyond:sketch-hll-merge,beyond:sketch-hll-estimate",
+    priority=60,
+    oracle=_hll_est_sql("l_partkey"),
+)
+def sketch_hll_union_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..datapipe.sketches import hll_merge, hll_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    shards = [
+        hll_sketch(li.filter(F.col("l_orderkey") % 4 == s), "l_partkey")
+        for s in range(4)
+    ]
+    merged = shards[0]
+    for sk in shards[1:]:
+        merged = hll_merge(merged, sk)
+    exact = li.agg(F.countDistinct("l_partkey").alias("n_exact"))
+    return _estimate_from_regs(merged, exact)
 
 
 # --------------------------------------------------------------------------

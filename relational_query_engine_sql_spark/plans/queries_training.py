@@ -577,3 +577,49 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@query(
+    "feat_quantile_binning",
+    survey="pipeline:feature-binning",
+    priority=60,
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(10) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS bin
+        FROM orders
+    )
+    SELECT o_orderpriority, bin, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM ranked GROUP BY o_orderpriority, bin
+    """,
+)
+def feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) feature binning, the discretization
+    a training pipeline applies to heavy-tailed numerics: ntile(10)
+    per priority group with a fully deterministic sort (value, then
+    key — engines must agree on every tie). PARTITION BY keeps the
+    window parallel — each group sorts independently, so the op
+    scales by group count instead of serializing through one global
+    sort (the equal-WIDTH variant is ext_histogram_buckets). Bin
+    edges (lo/hi) are raw passthrough values, never rounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(10).over(w).alias("bin"),
+        )
+        .groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

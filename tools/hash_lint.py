@@ -99,6 +99,9 @@ WHITELIST: set[tuple[str, str]] = {
     ("ev_dau_mau", "stickiness"),
     ("ev_user_activity", "total_value"),
     ("eval_ann_recall", "recall"),
+    # DECIMAL(27,6)-quantized sum rounded as decimal then cast double —
+    # exact cross-engine (same emission class as the tpch revenues)
+    ("ext_dynamic_partition_pruning", "revenue"),
     ("ext_cume_nth", "cd"),
     ("ext_filtered_agg", "spend_recent"),
     ("ext_filtered_agg", "spend_total"),
@@ -142,6 +145,8 @@ WHITELIST: set[tuple[str, str]] = {
     ("search_tfidf_terms", "score"),
     ("sec_cleanroom_join", "revenue"),
     ("sketch_hll_estimate", "s_scaled"),
+    # same exact-integer DECIMAL(38,0) register sum as its sibling
+    ("sketch_hll_union_estimate", "s_scaled"),
     ("sql_api_report", "spend"),
     ("stats_ab_welch", "mean_diff"),
     ("stats_ab_welch", "t_stat"),
