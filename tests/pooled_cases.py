@@ -100,6 +100,13 @@ POOLED_CASES = [
     ("test_txnlog", "test_zorder_nd_bounds_every_dimension"),
     ("test_txnlog", "test_disjoint_keyed_writes_rebase_without_conflict"),
     ("test_txnlog", "test_partition_values_with_special_chars_round_trip"),
+    # round-7 additions (audited: spark/tmp_path only; the DV-shrink
+    # race test patches an INSTANCE attribute on its own table handle,
+    # same precedent as the rebase_falls_back pair; the streaming
+    # source/sink contract tests stay serial like their round-6
+    # siblings — they re-register the txnlog data source)
+    ("test_txnlog", "test_rewrite_rebase_blocks_on_shared_dv_shrink"),
+    ("test_txnlog", "test_timestamp_travel_monotonic_under_clock_skew"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a
