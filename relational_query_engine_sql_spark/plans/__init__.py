@@ -361,6 +361,7 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
     "ext_dynamic_partition_pruning",  # runtime star-schema scan prune
     "feat_quantile_binning",  # equal-frequency discretization
     "s30_txnlog_monotonic_time_travel",  # clock-skew-safe AS OF
+    "dq_column_profile",  # one-pass per-column completeness profile
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",

@@ -733,3 +733,52 @@ def dq_header_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_mismatched"),
         F.round(F.sum(F.abs(gap)), 2).cast("double").alias("total_abs_gap"),
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+_PROFILE_ORACLE = "WITH t AS (SELECT COUNT(*) AS n, " + ", ".join(
+    f"COUNT({c}) AS nn{i}, COUNT(DISTINCT {c}) AS nd{i}"
+    for i, c in enumerate(_PROFILE_COLS)
+) + " FROM orders) " + " UNION ALL ".join(
+    f"SELECT '{c}' AS col, n AS n_rows, n - nn{i} AS n_null, "
+    f"nd{i} AS n_distinct FROM t"
+    for i, c in enumerate(_PROFILE_COLS)
+)
+
+
+@query(
+    "dq_column_profile",
+    survey="beyond:dq-column-profile",
+    priority=60,
+    oracle=_PROFILE_ORACLE,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness/cardinality profile (the Deequ/
+    great-expectations 'profile every column' pass a training-data
+    intake runs first): row count, null count, and exact distinct
+    count for every column, computed in ONE aggregate job — the
+    100 TB shape is a single scan with 2N partial aggregates, never
+    N separate passes. The wide 1-row aggregate is reshaped to
+    long form in-plan with inline(array(struct(...))) — no driver
+    collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs.append(F.count(c).alias(f"nn{i}"))
+        aggs.append(F.countDistinct(c).alias(f"nd{i}"))
+    wide = orders.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{c}' AS col, n - nn{i} AS n_null, nd{i} AS n_distinct)"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return wide.select(
+        F.col("n").alias("n_rows"),
+        F.expr(f"inline(array({structs}))"),
+    ).select("col", "n_rows", "n_null", "n_distinct")
