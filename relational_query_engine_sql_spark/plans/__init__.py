@@ -362,6 +362,10 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
     "feat_quantile_binning",  # equal-frequency discretization
     "s30_txnlog_monotonic_time_travel",  # clock-skew-safe AS OF
     "dq_column_profile",  # one-pass per-column completeness profile
+    # provenance close: oracled since round 2 but only ever recorded a
+    # rows-only r1 row (err=no_oracle) and was never staged since —
+    # the LAST registry name without a hash-checked driver row
+    "u1_linreg_fit_pandas",
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",
@@ -385,6 +389,76 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
     "ext_rollup",
 ]
 
+# Round-8 queue: staging for queries added during round 8 (insert at
+# the FRONT of ROUND8_PREFIX as they are added, each strict-sim green
+# at all three SFs first).
+ROUND8_QUEUE: list[str] = []
+
+# Round-8 prefix, pre-curated at the end of round 7: with round 7's
+# window landed, EVERY registry name has a hash-checked driver row, so
+# the rotation's job flips from provenance to FRESHNESS — re-verify
+# the rows that have not been re-checked since round 1 (the oldest
+# greens; engine/environment drift is the thing a 6-round-old row can
+# miss, which is exactly how the HLL red hid until round 6). The
+# stale-green list below is computed from CORRECTNESS_r01..06
+# (hash-green in r1, never re-checked since) minus names already
+# re-verified by ROUND7_PREFIX.
+ROUND8_STALE_GREENS = [
+    "a1_key_stats",
+    "a2_coefficient_of_variation",
+    "a3_market_returns",
+    "a4_beta",
+    "a5_correlation_matrix",
+    "a6_distinct",
+    "a7_value_sum",
+    "a8_weighted_avg",
+    "corpus_clean_pipeline",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "e10_forecast_horizon",
+    "e11_pair_normalize",
+    "e8_upper_normalize",
+    "f2_date_between",
+    "f5_in_list",
+    "f6_or_predicate",
+    "f8_analog_acl",
+    "j2_or_join_union",
+    "j4_triangular_selfjoin",
+    "j5_semijoin_exists",
+    "j6_fact_bridge",
+    "j7_a7_market_value",
+    "j7_asof_latest",
+    "j8_antijoin",
+    "o4_topk_then_asc",
+    "s1_scan_project",
+    "s2_point_lookup",
+    "s9_probe",
+    "sample_stable",
+    "sample_stratified",
+    "sql_api_exists",
+    "stats_bundle_cov_beta",
+    "stats_cached_cov_beta",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_counts",
+    "u1_linreg_fit",
+    "w1_single_series_returns",
+    "w2_returns_panel",
+]
+ROUND8_PREFIX = ROUND8_QUEUE + ROUND8_STALE_GREENS + [
+    # family-representative insurance
+    "a1_pricing_summary",
+    "j1_join_dims",
+    "s5_upsert",
+    "dedup_minhash_lsh",
+    "stream_tumbling_hourly",
+    "sketch_hll_estimate",
+    "s13_txnlog_merge_mixed",
+]
+_unknown_r8 = [n for n in ROUND8_PREFIX if n not in all_queries()]
+assert not _unknown_r8, f"ROUND8 names not registered: {_unknown_r8}"
+
 # Rotation self-advance: judged round N ⇒ current round is N+1.
 _ROTATIONS = {
     3: ROUND3_PREFIX,
@@ -392,8 +466,9 @@ _ROTATIONS = {
     5: ROUND5_PREFIX,
     6: ROUND6_PREFIX,
     7: ROUND7_PREFIX,
+    8: ROUND8_PREFIX,
 }
 _current = _judged_round() + 1
-set_rotation(_ROTATIONS.get(min(_current, 7), ROUND7_PREFIX))
+set_rotation(_ROTATIONS.get(min(_current, 8), ROUND8_PREFIX))
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]
