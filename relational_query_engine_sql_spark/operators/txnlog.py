@@ -91,9 +91,13 @@ CHECKPOINT_EVERY = 10
 # add-action records its own m/j, so readers probe with the writer's
 # geometry (and masks written by older fixed-size code keep working).
 # The cap is the probe-slice domain (2 x 16-bit slices => 65536
-# positions, <=16 KB hex per file); at petabyte scale the masks would
-# move to sidecar index files exactly like Delta's _delta_index — the
-# log protocol is unchanged either way.
+# positions, <=16 KB hex per file). The hex masks live in SIDECAR
+# files staged with their data directory (Delta's sidecar-index
+# shape, one blooms.json per write): log entries and checkpoints
+# carry only a small {m, j, sidecar} reference, so plan-time metadata
+# stays KB-scale at any file count, and readers load masks lazily —
+# only for files that survive range pruning (_resolve_bloom, cached;
+# legacy inline {"hex": ...} actions keep working).
 BLOOM_MIN_BITS = 1024
 BLOOM_MAX_BITS = 65536  # == the 16-bit probe-slice domain
 BLOOM_BITS_PER_KEY = 16  # with j=2 probes: fpr ~ (1-e^-1/8)^2 ~ 1.4%
@@ -469,6 +473,10 @@ class TxnLogTable(ParquetTable):
         # sf1 probe the uncached walk was 5.8 s of redundant JSON per
         # 8-key lookup.
         self._schema_cache: dict[int, object] = {}
+        # sidecar-path -> {file relpath: mask hex}; sidecar files are
+        # immutable once committed (staged with their data dir), so
+        # the cache never invalidates
+        self._bloom_sidecars: dict[str, dict] = {}
         bad = [
             c
             for c in self.partition_by
@@ -853,6 +861,34 @@ class TxnLogTable(ParquetTable):
             base = base.join(F.broadcast(tomb), self.keys, "left_anti")
         return base
 
+    def _resolve_bloom(self, path: str, bloom: dict | None) -> dict | None:
+        """Hex-bearing bloom dict for file ``path``: legacy inline
+        ``{"hex": ...}`` passes through; a sidecar reference loads its
+        (immutable, cached) mask file lazily — only files that survive
+        range pruning ever pay the read. A missing/unreadable sidecar
+        or absent key degrades to no-prune (always correct)."""
+        if not bloom:
+            return None
+        if "hex" in bloom:
+            return bloom
+        sc = bloom.get("sidecar")
+        if not sc:
+            return None
+        masks = self._bloom_sidecars.get(sc)
+        if masks is None:
+            try:
+                with open(
+                    os.path.join(self.path, sc), encoding="utf-8"
+                ) as f:
+                    masks = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                masks = {}
+            self._bloom_sidecars[sc] = masks
+        hexv = masks.get(path)
+        if hexv is None:
+            return None
+        return {**bloom, "hex": hexv}
+
     def lookup_candidates(
         self, values, version: int | None = None
     ) -> list[str]:
@@ -868,10 +904,15 @@ class TxnLogTable(ParquetTable):
         cands = []
         for p, meta in data.items():
             rng = self._file_stats(meta).get(k0)
-            bloom = meta.get("bloom")
+            bloom = None
+            bloom_resolved = False
             for v in vals:
                 if rng is not None and not _col_overlaps(rng, v, v):
                     continue
+                if not bloom_resolved:
+                    # lazy: only range-surviving files load their mask
+                    bloom = self._resolve_bloom(p, meta.get("bloom"))
+                    bloom_resolved = True
                 if bloom and not _bloom_contains(bloom, v):
                     continue
                 cands.append(p)
@@ -1208,6 +1249,7 @@ class TxnLogTable(ParquetTable):
                     f"write violates CHECK {cn!r} ({ce}): {bad} rows"
                 )
         adds = []
+        sidecar_masks: dict[str, str] = {}
         norm_out = os.path.normpath(out_dir)
         from urllib.parse import unquote
 
@@ -1264,14 +1306,27 @@ class TxnLogTable(ParquetTable):
                 for j in range(BLOOM_PROBES):
                     for p in r[f"_bp{j}"]:
                         mask |= 1 << (p % m)
+                # the up-to-16 KiB hex mask lives in a SIDECAR file
+                # staged alongside the data (Delta's sidecar-index
+                # shape): log entries and checkpoints carry only this
+                # small reference, so plan-time metadata stays KB-scale
+                # at any file count; readers resolve masks lazily and
+                # only for range-surviving candidates (_resolve_bloom).
+                # Legacy inline {"hex": ...} actions remain readable.
+                sidecar_masks[action["path"]] = format(mask, "x")
                 action["bloom"] = {
                     "m": m,
                     "j": BLOOM_PROBES,
-                    "hex": format(mask, "x"),
+                    "sidecar": f"{rel_dir}/blooms.json",
                 }
             if dv:
                 action["dv"] = True
             adds.append({"add": action})
+        if sidecar_masks:
+            with open(
+                os.path.join(out_dir, "blooms.json"), "w", encoding="utf-8"
+            ) as f:
+                json.dump(sidecar_masks, f)
         # zero-row part files never make it into the log; scrub them
         # so vacuum doesn't have to know about them
         logged = {a["add"]["path"] for a in adds}
@@ -1423,13 +1478,16 @@ class TxnLogTable(ParquetTable):
             )
             if len(sample) <= BLOOM_AFFECTED_LIMIT:
                 vals = [r[k0] for r in sample]
+                resolved = {
+                    p: self._resolve_bloom(p, data[p].get("bloom"))
+                    for p in cands
+                }
                 cands = [
                     p
                     for p in cands
-                    if not data[p].get("bloom")
+                    if not resolved[p]
                     or any(
-                        _bloom_contains(data[p]["bloom"], v)
-                        for v in vals
+                        _bloom_contains(resolved[p], v) for v in vals
                     )
                 ]
         return cands

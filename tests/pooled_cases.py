@@ -107,6 +107,7 @@ POOLED_CASES = [
     # siblings — they re-register the txnlog data source)
     ("test_txnlog", "test_rewrite_rebase_blocks_on_shared_dv_shrink"),
     ("test_txnlog", "test_timestamp_travel_monotonic_under_clock_skew"),
+    ("test_txnlog", "test_bloom_masks_live_in_sidecars_not_the_log"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a

@@ -1899,3 +1899,64 @@ def test_timestamp_travel_monotonic_under_clock_skew(spark, tmp_path):
     doomed = set(t.vacuum(keep_last=0, retain_hours=1.0, dry_run=True))
     assert not (doomed & set(t._live()))
     assert t.read().count() == 2
+
+
+def test_bloom_masks_live_in_sidecars_not_the_log(spark, tmp_path):
+    """Bloom hex masks are staged in a per-write sidecar next to the
+    data files; log entries and checkpoints carry only the small
+    {m, j, sidecar} reference — plan-time metadata stays KB-scale at
+    any file count. Pruning behavior is identical to the inline form,
+    legacy inline {"hex": ...} actions still probe, and a missing
+    sidecar degrades to no-prune (correct, never wrong)."""
+    import json as _json
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            _rows(spark, [(lo + i, "g", 1.0) for i in range(200)]).coalesce(1)
+        )
+    live = t._live()
+    blooms = {p: m["bloom"] for p, m in live.items() if m.get("bloom")}
+    assert blooms and all("hex" not in b for b in blooms.values())
+    assert all(b.get("sidecar") for b in blooms.values())
+    # the log entries stay small: no 1KB+ hex blobs inline
+    for v in t.versions():
+        assert os.path.getsize(t._log_path(v)) < 4096
+    # pruning works through the sidecar: key 5 lives in one file
+    cands = t.lookup_candidates([5])
+    assert len(cands) == 1
+    # range-only would keep all three (every file's range [lo, lo+199]
+    # admits only its own 5? no — ranges are disjoint here, so probe a
+    # value inside one range but absent from the file set is stronger:
+    # all keys are present; instead verify the mask actually resolves
+    rb = t._resolve_bloom(cands[0], blooms[cands[0]])
+    assert rb and "hex" in rb
+    # legacy inline form passes through untouched
+    inline = {"m": 1024, "j": 2, "hex": rb["hex"]}
+    assert t._resolve_bloom("whatever", inline) is inline
+    # missing sidecar degrades to no-prune, never a wrong skip
+    assert (
+        t._resolve_bloom("x", {"m": 1024, "j": 2, "sidecar": "nope.json"})
+        is None
+    )
+    # a CAS-losing unpartitioned write drops its sidecar with its dir
+    rival = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    real = t._write_files
+    fired = {"done": False}
+
+    def inject(df, dv=False):
+        out = real(df, dv=dv)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.append(_rows(spark, [(9000, "r", 1.0)]))
+        return out
+
+    t._write_files = inject
+    t.append(_rows(spark, [(5000, "mine", 1.0)]))  # rebases or retries
+    t._write_files = real
+    live2 = t._live()
+    # every live bloom's sidecar exists on disk
+    for p, m in live2.items():
+        b = m.get("bloom")
+        if b and b.get("sidecar"):
+            assert os.path.exists(os.path.join(t.path, b["sidecar"])), p
