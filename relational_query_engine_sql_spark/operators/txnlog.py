@@ -2244,4 +2244,20 @@ class TxnLogTable(ParquetTable):
                 removed.append(rel)
             except OSError:
                 pass
+        if not dry_run:
+            # a write directory none of whose files are referenced by
+            # any retained snapshot is fully dead: remove the whole
+            # tree so its bloom sidecar and empty partition dirs don't
+            # accumulate as debris (the sidecar is never referenced as
+            # an add-action path, so the file loop above can't reach
+            # it). A dir with ANY referenced file keeps its sidecar —
+            # live masks resolve through it.
+            dead_dirs = {rel.split("/", 2)[1] for rel in removed
+                         if rel.startswith("data/")}
+            live_dirs = {rel.split("/", 2)[1] for rel in referenced
+                         if rel.startswith("data/")}
+            for d in dead_dirs - live_dirs:
+                shutil.rmtree(
+                    os.path.join(self.path, "data", d), ignore_errors=True
+                )
         return sorted(removed)

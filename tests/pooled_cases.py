@@ -108,6 +108,7 @@ POOLED_CASES = [
     ("test_txnlog", "test_rewrite_rebase_blocks_on_shared_dv_shrink"),
     ("test_txnlog", "test_timestamp_travel_monotonic_under_clock_skew"),
     ("test_txnlog", "test_bloom_masks_live_in_sidecars_not_the_log"),
+    ("test_txnlog", "test_vacuum_removes_fully_dead_write_dirs"),
 ]
 
 # Hypothesis-driven cases: run on the MAIN thread, one engine at a

@@ -1960,3 +1960,30 @@ def test_bloom_masks_live_in_sidecars_not_the_log(spark, tmp_path):
         b = m.get("bloom")
         if b and b.get("sidecar"):
             assert os.path.exists(os.path.join(t.path, b["sidecar"])), p
+
+
+def test_vacuum_removes_fully_dead_write_dirs(spark, base, tmp_path):
+    """A write directory none of whose files survive vacuum is removed
+    wholesale — its bloom sidecar (never an add-action path, so the
+    per-file loop can't reach it) and empty partition dirs don't
+    accumulate; a directory with ANY live file keeps its sidecar."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["k"])
+    t.init(base.coalesce(1))  # v0: one dir, one file
+    t.upsert(_rows(spark, [(0, "x", 9.9)]))  # v1 rewrites v0's file
+    t.upsert(_rows(spark, [(1, "y", 8.8)]))  # v2 rewrites v1's output
+    dirs_before = set(os.listdir(os.path.join(t.path, "data")))
+    removed = t.vacuum(keep_last=1)
+    assert removed  # v0/v1 outputs are unreferenced now
+    dirs_after = set(os.listdir(os.path.join(t.path, "data")))
+    assert dirs_after < dirs_before  # dead write dirs are gone
+    # the surviving dir still carries its sidecar and still prunes
+    live = t._live()
+    assert all(
+        os.path.exists(
+            os.path.join(t.path, m["bloom"]["sidecar"])
+        )
+        for m in live.values()
+        if m.get("bloom", {}).get("sidecar")
+    )
+    assert t.read().count() == 100
+    assert len(t.lookup_candidates([0])) >= 1
