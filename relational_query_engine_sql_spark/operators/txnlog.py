@@ -107,6 +107,34 @@ BLOOM_PROBES = 2  # hex slices [0:4) and [4:8) of the key's md5
 # to stay metadata-sized (bulk writes skip straight to range pruning)
 BLOOM_AFFECTED_LIMIT = 128
 
+# Table-protocol versions THIS implementation understands (Delta's
+# minReaderVersion/minWriterVersion feature gating): a table whose log
+# requires a newer protocol than the running code fails LOUDLY at
+# read/commit time instead of silently misreading data written with
+# features it doesn't know. Version 2 = column mapping (logical
+# renames/drops over immutable physical column names). Tables never
+# bump their protocol until a gated feature is actually used, so
+# version-1 readers keep working on every pre-existing table.
+PROTOCOL_READER = 2
+PROTOCOL_WRITER = 2
+
+
+def _default_cmap() -> dict:
+    """Column-mapping state of a table that never used the feature."""
+    return {
+        "map": {},  # logical name -> physical (on-disk parquet) name
+        "retired": [],  # physical names of DROPPED columns, never reused
+        "protocol": {"min_reader": 1, "min_writer": 1},
+    }
+
+
+class ProtocolUnsupported(RuntimeError):
+    """The table's log requires a newer reader/writer protocol than
+    this implementation provides (Delta's invalid-protocol-version
+    error). Failing loudly here is the feature: a too-old reader that
+    ignored, say, column mapping would silently return data under the
+    wrong column names."""
+
 # per-file min/max stats cover the key columns plus the first
 # prunable non-key columns up to this many total — Delta's
 # dataSkippingNumIndexedCols cap, keeping add-actions KB-scale on
@@ -477,6 +505,9 @@ class TxnLogTable(ParquetTable):
         # immutable once committed (staged with their data dir), so
         # the cache never invalidates
         self._bloom_sidecars: dict[str, dict] = {}
+        # version-keyed COLUMN-MAPPING state cache (same immutability
+        # argument as the snapshot/schema caches above)
+        self._cmap_cache: dict[int, dict] = {}
         bad = [
             c
             for c in self.partition_by
@@ -614,6 +645,254 @@ class TxnLogTable(ParquetTable):
                 cache.pop(min(cache))
         return out
 
+    # -- column mapping + protocol (Delta columnMapping 'name' mode) --------
+    #
+    # A column's PHYSICAL (on-disk parquet) name is fixed at first
+    # write and never changes; renames and drops are metadata-only
+    # commits that re-point the LOGICAL schema. Data files written
+    # before and after a rename therefore stay byte-identical and
+    # mutually readable — the property that makes ALTER TABLE RENAME/
+    # DROP COLUMN a KB-of-JSON operation on a 100 TB table instead of
+    # a full rewrite. Keys, partition columns, and columns referenced
+    # by active CHECK constraints are never mappable (they name the
+    # stats/layout/validation namespaces); stats and bloom metadata
+    # live permanently in the PHYSICAL namespace, so pruning metadata
+    # written under any era keeps pruning under every later one.
+
+    def _cmap_at(self, version: int | None) -> dict:
+        """Column-mapping state at ``version``: the newest checkpoint
+        at or before it (checkpoints fold the state like they fold
+        schema), else the newest metadata action CARRYING the state
+        (actions without the field — pre-feature writers, plain
+        add_columns — are transparent to the walk), else the default.
+        Pre-feature checkpoints stop the walk with the default: no
+        rename can predate the feature that records it."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return _default_cmap()
+        cached = self._cmap_cache.get(version)
+        if cached is not None:
+            return cached
+        out = None
+        for v in range(version, -1, -1):
+            ck = self._ckpt_payload(v)
+            if ck is not None:
+                out = ck.get("cmap", _default_cmap())
+                break
+            if not os.path.exists(self._log_path(v)):
+                continue
+            with open(self._log_path(v), encoding="utf-8") as f:
+                entry = json.load(f)
+            for a in entry["actions"]:
+                if "metadata" in a and "cmap" in a["metadata"]:
+                    out = a["metadata"]["cmap"]
+                    break
+            if out is not None:
+                break
+        if out is None:
+            out = _default_cmap()
+        self._cmap_cache[version] = out
+        if len(self._cmap_cache) > 8:
+            self._cmap_cache.pop(min(self._cmap_cache))
+        return out
+
+    def _mapping_at(self, version: int | None) -> dict[str, str]:
+        """logical -> physical for the columns whose names differ."""
+        return self._cmap_at(version).get("map", {})
+
+    def _check_protocol(self, version: int | None, write: bool = False):
+        prot = self._cmap_at(version).get("protocol") or {}
+        need_r = prot.get("min_reader", 1)
+        if need_r > PROTOCOL_READER:
+            raise ProtocolUnsupported(
+                f"table at {self.path!r} requires reader protocol "
+                f"{need_r}; this implementation supports "
+                f"{PROTOCOL_READER}"
+            )
+        if write:
+            need_w = prot.get("min_writer", 1)
+            if need_w > PROTOCOL_WRITER:
+                raise ProtocolUnsupported(
+                    f"table at {self.path!r} requires writer protocol "
+                    f"{need_w}; this implementation supports "
+                    f"{PROTOCOL_WRITER}"
+                )
+
+    def _physical_schema(self, version: int | None):
+        """The LOGICAL schema at ``version`` with field names replaced
+        by their physical (on-disk) names."""
+        import pyspark.sql.types as T
+
+        schema = self._schema_at(version)
+        m = self._mapping_at(version)
+        if not m:
+            return schema
+        return T.StructType(
+            [
+                T.StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Rename a conformed (logical-named) frame to physical names
+        for writing. Identity when the table never renamed a column."""
+        m = self._mapping_at(None)
+        if not m:
+            return df
+        return df.select(
+            *[
+                F.col(f.name).alias(m.get(f.name, f.name))
+                for f in self.schema.fields
+            ]
+        )
+
+    def _scan_files(
+        self,
+        relpaths: list[str],
+        version: int | None = None,
+        schema=None,
+    ) -> DataFrame:
+        """Read data files (physical column names on disk) back as the
+        LOGICAL schema at ``version`` — the single read path every
+        batch consumer goes through, so column mapping is applied (or
+        skipped) in exactly one place."""
+        if schema is None:
+            schema = self._schema_at(version)
+        m = self._mapping_at(version)
+        if not relpaths:
+            return self.spark.createDataFrame([], schema)
+        import pyspark.sql.types as T
+
+        phys = (
+            T.StructType(
+                [
+                    T.StructField(
+                        m.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
+            if m
+            else schema
+        )
+        df = self.spark.read.schema(phys).parquet(
+            *[os.path.join(self.path, p) for p in relpaths]
+        )
+        if m:
+            df = df.select(
+                *[
+                    F.col(m.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return df
+
+    def _assert_mappable(self, name: str, base: int | None) -> None:
+        if name in self.keys:
+            raise ValueError(f"cannot map key column: {name}")
+        if name in self.partition_by:
+            raise ValueError(f"cannot map partition column: {name}")
+        import re
+
+        pat = re.compile(
+            rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])"
+        )
+        for cn, ce in self.constraints(base).items():
+            if pat.search(ce):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK {cn!r} "
+                    f"({ce}); drop the constraint first"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit: zero
+        data files touched (Delta columnMapping 'name' mode). The
+        column keeps its immutable PHYSICAL name; only the logical
+        schema re-points. Bumps the table protocol to 2/2 so a
+        pre-mapping reader fails loudly instead of resurrecting the
+        old name. Keys, partition columns, and constraint-referenced
+        columns are not renameable. Returns the committed version."""
+        import pyspark.sql.types as T
+
+        base = self.current_version()
+        self._check_protocol(base, write=True)
+        cur = self._schema_at(base)
+        if old not in cur.fieldNames():
+            raise ValueError(f"no such column: {old}")
+        if new in cur.fieldNames():
+            raise ValueError(f"column exists: {new}")
+        if not new.isidentifier():
+            raise ValueError(f"invalid column name: {new!r}")
+        self._assert_mappable(old, base)
+        state = json.loads(json.dumps(self._cmap_at(base)))
+        m = state.setdefault("map", {})
+        # the new LOGICAL name must not collide with any physical name
+        # in use: physical names are the on-disk truth, and a logical
+        # alias shadowing a different column's physical name would make
+        # the write-time constraint view ambiguous
+        used_physical = {m.get(f.name, f.name) for f in cur.fields} | set(
+            state.get("retired", [])
+        )
+        phys = m.pop(old, old)
+        if new in used_physical - {phys}:
+            raise ValueError(
+                f"{new!r} is the physical name of another column"
+            )
+        if phys != new:
+            m[new] = phys
+        prot = state.setdefault("protocol", {})
+        prot["min_reader"] = max(prot.get("min_reader", 1), 2)
+        prot["min_writer"] = max(prot.get("min_writer", 1), 2)
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in cur.fields
+            ]
+        )
+        return self._commit(
+            "rename_column",
+            [{"metadata": {"schema": new_schema.jsonValue(), "cmap": state}}],
+            base,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the
+        physical column stays in the (immutable) data files but leaves
+        the logical schema, and its physical name is RETIRED — a later
+        ``add_columns`` of the same logical name gets a fresh physical
+        name, so the old era's values can never resurrect under the
+        new column (the reason Delta requires column mapping for DROP
+        COLUMN). Returns the committed version."""
+        import pyspark.sql.types as T
+
+        base = self.current_version()
+        self._check_protocol(base, write=True)
+        cur = self._schema_at(base)
+        if name not in cur.fieldNames():
+            raise ValueError(f"no such column: {name}")
+        self._assert_mappable(name, base)
+        state = json.loads(json.dumps(self._cmap_at(base)))
+        m = state.setdefault("map", {})
+        phys = m.pop(name, name)
+        retired = set(state.get("retired", []))
+        retired.add(phys)
+        state["retired"] = sorted(retired)
+        prot = state.setdefault("protocol", {})
+        prot["min_reader"] = max(prot.get("min_reader", 1), 2)
+        prot["min_writer"] = max(prot.get("min_writer", 1), 2)
+        new_schema = T.StructType(
+            [f for f in cur.fields if f.name != name]
+        )
+        return self._commit(
+            "drop_column",
+            [{"metadata": {"schema": new_schema.jsonValue(), "cmap": state}}],
+            base,
+        )
+
     @property
     def schema(self):
         return self._schema_at(None)
@@ -633,6 +912,7 @@ class TxnLogTable(ParquetTable):
         import pyspark.sql.types as T
 
         base = self.current_version()
+        self._check_protocol(base, write=True)
         cur = self._schema_at(base)
         for name in fields:
             if name in cur.fieldNames():
@@ -644,8 +924,25 @@ class TxnLogTable(ParquetTable):
                 for n, dt in fields.items()
             ]
         )
+        # a re-added logical name whose physical name was RETIRED by a
+        # drop_column gets a FRESH physical name: existing files keep
+        # the retired column's bytes, and reading them under the same
+        # name would resurrect dropped-era values into the new column
+        state = json.loads(json.dumps(self._cmap_at(base)))
+        m = state.setdefault("map", {})
+        used_physical = {m.get(f.name, f.name) for f in cur.fields} | set(
+            state.get("retired", [])
+        )
+        changed = False
+        for n in fields:
+            if n in used_physical:
+                m[n] = f"{n}__p{0 if base is None else base + 1}"
+                changed = True
+        meta: dict = {"schema": new.jsonValue()}
+        if changed or state != _default_cmap():
+            meta["cmap"] = state
         return self._commit(
-            "add_columns", [{"metadata": {"schema": new.jsonValue()}}], base
+            "add_columns", [{"metadata": meta}], base
         )
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT shape) ----------
@@ -803,7 +1100,11 @@ class TxnLogTable(ParquetTable):
         return T.StructType([base[k] for k in self.keys])
 
     def _split_live(self, version: int | None = None):
-        """(data_files, dv_files) live at ``version``."""
+        """(data_files, dv_files) live at ``version``. Every data
+        consumer resolves its file set here, so this is where the
+        READER protocol gate lives: a table using features this code
+        doesn't know fails loudly before any file is read."""
+        self._check_protocol(version)
         live = self._live(version)
         data = {p: m for p, m in live.items() if not m.get("dv")}
         dvs = {p: m for p, m in live.items() if m.get("dv")}
@@ -843,15 +1144,11 @@ class TxnLogTable(ParquetTable):
 
     def read(self, version: int | None = None) -> DataFrame:
         # schema resolves AT the requested version, so time travel to a
-        # pre-evolution snapshot shows the schema of that era
-        schema = self._schema_at(version)
+        # pre-evolution snapshot shows the schema (and column names —
+        # the mapping also resolves per version) of that era
         data, dvs = self._split_live(version)
-        if not data:
-            return self.spark.createDataFrame([], schema)
-        base = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, p) for p in data]
-        )
-        if dvs:
+        base = self._scan_files(list(data), version)
+        if data and dvs:
             # merge-on-read: tombstoned keys are subtracted at scan
             # time by ONE anti-join against the (tiny) union of live
             # deletion-vector files — a Delta/Iceberg v2 DV read
@@ -926,14 +1223,8 @@ class TxnLogTable(ParquetTable):
         vectors are honored exactly as in :meth:`read`."""
         k0 = self.keys[0]
         vals = list(values)
-        schema = self._schema_at(version)
         cands = self.lookup_candidates(vals, version)
-        if not cands:
-            base = self.spark.createDataFrame([], schema)
-        else:
-            base = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in cands]
-            )
+        base = self._scan_files(cands, version)
         _, dvs = self._split_live(version)
         if dvs:
             tomb = self.spark.read.schema(self._dv_schema()).parquet(
@@ -953,10 +1244,14 @@ class TxnLogTable(ParquetTable):
         Decimals compare typed, never stringly."""
         data, _ = self._split_live(version)
         jlo, jhi = _js(lo), _js(hi)
+        # stats live permanently in the PHYSICAL namespace (immutable
+        # per column), so a probe on a renamed logical column resolves
+        # its physical name once and then prunes files of EVERY era
+        pcol = self._mapping_at(version).get(col, col)
         return [
             p
             for p, meta in data.items()
-            if _col_overlaps(self._file_stats(meta).get(col), jlo, jhi)
+            if _col_overlaps(self._file_stats(meta).get(pcol), jlo, jhi)
         ]
 
     def read_where(
@@ -968,14 +1263,8 @@ class TxnLogTable(ParquetTable):
         compact(cluster_by)/Z-order), the scan touches O(selectivity)
         files instead of all of them. Merge-on-read deletion vectors
         are honored exactly as in :meth:`read`."""
-        schema = self._schema_at(version)
         cands = self.scan_candidates(col, lo, hi, version)
-        if not cands:
-            base = self.spark.createDataFrame([], schema)
-        else:
-            base = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in cands]
-            )
+        base = self._scan_files(cands, version)
         _, dvs = self._split_live(version)
         if dvs:
             tomb = self.spark.read.schema(self._dv_schema()).parquet(
@@ -1000,6 +1289,7 @@ class TxnLogTable(ParquetTable):
         data_to, dv_to = self._split_live(v_to)
 
         def _read(paths, sch):
+            # deletion-vector reads: keys are never column-mapped
             if not paths:
                 return self.spark.createDataFrame([], sch)
             return self.spark.read.schema(sch).parquet(
@@ -1009,14 +1299,14 @@ class TxnLogTable(ParquetTable):
         churn_old = [p for p in data_from if p not in data_to]
         churn_new = [p for p in data_to if p not in data_from]
         scanned = churn_old + churn_new
-        old_side = _read(churn_old, schema)
+        old_side = self._scan_files(churn_old, v_to, schema)
         if dv_from:
             old_side = old_side.join(
                 F.broadcast(_read(list(dv_from), self._dv_schema())),
                 self.keys,
                 "left_anti",
             )
-        new_side = _read(churn_new, schema)
+        new_side = self._scan_files(churn_new, v_to, schema)
         if dv_to:
             new_side = new_side.join(
                 F.broadcast(_read(list(dv_to), self._dv_schema())),
@@ -1032,7 +1322,7 @@ class TxnLogTable(ParquetTable):
             t_to = _read(list(dv_to), self._dv_schema())
             newly_dead = t_to.join(t_from, self.keys, "left_anti")
             revived = t_from.join(t_to, self.keys, "left_anti")
-            base = _read(common, schema)
+            base = self._scan_files(common, v_to, schema)
             old_side = old_side.unionByName(
                 base.join(F.broadcast(newly_dead), self.keys, "left_semi")
             )
@@ -1137,9 +1427,17 @@ class TxnLogTable(ParquetTable):
         a first-key Bloom mask in the same pass. ``dv=True`` writes a
         DELETION-VECTOR file (key columns only) and tags the action so
         replay can tell data from tombstones."""
+        # early writer gate: fail before staging any parquet (the
+        # _commit gate would catch it anyway, after the write)
+        self._check_protocol(None, write=True)
         rel_dir = f"data/{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, rel_dir)
         parted = bool(self.partition_by) and not dv
+        # files are written — and their stats recorded — under
+        # PHYSICAL column names (identity until a rename_column);
+        # keys/partition columns are never mapped, so every key-named
+        # expression below reads the same either way
+        cmap = {} if dv else self._mapping_at(None)
         if dv:
             schema = self._dv_schema()
             df.select(
@@ -1153,16 +1451,18 @@ class TxnLogTable(ParquetTable):
             # no partition-inference coupling) while every file still
             # holds exactly one partition value — which is what makes
             # the recorded partitionValues an EXACT prune
-            schema = self.schema
-            out = self._conform(df)
+            schema = self._physical_schema(None)
+            out = self._to_physical(self._conform(df))
             for c in self.partition_by:
                 out = out.withColumn(f"p_{c}", F.col(c).cast("string"))
             out.write.mode("error").partitionBy(
                 *[f"p_{c}" for c in self.partition_by]
             ).parquet(out_dir)
         else:
-            schema = self.schema
-            self._conform(df).write.mode("error").parquet(out_dir)
+            schema = self._physical_schema(None)
+            self._to_physical(self._conform(df)).write.mode("error").parquet(
+                out_dir
+            )
         # stats cover every key column PLUS prunable non-key columns
         # (capped, Delta's dataSkippingNumIndexedCols mechanic) so
         # predicate scans — not just keyed mutations — skip files
@@ -1232,6 +1532,13 @@ class TxnLogTable(ParquetTable):
             )
         else:
             stat_src = self.spark.read.schema(schema).parquet(out_dir)
+        for lg, ph in cmap.items():
+            # CHECK expressions name LOGICAL columns; alias them onto
+            # the physical-named stats frame (a logical name never
+            # shadows another column's physical name — excluded at
+            # rename time)
+            if ph != lg:
+                stat_src = stat_src.withColumn(lg, F.col(ph))
         if want_bloom:
             stat_src = stat_src.withColumn(
                 "_md5k", F.expr(f"md5(cast(`{k0}` as string))")
@@ -1363,6 +1670,10 @@ class TxnLogTable(ParquetTable):
         shallow clone) must pass ``[]`` or a losing race would delete
         live historical data."""
         os.makedirs(self._log_dir(), exist_ok=True)
+        # WRITER protocol gate (Delta minWriterVersion): committing
+        # with features the running code doesn't understand could
+        # violate invariants a newer writer maintains
+        self._check_protocol(expected_version, write=True)
         target = 0 if expected_version is None else expected_version + 1
         entry = {
             "version": target,
@@ -1398,6 +1709,7 @@ class TxnLogTable(ParquetTable):
                 "schema": self._schema_at(target).jsonValue(),
                 "constraints": self.constraints(target),
                 "txn": self._txn_markers(target),
+                "cmap": self._cmap_at(target),
             }
             self.backend.publish_atomic(
                 self._ckpt_path(target), json.dumps(payload)
@@ -1493,11 +1805,7 @@ class TxnLogTable(ParquetTable):
         return cands
 
     def _read_files(self, relpaths: list[str]) -> DataFrame:
-        if not relpaths:
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(
-            *[os.path.join(self.path, p) for p in relpaths]
-        )
+        return self._scan_files(relpaths, None)
 
     def _read_files_mor(
         self, relpaths: list[str], version: int | None = None
@@ -2099,9 +2407,36 @@ class TxnLogTable(ParquetTable):
             if p not in now
         ]
         old_schema = self._schema_at(version)
-        if old_schema != self._schema_at(base):
+        cm_then = self._cmap_at(version)
+        cm_now = self._cmap_at(base)
+        if old_schema != self._schema_at(base) or cm_then != cm_now:
+            # the restored era's COLUMN MAPPING rides along with its
+            # schema (physical names are immutable, so old files read
+            # correctly either way) — but retired physical names stay
+            # retired (union) and the protocol never downgrades, so a
+            # post-restore add_columns can still never resurrect a
+            # dropped column's bytes
+            restored = {
+                "map": dict(cm_then.get("map", {})),
+                "retired": sorted(
+                    set(cm_then.get("retired", []))
+                    | set(cm_now.get("retired", []))
+                ),
+                "protocol": {
+                    k: max(
+                        cm_then.get("protocol", {}).get(k, 1),
+                        cm_now.get("protocol", {}).get(k, 1),
+                    )
+                    for k in ("min_reader", "min_writer")
+                },
+            }
             actions.append(
-                {"metadata": {"schema": old_schema.jsonValue()}}
+                {
+                    "metadata": {
+                        "schema": old_schema.jsonValue(),
+                        "cmap": restored,
+                    }
+                }
             )
         # restore the constraint set of the target era: drop what the
         # target didn't have, (re-)add what it had — drops precede
@@ -2158,6 +2493,21 @@ class TxnLogTable(ParquetTable):
             {"constraint": {"name": n, "expr": e}}
             for n, e in sorted(self.constraints(src_version).items())
         ]
+        src_cmap = self._cmap_at(src_version)
+        if src_cmap != _default_cmap():
+            # the clone re-references the source's PHYSICAL files, so
+            # the source's column mapping (and protocol) must transfer
+            # or the clone would read renamed columns as all-NULL
+            actions.append(
+                {
+                    "metadata": {
+                        "schema": self._schema_at(
+                            src_version
+                        ).jsonValue(),
+                        "cmap": src_cmap,
+                    }
+                }
+            )
         # re-referencing commit: a losing race must clean up nothing
         clone._commit("clone", actions, None, staged_adds=[])
         return clone

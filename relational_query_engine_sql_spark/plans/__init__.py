@@ -366,6 +366,10 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
     # rows-only r1 row (err=no_oracle) and was never staged since —
     # the LAST registry name without a hash-checked driver row
     "u1_linreg_fit_pandas",
+    # round-7 session additions (strict-sim green at sf0.001 + 0.01 +
+    # 0.1 when staged)
+    "stream_session_live",  # native session windows, live exec
+    "s31_txnlog_column_mapping",  # metadata-only rename/drop + protocol
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",

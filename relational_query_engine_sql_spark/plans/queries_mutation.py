@@ -1752,3 +1752,104 @@ def s30_txnlog_monotonic_time_travel(
         F.lit(v).cast("long").alias("resolved_version"),
         F.lit(True).alias("skew_hidden"),
     )
+
+
+# --------------------------------------------------------------------------
+# S31: COLUMN MAPPING (Delta columnMapping 'name' mode,
+# operators/txnlog.py rename_column/drop_column): logical renames and
+# drops are METADATA-ONLY commits over immutable physical parquet
+# names — on a 100 TB table, ALTER TABLE RENAME/DROP COLUMN costs KB
+# of JSON instead of a full rewrite. The scenario renames o_comment to
+# note (asserting zero file churn), keeps writing through the new
+# name (old and new files stay mutually readable), drops
+# o_shippriority and re-adds it (the retired physical name means the
+# old era's values can NEVER resurrect — asserted in-plan), upserts
+# through the mapped schema, and checks time travel still shows the
+# pre-rename era's names. Using the feature bumps the table protocol
+# to 2/2 (asserted), so a pre-mapping reader fails loudly instead of
+# misreading. The hash pins the full final table.
+# --------------------------------------------------------------------------
+@query(
+    "s31_txnlog_column_mapping",
+    survey="beyond:txnlog,beyond:column-mapping,S5",
+    priority=60,
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'RESTATED'
+                ELSE o_orderpriority END AS priority,
+           CAST(NULL AS VARCHAR) AS o_orderstatus,
+           TRUE AS rename_was_metadata_only,
+           TRUE AS dropped_column_stayed_dead,
+           TRUE AS old_era_kept_old_names
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def s31_txnlog_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="rqe-s31-")
+    t = TxnLogTable(spark, f"{root}/orders", src.schema, ["o_orderkey"])
+    t.init(src.filter(F.col("o_orderkey") % 2 == 0))
+    v0 = t.current_version()
+    files0 = set(t._split_live()[0])
+
+    t.rename_column("o_orderpriority", "priority")  # metadata-only
+    meta_only = set(t._split_live()[0]) == files0
+    assert meta_only, "rename must not touch data files"
+    assert t._cmap_at(None)["protocol"] == {
+        "min_reader": 2,
+        "min_writer": 2,
+    }, "feature use must bump the table protocol"
+
+    # writes keep flowing through the NEW logical name; the files they
+    # stage carry the immutable physical name, so both eras read as one
+    t.append(
+        src.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_orderpriority", "priority"
+        )
+    )
+
+    # drop + re-add: the retired physical name forces a FRESH one, so
+    # every row — old era and new — reads NULL, never the dropped bytes
+    t.drop_column("o_orderstatus")
+    t.add_columns({"o_orderstatus": "string"})
+    stayed_dead = (
+        t.read().filter(F.col("o_orderstatus").isNotNull()).count() == 0
+    )
+    assert stayed_dead, "dropped column's old values resurrected"
+
+    # keyed upsert through the mapped schema
+    restated = t.read().filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("RESTATED").alias("priority"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    t.upsert(restated)
+
+    # time travel to the pre-rename era resolves that era's names
+    old = t.read(v0)
+    old_names_ok = (
+        "o_orderpriority" in old.columns and "priority" not in old.columns
+    )
+    assert old_names_ok, "pre-rename era must show pre-rename names"
+
+    return t.read().select(
+        "o_orderkey",
+        "o_totalprice",
+        "priority",
+        "o_orderstatus",
+        F.lit(meta_only).alias("rename_was_metadata_only"),
+        F.lit(stayed_dead).alias("dropped_column_stayed_dead"),
+        F.lit(old_names_ok).alias("old_era_kept_old_names"),
+    )

@@ -1354,3 +1354,73 @@ def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lit(noop).alias("replay_was_noop"),
     )
+
+
+# --------------------------------------------------------------------------
+# LIVE native SESSION WINDOWS as a driver-checked row: the one
+# streaming operator family that had only a batch analog in the
+# registry (`sessionization`, the lag+running-sum rewrite). Spark's
+# F.session_window merges an event into the open session while
+# ts - last_ts < gap and closes it at last_ts + gap, so the window end
+# is EXCLUSIVE: a gap of exactly 30 minutes starts a NEW session —
+# which is why the oracle's island rewrite below marks a new session
+# on `ts - prev_ts >= INTERVAL 30 MINUTE` (the batch `sessionization`
+# oracle uses strict `>`, the classic SQL convention; both semantics
+# are now pinned, each against its own oracle). Runs availableNow in
+# complete output mode so every session emits regardless of the final
+# watermark; the merging-session state itself restores from
+# checkpoints like any streaming aggregation (same mechanism pinned by
+# tests/test_streaming.py restart tests).
+# --------------------------------------------------------------------------
+@query(
+    "stream_session_live",
+    survey="streaming:session,streaming:live-exec",
+    priority=60,
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.events import read_events_stream, sessionized_stream
+
+    name = f"session_live_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionized_stream(read_events_stream(spark, sf_dir), gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="rqe-stream-session-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None, "stream produced no progress"
+    return spark.table(name)

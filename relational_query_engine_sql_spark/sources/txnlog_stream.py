@@ -187,6 +187,43 @@ class _LogView:
                     )
         return out
 
+    def cmap_state(self) -> dict:
+        """Newest column-mapping/protocol state (TxnLogTable._cmap_at
+        precedence: checkpoint, else newest metadata action carrying
+        the field, else default). Spark-free."""
+        for v in reversed(self.versions()):
+            ck_path = os.path.join(
+                self.log_dir, f"{v:020d}.checkpoint.json"
+            )
+            if os.path.exists(ck_path):
+                with open(ck_path, encoding="utf-8") as f:
+                    ck = json.load(f)
+                return ck.get(
+                    "cmap",
+                    {"map": {}, "retired": [], "protocol": {}},
+                )
+            for a in self.entry(v)["actions"]:
+                if "metadata" in a and "cmap" in a["metadata"]:
+                    return a["metadata"]["cmap"]
+        return {"map": {}, "retired": [], "protocol": {}}
+
+    def logical_schema_json(self) -> dict | None:
+        """Newest logged schema (already LOGICAL names), or None for a
+        table that never committed a metadata action/checkpoint."""
+        for v in reversed(self.versions()):
+            ck_path = os.path.join(
+                self.log_dir, f"{v:020d}.checkpoint.json"
+            )
+            if os.path.exists(ck_path):
+                with open(ck_path, encoding="utf-8") as f:
+                    ck = json.load(f)
+                if "schema" in ck:
+                    return ck["schema"]
+            for a in self.entry(v)["actions"]:
+                if "metadata" in a:
+                    return a["metadata"]["schema"]
+        return None
+
     def any_data_file(self) -> str | None:
         live: dict[str, bool] = {}
         for v in self.versions():
@@ -207,13 +244,37 @@ class _FilePartition(InputPartition):
 
 
 class TxnLogStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema=None) -> None:
+        # declared (LOGICAL) column set: after a drop_column the data
+        # files still carry the retired physical column, which must be
+        # projected away before the batch crosses the Arrow bridge
+        self._want = (
+            [f.name for f in schema.fields] if schema is not None else None
+        )
         self.view = _LogView(options["path"])
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         start = options.get("startingversion")
         self.starting = int(start) if start is not None else None
+        # COLUMN MAPPING: data files carry immutable PHYSICAL names;
+        # the stream's declared schema is LOGICAL. The physical->
+        # logical rename is resolved ONCE at stream start and applied
+        # per batch (pinned like the stream's schema itself) — correct
+        # across any number of renames mid-stream, because a rename
+        # never changes physical names and never adds files. Protocol
+        # gate mirrors TxnLogTable._check_protocol (reader v2 = column
+        # mapping).
+        state = self.view.cmap_state()
+        need = (state.get("protocol") or {}).get("min_reader", 1)
+        if need > 2:
+            raise RuntimeError(
+                f"txnlog stream: table requires reader protocol "
+                f"{need}; this source supports 2"
+            )
+        self._phys_to_logical = {
+            p: l for l, p in (state.get("map") or {}).items()
+        }
 
     def initialOffset(self) -> dict:
         if self.starting is not None:
@@ -260,6 +321,17 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 fields.append(f)
         if changed:
             table = table.cast(pa.schema(fields))
+        if self._phys_to_logical:
+            table = table.rename_columns(
+                [
+                    self._phys_to_logical.get(n, n)
+                    for n in table.column_names
+                ]
+            )
+        if self._want is not None and set(self._want) <= set(
+            table.column_names
+        ):
+            table = table.select(self._want)
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -380,6 +452,25 @@ class TxnLogStreamWriter(DataSourceStreamArrowWriter):
     def _table(self):
         from ..operators.txnlog import TxnLogTable
 
+        state = _LogView(self.path).cmap_state()
+        need_w = (state.get("protocol") or {}).get("min_writer", 1)
+        if need_w > 2:
+            raise RuntimeError(
+                f"txnlog sink: table requires writer protocol "
+                f"{need_w}; this sink supports 2"
+            )
+        if state.get("map"):
+            # executors stage files named by the STREAM's (logical)
+            # columns and record stats under those names — both would
+            # land in the wrong namespace on a column-mapped table.
+            # Refuse loudly (Delta restricts streaming writes on
+            # column-mapped tables the same way); batch append via
+            # TxnLogTable handles the physical rename correctly.
+            raise RuntimeError(
+                "txnlog sink cannot write to a column-mapped table "
+                "(renamed/dropped columns); ingest via foreachBatch + "
+                "append_once instead"
+            )
         resolved = self._resolved_table_schema()
         # conform-or-reject: the stream must carry exactly the table's
         # columns with the table's types (order and nullability are
@@ -501,6 +592,19 @@ class TxnLogStreamDataSource(DataSource):
 
     def schema(self) -> str:
         view = _LogView(self.options["path"])
+        logged = view.logical_schema_json()
+        if logged is not None:
+            # a logged metadata schema is authoritative AND already in
+            # logical names — the only correct source once the table
+            # has renamed/dropped columns (the arrow fallback below
+            # would surface physical/retired names)
+            import pyspark.sql.types as T
+
+            st = T.StructType.fromJson(logged)
+            return ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in st.fields
+            )
         sample = view.any_data_file()
         if sample is None:
             raise ValueError(
@@ -516,7 +620,7 @@ class TxnLogStreamDataSource(DataSource):
         return cols
 
     def streamReader(self, schema) -> TxnLogStreamReader:
-        return TxnLogStreamReader(self.options)
+        return TxnLogStreamReader(self.options, schema)
 
     def streamWriter(self, schema, overwrite: bool) -> TxnLogStreamWriter:
         if overwrite:

@@ -1,0 +1,288 @@
+"""Column mapping + protocol versioning on the txnlog format
+(operators/txnlog.py): Delta columnMapping 'name' mode. The properties
+that matter:
+
+1. METADATA-ONLY — rename/drop never touch a data file (KB of JSON on
+   a 100 TB table); the column's PHYSICAL parquet name is immutable,
+   so files written before and after a rename stay mutually readable.
+2. NO RESURRECTION — a dropped column's physical name is retired; a
+   later add_columns of the same logical name reads NULL over the old
+   files instead of the dropped era's bytes.
+3. NAMESPACES — stats/bloom metadata live permanently in the physical
+   namespace (pruning spans renames); CHECK constraints evaluate on
+   logical names; keys/partition/constraint-referenced columns are
+   not mappable.
+4. PROTOCOL GATE — using the feature bumps min_reader/min_writer to 2
+   (Delta's feature gating); a log demanding a newer protocol than the
+   running code fails loudly at read AND write, before any data moves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from relational_query_engine_sql_spark.operators.txnlog import (
+    ConstraintViolation,
+    ProtocolUnsupported,
+    TxnLogTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("comment", T.StringType()),
+        T.StructField("flag", T.StringType()),
+    ]
+)
+
+
+def _frame(spark, lo, hi, tag="c"):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("price"),
+        F.concat(F.lit(tag), F.col("id")).alias("comment"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("flag"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 200))
+    return t
+
+
+def test_rename_is_metadata_only_and_versioned(spark, table):
+    v0 = table.current_version()
+    files0 = set(table._split_live()[0])
+    table.rename_column("comment", "note")
+    assert set(table._split_live()[0]) == files0  # zero data churn
+    assert table.schema.fieldNames() == ["id", "price", "note", "flag"]
+    assert (
+        table.read().filter(F.col("id") == 7).first()["note"] == "c7"
+    )
+    # time travel to the pre-rename era shows the old name
+    old = table.read(v0)
+    assert "comment" in old.columns and "note" not in old.columns
+
+
+def test_writes_after_rename_use_physical_names(spark, table):
+    import pyarrow.parquet as pq
+
+    v0 = table.current_version()
+    table.rename_column("comment", "note")
+    table.append(
+        _frame(spark, 200, 260, tag="n").withColumnRenamed(
+            "comment", "note"
+        )
+    )
+    assert table.read().count() == 260
+    # the fresh file physically carries the immutable old name
+    new_rel = [
+        p for p in table._split_live()[0] if p not in table._live(v0)
+    ][0]
+    names = pq.read_schema(os.path.join(table.path, new_rel)).names
+    assert "comment" in names and "note" not in names
+    # stats landed in the physical namespace; LOGICAL probes prune
+    cands = table.scan_candidates("note", "n200", "n259")
+    assert new_rel in cands
+    # keyed mutations keep working across the mapped column
+    table.upsert(
+        spark.createDataFrame([(7, 9.9, "upd", "odd")], table.schema)
+    )
+    assert table.lookup([7]).first()["note"] == "upd"
+
+
+def test_constraints_on_logical_names(spark, table):
+    table.rename_column("comment", "note")
+    table.add_constraint("note_nonempty", "length(note) > 0")
+    bad = spark.createDataFrame([(999, 1.0, "", "odd")], table.schema)
+    with pytest.raises(ConstraintViolation):
+        table.append(bad)
+    # a constraint-referenced column is locked against mapping
+    with pytest.raises(ValueError, match="CHECK"):
+        table.rename_column("note", "note2")
+    with pytest.raises(ValueError, match="CHECK"):
+        table.drop_column("note")
+
+
+def test_unmappable_columns_raise(spark, table):
+    with pytest.raises(ValueError, match="key"):
+        table.rename_column("id", "id2")
+    with pytest.raises(ValueError, match="no such column"):
+        table.rename_column("ghost", "g2")
+    with pytest.raises(ValueError, match="column exists"):
+        table.rename_column("comment", "price")
+
+
+def test_drop_then_readd_does_not_resurrect(spark, table):
+    table.drop_column("flag")
+    assert "flag" not in table.read().columns
+    table.add_columns({"flag": "string"})
+    # fresh physical name: the old era's values must NOT come back
+    assert table._cmap_at(None)["map"]["flag"].startswith("flag__p")
+    assert (
+        table.read().filter(F.col("id") == 7).first()["flag"] is None
+    )
+    # new writes land under the fresh physical name and read back
+    table.upsert(
+        spark.createDataFrame([(7, 9.9, "c7", "NEW")], table.schema)
+    )
+    assert table.read().filter(F.col("id") == 7).first()["flag"] == "NEW"
+
+
+def test_protocol_gates_read_and_write(spark, table):
+    table.rename_column("comment", "note")
+    st = table._cmap_at(None)
+    assert st["protocol"] == {"min_reader": 2, "min_writer": 2}
+    # hand-craft a future-feature commit demanding protocol 9
+    base = table.current_version()
+    entry = {
+        "version": base + 1,
+        "op": "future_feature",
+        "ts": 0,
+        "actions": [
+            {
+                "metadata": {
+                    "schema": table.schema.jsonValue(),
+                    "cmap": {
+                        "map": {},
+                        "retired": [],
+                        "protocol": {"min_reader": 9, "min_writer": 9},
+                    },
+                }
+            }
+        ],
+    }
+    with open(table._log_path(base + 1), "w", encoding="utf-8") as f:
+        json.dump(entry, f)
+    fresh = TxnLogTable(spark, table.path, SCHEMA, ["id"])
+    with pytest.raises(ProtocolUnsupported):
+        fresh.read()
+    with pytest.raises(ProtocolUnsupported):
+        fresh.append(
+            _frame(spark, 300, 310).withColumnRenamed("comment", "note")
+        )
+    # the PRE-feature era stays readable (protocol resolves per version)
+    assert fresh.read(0).count() == 200
+
+
+def test_restore_and_clone_carry_mapping(spark, table, tmp_path):
+    v0 = table.current_version()
+    table.rename_column("comment", "note")
+    table.drop_column("flag")
+    # restore: old logical names return, retirement is permanent
+    table.restore(v0)
+    assert table.schema.fieldNames() == ["id", "price", "comment", "flag"]
+    assert (
+        table.read().filter(F.col("id") == 7).first()["comment"] == "c7"
+    )
+    st = table._cmap_at(None)
+    assert "flag" in st["retired"]
+    assert st["protocol"]["min_reader"] == 2
+    # clone of a mapped table transfers the mapping
+    table.rename_column("comment", "note")
+    clone = table.clone_to(str(tmp_path / "clone"))
+    assert (
+        clone.read().filter(F.col("id") == 7).first()["note"] == "c7"
+    )
+
+
+def test_mapping_survives_checkpoint_fold(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "ck"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 50))
+    t.rename_column("comment", "note")
+    for i in range(12):  # cross a CHECKPOINT_EVERY boundary
+        t.append(
+            spark.createDataFrame(
+                [(1000 + i, 1.0, f"z{i}", "e")], t.schema
+            )
+        )
+    assert any(os.path.exists(t._ckpt_path(v)) for v in t.versions())
+    fresh = TxnLogTable(spark, t.path, SCHEMA, ["id"])
+    assert (
+        fresh.read().filter(F.col("id") == 1005).first()["note"] == "z5"
+    )
+    assert fresh._cmap_at(None)["map"] == {"note": "comment"}
+
+
+def test_cdf_across_rename(spark, table):
+    v0 = table.current_version()
+    table.rename_column("comment", "note")
+    table.upsert(
+        spark.createDataFrame([(7, 9.9, "upd", "odd")], table.schema)
+    )
+    ch = table.table_changes(v0)
+    assert "note" in ch.columns and "comment" not in ch.columns
+    post = ch.filter(
+        (F.col("id") == 7) & (F.col("_change_type") == "update_postimage")
+    ).first()
+    assert post["note"] == "upd"
+
+
+def test_stream_source_reads_logical_names(spark, tmp_path):
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    t = TxnLogTable(spark, str(tmp_path / "s"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 40))
+    t.rename_column("comment", "note")
+    t.drop_column("flag")
+    t.append(
+        spark.range(40, 50).select(
+            F.col("id"),
+            (F.col("id") * 1.5).alias("price"),
+            F.concat(F.lit("n"), F.col("id")).alias("note"),
+        )
+    )
+    q = (
+        spark.readStream.format("txnlog")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cmap_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("cmap_stream_t")
+    # inferred schema is LOGICAL; the retired physical column is
+    # projected away from the pre-drop files
+    assert out.columns == ["id", "price", "note"]
+    assert out.count() == 50
+    assert out.filter(F.col("id") == 7).first()["note"] == "c7"
+    assert out.filter(F.col("id") == 45).first()["note"] == "n45"
+
+
+def test_stream_sink_refuses_mapped_table(spark, tmp_path):
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    t = TxnLogTable(spark, str(tmp_path / "t2"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 10))
+    t.rename_column("comment", "note")
+    src = _frame(spark, 10, 20)
+    src.write.parquet(str(tmp_path / "src" / "c0"))
+    q = (
+        spark.readStream.schema(src.schema)
+        .parquet(str(tmp_path / "src" / "c*"))
+        .writeStream.format("txnlog")
+        .option("path", t.path)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="column-mapped"):
+        q.awaitTermination()
+    assert t.read().count() == 10  # nothing landed
