@@ -370,6 +370,7 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
     # 0.1 when staged)
     "stream_session_live",  # native session windows, live exec
     "s31_txnlog_column_mapping",  # metadata-only rename/drop + protocol
+    "stream_txnlog_join",  # two txnlog sources x join state restart
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",

@@ -1424,3 +1424,122 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert q.lastProgress is not None, "stream produced no progress"
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# STREAM-STREAM join over TWO txnlog sources across a checkpoint
+# restart — the last untested composition of the streaming source with
+# a stateful operator (windowed aggregation landed as
+# stream_txnlog_windowed; this is join state). Clicks and purchases
+# live in separate txnlog tables, each read with format("txnlog");
+# the purchases table lands in two TIME-SPLIT commit waves streamed
+# through the SAME checkpoint. The restarted run must consume exactly
+# the second wave (asserted from recentProgress: the clicks source
+# contributes zero new rows), yet its late purchases still match
+# first-run clicks — those rows can only come from JOIN STATE restored
+# from the checkpoint. The waves split on event TIME (not key parity)
+# so the watermark eviction rule provably retains every click the
+# second wave can reference: after wave 1 the purchase watermark is
+# mid - 2h, clicks are evictable only below mid - 3h, and wave-2
+# purchases (ts >= mid) reach back only to mid - 1h. The oracle is
+# the plain batch interval join, so the hash proves batch equivalence
+# of the whole composition.
+# --------------------------------------------------------------------------
+@query(
+    "stream_txnlog_join",
+    survey="beyond:txnlog,beyond:streaming-source,streaming:interval-join",
+    priority=60,
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           p.value,
+           TRUE AS restart_restored_join_state
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+      AND c.event_type = 'click'
+    """,
+)
+def stream_txnlog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..operators.txnlog import TxnLogTable
+    from ..sources.txnlog_stream import TxnLogStreamDataSource
+    from ..streaming.events import interval_attribution
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    bounds = buys.agg(
+        F.min(F.unix_micros("purchase_ts")).alias("lo"),
+        F.max(F.unix_micros("purchase_ts")).alias("hi"),
+    ).first()
+    mid = F.timestamp_micros(F.lit((bounds["lo"] + bounds["hi"]) // 2))
+    root = tempfile.mkdtemp(prefix="rqe-txn-ssj-")
+    ct = TxnLogTable(spark, f"{root}/clicks", clicks.schema, ["click_id"])
+    ct.init(clicks)  # all clicks up front
+    bt = TxnLogTable(spark, f"{root}/buys", buys.schema, ["purchase_id"])
+    bt.init(buys.filter(F.col("purchase_ts") < mid))  # wave 1
+    wave2 = buys.filter(F.col("purchase_ts") >= mid)
+    n_wave2 = wave2.count()
+
+    def run_once():
+        # parquet sink: the append-mode file sink supports checkpoint
+        # recovery (the memory sink does not), and its manifest makes
+        # the two runs' outputs one exactly-once result set
+        q = (
+            interval_attribution(
+                spark.readStream.format("txnlog")
+                .option("path", f"{root}/buys")
+                .load(),
+                spark.readStream.format("txnlog")
+                .option("path", f"{root}/clicks")
+                .load(),
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{root}/sink")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    run_once()  # wave 1 builds join state on both sides
+    bt.append(wave2)  # wave 2: purchases only — clicks add no commits
+    resumed = run_once()
+    only_new = resumed == n_wave2
+    assert only_new, (
+        f"restart re-read old commits: {resumed} rows vs {n_wave2}"
+    )
+    out_schema = (
+        "user_id long, purchase_id long, click_id long, "
+        "purchase_ts timestamp, click_ts timestamp, value double"
+    )
+    return spark.read.schema(out_schema).parquet(f"{root}/sink").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "value",
+        F.lit(only_new).alias("restart_restored_join_state"),
+    )

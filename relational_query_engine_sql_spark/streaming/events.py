@@ -292,12 +292,34 @@ def purchase_click_attribution(
         F.col("ts").alias("purchase_ts"),
         F.col("value"),
     )
-    if events.isStreaming:
-        clicks = clicks.withWatermark("click_ts", watermark)
+    return interval_attribution(
+        purchases, clicks, max_gap=max_gap, watermark=watermark, how=how
+    )
+
+
+def interval_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """The interval-join core of :func:`purchase_click_attribution`
+    over PRE-SPLIT frames — so the two sides can come from two
+    independent streaming sources (e.g. two txnlog tables), not just
+    one filtered event stream. Columns expected:
+    purchases (user_id, purchase_id, purchase_ts, value),
+    clicks (user_id, click_id, click_ts)."""
+    if purchases.isStreaming:
         purchases = purchases.withWatermark("purchase_ts", watermark)
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
     cond = (
         (purchases.user_id == clicks.user_id)
-        & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}"))
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")
+        )
         & (clicks.click_ts <= purchases.purchase_ts)
     )
     return purchases.join(clicks, cond, how).select(
