@@ -2373,6 +2373,41 @@ class TxnLogTable(ParquetTable):
             df = df.repartition(target_files)
         self._rewrite("compact", live, df, expected_version=base)
 
+    def compact_small(
+        self, max_rows: int, target_files: int | None = None
+    ) -> int | None:
+        """Delta OPTIMIZE's small-file SELECTION: bin-pack only the
+        live data files holding fewer than ``max_rows`` rows and leave
+        every well-sized file untouched BY IDENTITY — at 100 TB,
+        routine compaction must cost O(small files), not O(table),
+        which full :meth:`compact` cannot promise. A steady drip of
+        streaming micro-batch commits (the txnlog sink writes one file
+        per task per batch) is exactly the workload that needs this.
+        Deletion vectors are honored on the rewritten rows but NOT
+        dropped: they may still mask rows in files this commit never
+        reads (entries pointing into compacted files become inert).
+        Returns the committed version, or None when fewer than two
+        small files exist (nothing to bin-pack)."""
+        base = self.current_version()
+        data, _ = self._split_live(base)
+        small = [
+            p for p, m in data.items() if (m.get("rows") or 0) < max_rows
+        ]
+        if len(small) < 2:
+            return None
+        total = sum(data[p]["rows"] or 0 for p in small)
+        n_out = target_files or max(1, -(-total // max_rows))
+        df = self._read_files_mor(small, base)
+        if self.partition_by:
+            df = df.repartition(
+                n_out, *[F.col(c) for c in self.partition_by]
+            )
+        else:
+            df = df.repartition(n_out)
+        return self._rewrite(
+            "compact_small", small, df, expected_version=base
+        )
+
     # -- optimistic concurrency / retention ----------------------------------
 
     def restore(self, version: int) -> int:

@@ -397,7 +397,11 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
 # Round-8 queue: staging for queries added during round 8 (insert at
 # the FRONT of ROUND8_PREFIX as they are added, each strict-sim green
 # at all three SFs first).
-ROUND8_QUEUE: list[str] = []
+ROUND8_QUEUE: list[str] = [
+    # round-7 session additions past the full 50-name ROUND7 window
+    # (each strict-sim green at sf0.001 + 0.01 + 0.1 when staged)
+    "s32_txnlog_compact_small",
+]
 
 # Round-8 prefix, pre-curated at the end of round 7: with round 7's
 # window landed, EVERY registry name has a hash-checked driver row, so

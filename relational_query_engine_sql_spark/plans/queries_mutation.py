@@ -1853,3 +1853,73 @@ def s31_txnlog_column_mapping(
         F.lit(stayed_dead).alias("dropped_column_stayed_dead"),
         F.lit(old_names_ok).alias("old_era_kept_old_names"),
     )
+
+
+# --------------------------------------------------------------------------
+# S32: SELECTIVE small-file compaction (Delta OPTIMIZE's minFileSize
+# selection, operators/txnlog.py compact_small): bin-pack ONLY the
+# files below the size threshold and leave every well-sized file
+# untouched BY IDENTITY — the routine-maintenance shape that costs
+# O(small files) instead of O(table) at 100 TB (full compact() reads
+# everything). The scenario drips 8 micro-batch-sized appends onto one
+# big initial file (the txnlog streaming sink's steady state), defers
+# a delete whose vector masks the BIG file, compacts, and asserts:
+# the big file survived by identity, the drip got packed, and the
+# deletion vector still masks rows in the file the compact never read.
+# --------------------------------------------------------------------------
+@query(
+    "s32_txnlog_compact_small",
+    survey="beyond:txnlog,beyond:compaction,S5",
+    priority=60,
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           TRUE AS big_file_untouched,
+           TRUE AS drip_files_packed,
+           TRUE AS dv_still_masks
+    FROM customer WHERE c_custkey % 97 <> 0
+    """,
+)
+def s32_txnlog_compact_small(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    n = src.count()
+    half = n // 2
+    root = tempfile.mkdtemp(prefix="rqe-s32-")
+    t = TxnLogTable(spark, f"{root}/c", src.schema, ["c_custkey"])
+    t.init(src.filter(F.col("c_custkey") <= half).repartition(1))
+    n_big = t.read().count()
+    for j in range(8):  # the streaming-sink drip: one small file each
+        t.append(
+            src.filter(
+                (F.col("c_custkey") > half)
+                & (F.col("c_custkey") % 8 == j)
+            ).repartition(1)
+        )
+    # deferred delete across BOTH eras: its vector masks the big file
+    t.delete_keys_deferred(
+        src.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    )
+    before = t._split_live()[0]
+    big_rel = [p for p, m in before.items() if m["rows"] == n_big]
+    assert len(big_rel) == 1
+    t.compact_small(max_rows=n_big)
+    after, dvs = t._split_live()
+    big_ok = big_rel[0] in after
+    assert big_ok, "compact_small rewrote a well-sized file"
+    packed_ok = len(after) < len(before)
+    assert packed_ok, "small files were not packed"
+    dv_ok = bool(dvs)
+    assert dv_ok, "deletion vector must survive compact_small"
+    return t.read().select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit(big_ok).alias("big_file_untouched"),
+        F.lit(packed_ok).alias("drip_files_packed"),
+        F.lit(dv_ok).alias("dv_still_masks"),
+    )

@@ -1987,3 +1987,55 @@ def test_vacuum_removes_fully_dead_write_dirs(spark, base, tmp_path):
     )
     assert t.read().count() == 100
     assert len(t.lookup_candidates([0])) >= 1
+
+
+# -- selective small-file compaction (Delta OPTIMIZE minFileSize) ----------
+
+
+def test_compact_small_leaves_big_files_by_identity(spark, tmp_path):
+    t = TxnLogTable(
+        spark, str(tmp_path / "cs"), SCHEMA, ["k"]
+    )
+    big = _rows(spark, [(i, "g", i * 1.0) for i in range(100)])
+    t.init(big.repartition(1))  # one 100-row file
+    for j in range(5):  # five 2-row files
+        t.append(
+            _rows(
+                spark,
+                [(200 + 2 * j, "s", 1.0), (201 + 2 * j, "s", 1.0)],
+            ).repartition(1)
+        )
+    before = t._split_live()[0]
+    big_rel = [p for p, m in before.items() if m["rows"] == 100]
+    assert len(big_rel) == 1
+    v = t.compact_small(max_rows=100)
+    assert v is not None
+    after = t._split_live()[0]
+    # the big file survives BY IDENTITY; the five small ones are packed
+    assert big_rel[0] in after
+    assert len(after) < len(before)
+    small_after = [p for p, m in after.items() if p != big_rel[0]]
+    assert len(small_after) < 5
+    assert t.read().count() == 110
+    # idempotence: everything is now well-sized -> None (no commit)
+    assert t.compact_small(max_rows=3) is None
+
+
+def test_compact_small_keeps_deletion_vectors_masking(spark, tmp_path):
+    t = TxnLogTable(spark, str(tmp_path / "csdv"), SCHEMA, ["k"])
+    t.init(
+        _rows(
+            spark, [(i, "g", i * 1.0) for i in range(100)]
+        ).repartition(1)
+    )
+    for j in range(4):
+        t.append(_rows(spark, [(200 + j, "s", 1.0)]).repartition(1))
+    # deferred-delete keys in the BIG file (untouched by the compact)
+    # and in a small file (materialized by the compact)
+    t.delete_keys_deferred(_rows(spark, [(5, "g", 0.0), (201, "s", 0.0)]).select("k"))
+    t.compact_small(max_rows=100)
+    ks = {r["k"] for r in t.read().collect()}
+    assert 5 not in ks and 201 not in ks
+    assert len(ks) == 102
+    # the DV file is still live (it masks the untouched big file)
+    assert t._split_live()[1], "deletion vector must survive compact_small"
