@@ -311,6 +311,72 @@ def probe_partition_layout(spark, sf_dir: str, copies: int):
     )
 
 
+def probe_column_mapping(spark, sf_dir: str, copies: int):
+    """Column mapping (s31) at sf1-equivalent file counts: the claim
+    to verify is that RENAME COLUMN costs O(1) metadata regardless of
+    table size, and that the logical->physical translation adds no
+    measurable cost to plan-time pruning or reads. Build `copies`
+    commit waves of the sf0.1 orders table (unpartitioned, keyed),
+    time a 5% key-window prune and a sample read BEFORE the rename,
+    rename a non-key column, and re-time the same probes through the
+    new logical name."""
+    import tempfile
+
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+
+    print("\n### Column mapping at 10x files (s31, rename cost + "
+          "post-rename pruning)\n")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    n0 = orders.count()
+    root = tempfile.mkdtemp(prefix="rqe-probe-cmap-")
+    t = TxnLogTable(spark, f"{root}/orders", orders.schema, ["o_orderkey"])
+    for c in range(copies):
+        wave = orders.select(
+            (F.col("o_orderkey") + c * 10_000_000).alias("o_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        ).repartition(4)
+        (t.init if c == 0 else t.append)(wave)
+    n_files = len(t._live())
+    lo, hi = 1, int(n0 * 4 * 0.05)
+
+    t0 = time.perf_counter()
+    pre_files = len(t.scan_candidates("o_totalprice", 1000.0, 2000.0))
+    pre_prune_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pre_read = t.read_where("o_orderkey", lo, hi).count()
+    pre_read_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    v = t.rename_column("o_totalprice", "total_price")
+    rename_wall = time.perf_counter() - t0
+    rename_bytes = os.path.getsize(t._log_path(v))
+
+    t0 = time.perf_counter()
+    post_files = len(t.scan_candidates("total_price", 1000.0, 2000.0))
+    post_prune_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    post_read = t.read_where("o_orderkey", lo, hi).count()
+    post_read_wall = time.perf_counter() - t0
+    assert post_read == pre_read and post_files == pre_files
+
+    print("| rows | files | rename wall | rename commit bytes | "
+          "stats prune pre->post | 5% window read pre->post |")
+    print("|---|---|---|---|---|---|")
+    print(
+        f"| {n0 * copies:,} | {n_files} "
+        f"| {rename_wall * 1000:.0f} ms | {rename_bytes} B "
+        f"| {pre_files}/{n_files} {pre_prune_wall * 1000:.0f} ms -> "
+        f"{post_files}/{n_files} {post_prune_wall * 1000:.0f} ms "
+        f"| {pre_read:,} rows {pre_read_wall:.2f} s -> "
+        f"{post_read:,} rows {post_read_wall:.2f} s |"
+    )
+
+
 def main():
     quick = "--quick" in sys.argv
     spark = get_spark(app_name="scale-probe-sf1")
@@ -321,6 +387,9 @@ def main():
         spark, "/root/testdata/sf0.1", copies=2 if quick else 10
     )
     probe_partition_layout(
+        spark, "/root/testdata/sf0.1", copies=3 if quick else 10
+    )
+    probe_column_mapping(
         spark, "/root/testdata/sf0.1", copies=3 if quick else 10
     )
     spark.stop()
