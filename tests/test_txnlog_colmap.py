@@ -286,3 +286,116 @@ def test_stream_sink_refuses_mapped_table(spark, tmp_path):
     with pytest.raises(Exception, match="column-mapped"):
         q.awaitTermination()
     assert t.read().count() == 10  # nothing landed
+
+
+# -- model-based property: random schema-op/write sequences ----------------
+#
+# Column mapping's risk is interaction CHAINS (rename -> drop ->
+# re-add -> rename back -> upsert ...), not single ops. Hypothesis
+# drives random sequences against a pandas model of the logical
+# table; after the sequence, TxnLogTable.read() must equal the model
+# exactly. Invalid ops (rename onto a live/physical name, drop of a
+# missing column) must raise ValueError and leave the table unchanged
+# — the model skips them.
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import PROP_EXAMPLES
+
+_NAMES = [f"c{i}" for i in range(6)]
+
+_op = st.one_of(
+    st.tuples(st.just("rename"), st.integers(0, 5), st.integers(0, 5)),
+    st.tuples(st.just("drop"), st.integers(0, 5)),
+    st.tuples(st.just("add"), st.integers(0, 5)),
+    st.tuples(
+        st.just("upsert"), st.integers(0, 40), st.integers(1, 5)
+    ),
+)
+
+
+@given(ops=st.lists(_op, min_size=1, max_size=8))
+@settings(
+    max_examples=PROP_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_colmap_sequences_match_pandas_model(spark, tmp_path_factory, ops):
+    import pyspark.sql.types as T
+
+    root = tmp_path_factory.mktemp("colmap_seq")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("c0", T.StringType()),
+            T.StructField("c1", T.StringType()),
+        ]
+    )
+    t = TxnLogTable(spark, str(root / "t"), schema, ["k"])
+    model = pd.DataFrame(
+        {"k": [0, 1, 2], "c0": ["x0", "x1", "x2"], "c1": ["y0", "y1", "y2"]}
+    ).set_index("k")
+    t.init(
+        spark.createDataFrame(
+            model.reset_index(), schema=schema
+        )
+    )
+    for op in ops:
+        cols = list(model.columns)  # logical non-key columns
+        if op[0] == "rename":
+            if not cols:
+                continue
+            old = cols[op[1] % len(cols)]
+            new = _NAMES[op[2] % len(_NAMES)]
+            try:
+                t.rename_column(old, new)
+            except ValueError:
+                continue  # invalid target: table must be unchanged
+            model = model.rename(columns={old: new})
+        elif op[0] == "drop":
+            if not cols:
+                continue
+            c = cols[op[1] % len(cols)]
+            try:
+                t.drop_column(c)
+            except ValueError:
+                continue
+            model = model.drop(columns=[c])
+        elif op[0] == "add":
+            c = _NAMES[op[1] % len(_NAMES)]
+            try:
+                t.add_columns({c: "string"})
+            except ValueError:
+                continue  # column exists
+            model[c] = None
+        else:  # upsert
+            seed, nrows = op[1], op[2]
+            keys = [(seed + i) % 50 for i in range(nrows)]
+            keys = sorted(set(keys))
+            cur = list(model.columns)
+            rows = [
+                tuple([k] + [f"{c}_{seed}_{k}" for c in cur])
+                for k in keys
+            ]
+            up_schema = T.StructType(
+                [T.StructField("k", T.LongType())]
+                + [T.StructField(c, T.StringType()) for c in cur]
+            )
+            t.upsert(spark.createDataFrame(rows, schema=up_schema))
+            for k in keys:
+                model.loc[k] = [f"{c}_{seed}_{k}" for c in cur]
+    got = (
+        t.read()
+        .toPandas()
+        .sort_values("k")
+        .set_index("k")
+        .sort_index(axis=1)
+    )
+    want = model.sort_index().sort_index(axis=1)
+    want = want.where(pd.notna(want), None)
+    got = got.where(pd.notna(got), None)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_index_type=False
+    )
