@@ -401,6 +401,7 @@ ROUND8_QUEUE: list[str] = [
     # round-7 session additions past the full 50-name ROUND7 window
     # (each strict-sim green at sf0.001 + 0.01 + 0.1 when staged)
     "s32_txnlog_compact_small",
+    "src_txnlog_batch_reader",
 ]
 
 # Round-8 prefix, pre-curated at the end of round 7: with round 7's

@@ -277,3 +277,80 @@ def s8_chart_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert out.endswith(".svg")
     return sliced
+
+
+# --------------------------------------------------------------------------
+# The txnlog table read through spark.read.format("txnlog") — the
+# BATCH Data Source reader (Delta's spark.read.format("delta") parity,
+# sources/txnlog_stream.py TxnLogBatchReader). The scenario exercises
+# every read-path feature in one table: merge-on-read deletion
+# vectors subtracted per-partition executor-side, column mapping
+# (rename after the first era), and versionAsOf time travel back to
+# the pre-rename, pre-delete snapshot — emitted as two era-tagged
+# slices whose union the oracle reconstructs from the raw parquet.
+# In-plan, the format reader's rows are asserted identical to
+# TxnLogTable.read at both versions (the library path is the
+# pruning/anti-join reference implementation).
+# --------------------------------------------------------------------------
+@query(
+    "src_txnlog_batch_reader",
+    survey="beyond:txnlog,beyond:batch-source,S1",
+    priority=60,
+    oracle="""
+    SELECT 'v0' AS era, c_custkey, c_name AS name, c_acctbal,
+           TRUE AS matches_library_read
+    FROM customer
+    UNION ALL
+    SELECT 'cur' AS era, c_custkey, c_name AS name, c_acctbal,
+           TRUE AS matches_library_read
+    FROM customer WHERE c_custkey % 11 <> 0
+    """,
+)
+def src_txnlog_batch_reader(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+    from ..sources.txnlog_stream import TxnLogStreamDataSource
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-src-txnb-")
+    t = TxnLogTable(spark, f"{root}/c", src.schema, ["c_custkey"])
+    t.init(src)  # v0
+    t.delete_keys_deferred(
+        src.filter(F.col("c_custkey") % 11 == 0).select("c_custkey")
+    )  # v1: DV-only delete
+    t.rename_column("c_name", "name")  # v2: column mapping
+
+    def fmt(**opts):
+        r = spark.read.format("txnlog").option("path", t.path)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    cur, old = fmt(), fmt(versionAsOf=0)
+    parity = (
+        cur.count() == t.read().count()
+        and old.count() == t.read(0).count()
+        and cur.columns == ["c_custkey", "name", "c_acctbal"]
+        and old.columns == ["c_custkey", "c_name", "c_acctbal"]
+    )
+    assert parity, "format reader diverged from TxnLogTable.read"
+    flag = F.lit(parity).alias("matches_library_read")
+    return old.select(
+        F.lit("v0").alias("era"),
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        "c_acctbal",
+        flag,
+    ).unionByName(
+        cur.select(
+            F.lit("cur").alias("era"),
+            "c_custkey",
+            "name",
+            "c_acctbal",
+            flag,
+        )
+    )

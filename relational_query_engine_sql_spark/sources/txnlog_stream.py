@@ -40,6 +40,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
@@ -187,11 +188,15 @@ class _LogView:
                     )
         return out
 
-    def cmap_state(self) -> dict:
-        """Newest column-mapping/protocol state (TxnLogTable._cmap_at
-        precedence: checkpoint, else newest metadata action carrying
-        the field, else default). Spark-free."""
-        for v in reversed(self.versions()):
+    def cmap_state(self, upto: int | None = None) -> dict:
+        """Column-mapping/protocol state at version ``upto`` (default:
+        newest) — TxnLogTable._cmap_at precedence: checkpoint, else
+        newest metadata action carrying the field, else default.
+        Spark-free."""
+        vs = self.versions()
+        if upto is not None:
+            vs = [v for v in vs if v <= upto]
+        for v in reversed(vs):
             ck_path = os.path.join(
                 self.log_dir, f"{v:020d}.checkpoint.json"
             )
@@ -207,10 +212,14 @@ class _LogView:
                     return a["metadata"]["cmap"]
         return {"map": {}, "retired": [], "protocol": {}}
 
-    def logical_schema_json(self) -> dict | None:
-        """Newest logged schema (already LOGICAL names), or None for a
-        table that never committed a metadata action/checkpoint."""
-        for v in reversed(self.versions()):
+    def logical_schema_json(self, upto: int | None = None) -> dict | None:
+        """Logged schema at version ``upto`` (already LOGICAL names),
+        or None for a table that never committed a metadata action or
+        checkpoint."""
+        vs = self.versions()
+        if upto is not None:
+            vs = [v for v in vs if v <= upto]
+        for v in reversed(vs):
             ck_path = os.path.join(
                 self.log_dir, f"{v:020d}.checkpoint.json"
             )
@@ -223,6 +232,47 @@ class _LogView:
                 if "metadata" in a:
                     return a["metadata"]["schema"]
         return None
+
+    def live_at(self, version: int | None = None):
+        """(data_relpaths, dv_relpaths) live at ``version`` — full log
+        replay (entries are never deleted, so skipping checkpoints is
+        always complete). Spark-free."""
+        vs = self.versions()
+        if version is not None:
+            if version not in vs:
+                raise ValueError(f"no such version: {version}")
+            vs = [v for v in vs if v <= version]
+        live: dict[str, bool] = {}
+        for v in vs:
+            for a in self.entry(v)["actions"]:
+                if "add" in a:
+                    live[a["add"]["path"]] = bool(a["add"].get("dv"))
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+        data = [p for p, is_dv in live.items() if not is_dv]
+        dvs = [p for p, is_dv in live.items() if is_dv]
+        return data, dvs
+
+    def version_at(self, timestamp: float) -> int:
+        """Newest version whose MONOTONICALLY ADJUSTED commit ts is
+        <= ``timestamp`` (TxnLogTable.version_at semantics: each
+        effective ts is clamped to predecessor + 1 ms, so skewed
+        writer clocks cannot expose a later commit)."""
+        vs = self.versions()
+        eff: dict[int, float] = {}
+        prev = None
+        for v in vs:
+            ts = float(self.entry(v).get("ts") or 0.0)
+            if prev is not None and ts <= prev:
+                ts = prev + 0.001
+            eff[v] = ts
+            prev = ts
+        cands = [v for v in vs if eff[v] <= timestamp]
+        if not cands:
+            raise ValueError(
+                f"no version at or before timestamp {timestamp}"
+            )
+        return max(cands)
 
     def any_data_file(self) -> str | None:
         live: dict[str, bool] = {}
@@ -336,6 +386,132 @@ class TxnLogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the engine's checkpoint
+
+
+class TxnLogBatchReader(DataSourceReader):
+    """``spark.read.format("txnlog")`` — the table as a BATCH source
+    (Delta's ``spark.read.format("delta")`` parity), usable without
+    constructing a :class:`TxnLogTable`. Options:
+
+    - ``path`` (required)
+    - ``versionAsOf`` — read the snapshot at that commit version
+    - ``timestampAsOf`` — epoch seconds (float) or an ISO timestamp;
+      resolves over the monotonically adjusted commit sequence,
+      exactly like ``TxnLogTable.read_asof``
+
+    Each live data file is one input partition read executor-side as
+    Arrow batches; merge-on-read deletion vectors are subtracted
+    per-partition (the DV key set is log-metadata-sized by design and
+    ships with the reader), and column mapping resolves physical names
+    to the requested version's logical schema. Composite-key tables
+    with live deletion vectors are refused (the per-partition Arrow
+    ``is_in`` subtraction needs a single key column) — read those
+    through ``TxnLogTable.read``, which applies the DV as one
+    broadcast anti-join. File-skipping predicate pushdown also lives
+    on the ``TxnLogTable`` read paths; this reader is the plain
+    full-snapshot scan."""
+
+    def __init__(self, options: dict, schema) -> None:
+        import datetime as _dt
+
+        self.path = options["path"]
+        view = _LogView(self.path)
+        version = options.get("versionasof")
+        self.version = int(version) if version is not None else None
+        ts_opt = options.get("timestampasof")
+        if ts_opt is not None:
+            if self.version is not None:
+                raise ValueError(
+                    "txnlog batch read: pass versionAsOf OR "
+                    "timestampAsOf, not both"
+                )
+            try:
+                ts = float(ts_opt)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(ts_opt).timestamp()
+            self.version = view.version_at(ts)
+        state = view.cmap_state(self.version)
+        need = (state.get("protocol") or {}).get("min_reader", 1)
+        if need > 2:
+            raise RuntimeError(
+                f"txnlog batch read: table requires reader protocol "
+                f"{need}; this source supports 2"
+            )
+        self._phys_to_logical = {
+            p: l for l, p in (state.get("map") or {}).items()
+        }
+        self._want = [f.name for f in schema.fields]
+        data, dvs = view.live_at(self.version)
+        self._files = [
+            p if os.path.isabs(p) else os.path.join(self.path, p)
+            for p in data
+        ]
+        self._dv_col = None
+        self._dv_keys: frozenset = frozenset()
+        if dvs:
+            import pyarrow.parquet as pq
+
+            tabs = [
+                pq.read_table(
+                    p if os.path.isabs(p) else os.path.join(self.path, p)
+                )
+                for p in dvs
+            ]
+            cols = {tuple(t.column_names) for t in tabs}
+            names = next(iter(cols))
+            if len(cols) != 1 or len(names) != 1:
+                raise RuntimeError(
+                    "txnlog batch read: table has live deletion "
+                    "vectors on a composite key; read it through "
+                    "TxnLogTable.read (one broadcast anti-join)"
+                )
+            self._dv_col = names[0]
+            self._dv_keys = frozenset(
+                k for t in tabs for k in t.column(0).to_pylist()
+            )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePartition(p) for p in self._files]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        fields = []
+        changed = False
+        for f in table.schema:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                fields.append(
+                    pa.field(f.name, pa.timestamp("us", f.type.tz))
+                )
+                changed = True
+            else:
+                fields.append(f)
+        if changed:
+            table = table.cast(pa.schema(fields))
+        if self._phys_to_logical:
+            table = table.rename_columns(
+                [
+                    self._phys_to_logical.get(n, n)
+                    for n in table.column_names
+                ]
+            )
+        if self._dv_col is not None and self._dv_keys:
+            col = table[self._dv_col]
+            mask = pc.invert(
+                pc.is_in(
+                    col,
+                    value_set=pa.array(
+                        list(self._dv_keys), type=col.type
+                    ),
+                )
+            )
+            table = table.filter(mask)
+        if set(self._want) <= set(table.column_names):
+            table = table.select(self._want)
+        yield from table.to_batches()
 
 
 class _StagedFile(WriterCommitMessage):
@@ -592,7 +768,19 @@ class TxnLogStreamDataSource(DataSource):
 
     def schema(self) -> str:
         view = _LogView(self.options["path"])
-        logged = view.logical_schema_json()
+        upto = self.options.get("versionasof")
+        ts_opt = self.options.get("timestampasof")
+        if upto is not None:
+            upto = int(upto)
+        elif ts_opt is not None:
+            import datetime as _dt
+
+            try:
+                ts = float(ts_opt)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(ts_opt).timestamp()
+            upto = view.version_at(ts)
+        logged = view.logical_schema_json(upto)
         if logged is not None:
             # a logged metadata schema is authoritative AND already in
             # logical names — the only correct source once the table
@@ -618,6 +806,9 @@ class TxnLogStreamDataSource(DataSource):
             f"`{f.name}` {_arrow_field_ddl(f)}" for f in arrow
         )
         return cols
+
+    def reader(self, schema) -> TxnLogBatchReader:
+        return TxnLogBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> TxnLogStreamReader:
         return TxnLogStreamReader(self.options, schema)
