@@ -481,10 +481,24 @@ class TxnLogTable(ParquetTable):
     """
 
     def __init__(
-        self, *args, commit_backend: CommitBackend | None = None, **kwargs
+        self,
+        *args,
+        commit_backend: CommitBackend | None = None,
+        generated: dict[str, str] | None = None,
+        **kwargs,
     ) -> None:
         super().__init__(*args, **kwargs)
         self.backend = commit_backend or LocalCommitBackend()
+        # GENERATED columns declared at creation ({name: SQL expr});
+        # persisted by init()'s metadata action — after the first
+        # commit the LOG is authoritative (_gencols_at), so other
+        # instances/sessions see them without the constructor arg
+        self._generated = dict(generated or {})
+        for g in self._generated:
+            if g not in self._base_schema.fieldNames():
+                raise ValueError(f"generated column not in schema: {g}")
+            if g in self.keys:
+                raise ValueError(f"key column cannot be generated: {g}")
         # version-keyed SNAPSHOT CACHE for the replayed live-file map
         # (Delta caches snapshots the same way): a table version is
         # immutable once committed, so caching by version is always
@@ -789,6 +803,85 @@ class TxnLogTable(ParquetTable):
             )
         return df
 
+    def _gencols_at(self, version: int | None) -> dict[str, str]:
+        """GENERATED-column expressions ({name: SQL expr}) at
+        ``version`` — folded through the same extended-metadata state
+        as column mapping (checkpoints, restore, clone all carry it).
+        Before the first commit the constructor declaration applies
+        (init's own writes must already generate)."""
+        state = self._cmap_at(version)
+        if "gen" in state:
+            return state["gen"]
+        return self._generated
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        # GENERATED ALWAYS AS: a generated column absent from the
+        # incoming frame is computed here, so every write path
+        # (append / upsert / merge / insert_ignore / streaming
+        # foreachBatch) generates identically; a frame that DOES carry
+        # the column is validated row-by-row in _write_files' stats
+        # aggregate (explicit wrong values never land)
+        for name, expr in self._gencols_at(None).items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return super()._conform(df)
+
+    def add_generated_column(
+        self, name: str, dtype: str, expr: str
+    ) -> int:
+        """Declare a GENERATED column (Delta's GENERATED ALWAYS AS) —
+        on an EMPTY table only (existing files would read the column
+        as NULL, violating the generation invariant; Delta likewise
+        restricts generated columns to table creation). Writers
+        compute it when absent and validate it when present, so the
+        column is ALWAYS consistent with its expression — which is
+        what makes a generated date partition column (`partition_by` a
+        ``CAST(ts AS DATE)`` column) prunable with zero writer
+        discipline. Bumps min_writer to 2 (a pre-feature writer would
+        append NULLs unvalidated); readers are unaffected (the data is
+        materialized)."""
+        base = self.current_version()
+        self._check_protocol(base, write=True)
+        if self._split_live(base)[0]:
+            raise ValueError(
+                "add_generated_column requires an empty table "
+                "(existing files cannot satisfy the generation "
+                "invariant); declare at creation via generated={...}"
+            )
+        import pyspark.sql.types as T
+
+        cur = self._schema_at(base)
+        if name in cur.fieldNames():
+            fields = list(cur.fields)
+        else:
+            fields = list(cur.fields) + [
+                T.StructField(name, T._parse_datatype_string(dtype))
+            ]
+        if name in self.keys:
+            raise ValueError(f"key column cannot be generated: {name}")
+        new_schema = T.StructType(fields)
+        state = json.loads(json.dumps(self._cmap_at(base)))
+        gen = dict(state.get("gen", self._generated))
+        gen[name] = expr
+        state["gen"] = gen
+        prot = state.setdefault("protocol", {})
+        prot["min_writer"] = max(prot.get("min_writer", 1), 2)
+        prot.setdefault("min_reader", 1)
+        v = self._commit(
+            "add_generated_column",
+            [
+                {
+                    "metadata": {
+                        "schema": new_schema.jsonValue(),
+                        "cmap": state,
+                    }
+                }
+            ],
+            base,
+        )
+        self._generated = gen
+        return v
+
     def _assert_mappable(self, name: str, base: int | None) -> None:
         if name in self.keys:
             raise ValueError(f"cannot map key column: {name}")
@@ -804,6 +897,15 @@ class TxnLogTable(ParquetTable):
                 raise ValueError(
                     f"column {name!r} is referenced by CHECK {cn!r} "
                     f"({ce}); drop the constraint first"
+                )
+        gen = self._gencols_at(base)
+        if name in gen:
+            raise ValueError(f"cannot map generated column: {name}")
+        for gname, gexpr in gen.items():
+            if pat.search(gexpr):
+                raise ValueError(
+                    f"column {name!r} is referenced by generated "
+                    f"column {gname!r} ({gexpr})"
                 )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1516,6 +1618,17 @@ class TxnLogTable(ParquetTable):
                     F.expr(f"coalesce(not ({ce}), false)").cast("int")
                 ).alias(f"_cv{ci}")
             )
+        gencols = {} if dv else self._gencols_at(None)
+        for gi, (gn, ge) in enumerate(sorted(gencols.items())):
+            # GENERATED ALWAYS AS validation rides the same aggregate:
+            # _conform computed the column when absent, so a non-zero
+            # count here means the CALLER supplied explicit values that
+            # contradict the expression — rejected like a CHECK
+            aggs.append(
+                F.sum(
+                    F.expr(f"cast(not (`{gn}` <=> ({ge})) as int)")
+                ).alias(f"_gv{gi}")
+            )
         if parted:
             # read the explicit LEAF file list: a directory read would
             # partition-infer the p_<col>= dirs into extra columns
@@ -1554,6 +1667,14 @@ class TxnLogTable(ParquetTable):
                 shutil.rmtree(out_dir, ignore_errors=True)
                 raise ConstraintViolation(
                     f"write violates CHECK {cn!r} ({ce}): {bad} rows"
+                )
+        for gi, (gn, ge) in enumerate(sorted(gencols.items())):
+            bad = sum(r[f"_gv{gi}"] or 0 for r in stat_rows)
+            if bad:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise ConstraintViolation(
+                    f"write contradicts GENERATED column {gn!r} "
+                    f"({ge}): {bad} rows"
                 )
         adds = []
         sidecar_masks: dict[str, str] = {}
@@ -1716,18 +1837,61 @@ class TxnLogTable(ParquetTable):
             )
         return target
 
+    def _stable_partition_cols(self) -> set[str]:
+        """Partition columns usable for MUTATION-side pruning: only
+        those provably STABLE per key — a key column, or a GENERATED
+        column whose expression references key columns only. Pruning
+        the affected-file set by an INCOMING row's partition value
+        assumes the key's old row lives in the same partition; if the
+        value can change across versions of a row (e.g. a generated
+        date from an updated timestamp), the old copy would escape the
+        rewrite and survive as a duplicate key — a silent corruption.
+        Read-side pruning (scan_candidates et al.) is unaffected: a
+        predicate names the partitions it wants, not where old rows
+        might hide."""
+        import re
+
+        out = {p for p in self.partition_by if p in self.keys}
+        gen = self._gencols_at(None)
+        keyset = set(self.keys)
+        for p in self.partition_by:
+            expr = gen.get(p)
+            if p in out or expr is None:
+                continue
+            refs = {
+                f.name
+                for f in self.schema.fields
+                if f.name != p
+                and re.search(
+                    rf"(?<![A-Za-z0-9_]){re.escape(f.name)}"
+                    rf"(?![A-Za-z0-9_])",
+                    expr,
+                )
+            }
+            if refs <= keyset:
+                out.add(p)
+        return out
+
     def _bounds(self, incoming_keys: DataFrame) -> dict | None:
         """Per-column [lo, hi] of the incoming frame over the key AND
-        partition columns present in it — ONE tiny aggregate (some
-        callers pass fewer columns; pruning then uses the subset).
-        Partition columns ride along so a keyed write that carries
-        them prunes partition-first against the recorded
-        partitionValues. None when the incoming frame is empty."""
+        key-STABLE partition columns present in it — ONE tiny
+        aggregate (some callers pass fewer columns; pruning then uses
+        the subset). Stable partition columns ride along so a keyed
+        write that carries them prunes partition-first against the
+        recorded partitionValues; non-stable partition columns are
+        excluded (see ``_stable_partition_cols`` — pruning on them
+        loses rows whose partition value changed). None when the
+        incoming frame is empty."""
+        stable = self._stable_partition_cols()
         cols = [
             c
             for c in (
                 *self.keys,
-                *[p for p in self.partition_by if p not in self.keys],
+                *[
+                    p
+                    for p in self.partition_by
+                    if p not in self.keys and p in stable
+                ],
             )
             if c in incoming_keys.columns
         ]
@@ -2000,7 +2164,26 @@ class TxnLogTable(ParquetTable):
     # modify_with_retry for the generic loop).
 
     def init(self, df: DataFrame) -> None:
-        self._commit("init", self._write_files(df), self.current_version())
+        actions = self._write_files(df)
+        if self._generated:
+            # persist the constructor's GENERATED declaration so every
+            # other instance/session resolves it from the log, and
+            # gate pre-feature writers (they would append NULLs
+            # unvalidated)
+            state = json.loads(json.dumps(self._cmap_at(None)))
+            state["gen"] = dict(self._generated)
+            prot = state.setdefault("protocol", {})
+            prot["min_writer"] = max(prot.get("min_writer", 1), 2)
+            prot.setdefault("min_reader", 1)
+            actions = actions + [
+                {
+                    "metadata": {
+                        "schema": self._base_schema.jsonValue(),
+                        "cmap": state,
+                    }
+                }
+            ]
+        self._commit("init", actions, self.current_version())
 
     def _rebase_safe_for_append(
         self, from_v: int | None, to_v: int | None, bounds: dict | None
@@ -2276,6 +2459,13 @@ class TxnLogTable(ParquetTable):
                 for c in df.columns
             ]
         )
+        # an UPDATE touching a generated column's SOURCE would leave a
+        # stale generated value: drop unassigned generated columns so
+        # _conform regenerates them (Delta regenerates on UPDATE too);
+        # explicitly assigned ones stay and are validated at write
+        for g in self._gencols_at(base):
+            if g not in assignments:
+                out = out.drop(g)
         self._rewrite("update", affected, out, expected_version=base)
 
     def delete(self, condition: Column) -> None:
@@ -2314,6 +2504,11 @@ class TxnLogTable(ParquetTable):
             update_cond,
             delete_cond,
         )
+        # same regeneration rule as update(): assignments touching a
+        # generated column's source must not leave a stale value
+        for g in self._gencols_at(base):
+            if update_assign and g not in update_assign:
+                out = out.drop(g)
         self._rewrite(
             "merge",
             affected,

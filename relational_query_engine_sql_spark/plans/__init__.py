@@ -402,6 +402,7 @@ ROUND8_QUEUE: list[str] = [
     # (each strict-sim green at sf0.001 + 0.01 + 0.1 when staged)
     "s32_txnlog_compact_small",
     "src_txnlog_batch_reader",
+    "s33_txnlog_generated_partition",
 ]
 
 # Round-8 prefix, pre-curated at the end of round 7: with round 7's

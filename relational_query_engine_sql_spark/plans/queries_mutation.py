@@ -1456,11 +1456,17 @@ def s25_txnlog_partition_prune(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
     root = tempfile.mkdtemp(prefix="rqe-txn-part-")
+    # the partition column is part of the COMPOSITE key (the
+    # reference's stocks shape: keyed (symbol, timestamp), partitioned
+    # by symbol) — which is what makes partition-first pruning of
+    # KEYED WRITES sound: a key's partition value can never change, so
+    # the old row is always inside the pruned set (round-7 rule,
+    # TxnLogTable._stable_partition_cols)
     t = TxnLogTable(
         spark,
         f"{root}/orders",
         src.schema,
-        ["o_orderkey"],
+        ["o_orderkey", "o_orderpriority"],
         partition_by=["o_orderpriority"],
     )
     # hash-mixed tasks: every task holds every priority, so WITHOUT
@@ -1922,4 +1928,130 @@ def s32_txnlog_compact_small(
         F.lit(big_ok).alias("big_file_untouched"),
         F.lit(packed_ok).alias("drip_files_packed"),
         F.lit(dv_ok).alias("dv_still_masks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S33: GENERATED columns (Delta's GENERATED ALWAYS AS,
+# operators/txnlog.py _gencols_at/_conform) composed with the
+# partition layout — the canonical lakehouse shape: a table
+# partitioned by a generated `CAST(ts AS DATE)` column that NO writer
+# ever supplies. Writers append raw events; the date materializes at
+# write, wrong explicit values are rejected row-by-row in the same
+# stats aggregate as CHECK constraints (asserted), and date probes
+# prune at directory granularity with zero writer discipline
+# (asserted). The scenario also moves one row ACROSS partitions via
+# an upsert that changes its timestamp — exercising the round-7
+# soundness rule that mutation pruning uses only key-STABLE partition
+# columns, so the old partition's copy is rewritten away instead of
+# surviving as a duplicate key (asserted single-copy).
+# --------------------------------------------------------------------------
+@query(
+    "s33_txnlog_generated_partition",
+    survey="beyond:txnlog,beyond:generated-columns,beyond:partition-layout",
+    priority=60,
+    oracle="""
+    WITH moved AS (SELECT MIN(event_id) AS mid FROM events),
+    base AS (
+        SELECT event_id,
+               CASE WHEN event_id = (SELECT mid FROM moved)
+                    THEN ts + INTERVAL 30 DAY ELSE ts END AS ts,
+               value
+        FROM events
+    )
+    SELECT event_id, ts, value,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           TRUE AS generated_on_write,
+           TRUE AS wrong_explicit_rejected,
+           TRUE AS date_probe_pruned,
+           TRUE AS moved_row_single_copy
+    FROM base
+    WHERE CAST(ts AS DATE)
+          <= (SELECT MIN(CAST(ts AS DATE)) FROM events) + 2
+    """,
+)
+def s33_txnlog_generated_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as _dt
+
+    from ..operators.txnlog import ConstraintViolation, TxnLogTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    sch = ev.withColumn("event_date", F.col("ts").cast("date")).schema
+    root = tempfile.mkdtemp(prefix="rqe-s33-")
+    t = TxnLogTable(
+        spark,
+        f"{root}/ev",
+        sch,
+        ["event_id"],
+        partition_by=["event_date"],
+        generated={"event_date": "CAST(ts AS DATE)"},
+    )
+    t.init(ev)  # no event_date in the frame: generated at write
+    gen_ok = t.read().filter(F.col("event_date").isNull()).count() == 0
+    assert gen_ok, "generated column missing after init"
+
+    # explicit wrong value: rejected like a CHECK violation
+    probe = ev.orderBy("event_id").limit(1).first()
+    try:
+        t.append(
+            spark.createDataFrame(
+                [
+                    (
+                        int(probe["event_id"]) + 10_000_000,
+                        probe["ts"],
+                        1.0,
+                        _dt.date(1999, 9, 9),
+                    )
+                ],
+                sch,
+            )
+        )
+        rejected = False
+    except ConstraintViolation:
+        rejected = True
+    assert rejected, "contradicting generated value accepted"
+
+    # date probes prune at directory granularity
+    d0 = t.read().agg(F.min("event_date")).first()[0]
+    d2 = d0 + _dt.timedelta(days=2)
+    files = t._split_live()[0]
+    cands = t.scan_candidates("event_date", d0, d2)
+    pruned = 0 < len(cands) < len(files)
+    assert pruned, f"no date pruning: {len(cands)}/{len(files)}"
+
+    # move one row across partitions (ts += 30 days, date regenerates):
+    # the OLD partition's copy must be rewritten away, not duplicated
+    mid = int(probe["event_id"])
+    t.upsert(
+        spark.createDataFrame(
+            [
+                (
+                    mid,
+                    probe["ts"] + _dt.timedelta(days=30),
+                    float(probe["value"]),
+                )
+            ],
+            schema="event_id long, ts timestamp, value double",
+        )
+    )
+    single = t.read().filter(F.col("event_id") == mid).count() == 1
+    assert single, "partition move duplicated the key"
+
+    # the date emits as an ISO string: a DATE column next to a
+    # TIMESTAMP column is exactly the shape canonicalizers format
+    # inconsistently (pandas renders datetime64 block-wise), so the
+    # hashed value must not depend on it — the HLL round-6 lesson
+    return t.read_where("event_date", d0, d2).select(
+        "event_id",
+        "ts",
+        "value",
+        F.col("event_date").cast("string").alias("event_date"),
+        F.lit(gen_ok).alias("generated_on_write"),
+        F.lit(rejected).alias("wrong_explicit_rejected"),
+        F.lit(pruned).alias("date_probe_pruned"),
+        F.lit(single).alias("moved_row_single_copy"),
     )

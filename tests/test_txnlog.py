@@ -2039,3 +2039,41 @@ def test_compact_small_keeps_deletion_vectors_masking(spark, tmp_path):
     assert len(ks) == 102
     # the DV file is still live (it masks the untouched big file)
     assert t._split_live()[1], "deletion vector must survive compact_small"
+
+
+def test_upsert_moving_row_across_partitions_leaves_no_duplicate(
+    spark, tmp_path
+):
+    """Round-7 soundness fix: on a table partitioned by a NON-key
+    column, upserting a row whose partition value CHANGED must rewrite
+    the old partition's copy too. Pruning the affected set by the
+    incoming partition value (the pre-fix behavior) left the old copy
+    alive — a duplicate key, silent corruption. Mutation-side pruning
+    now uses only key-STABLE partition columns
+    (_stable_partition_cols); read-side partition pruning is
+    unchanged."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    t = TxnLogTable(
+        spark, str(tmp_path / "mv"), schema, ["k"], partition_by=["grp"]
+    )
+    t.init(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(40)],
+            schema,
+        )
+    )
+    # k=4 lived in grp=a; the upsert moves it to grp=b
+    t.upsert(spark.createDataFrame([(4, "b", 999.0)], schema))
+    got = t.read().filter(F.col("k") == 4).collect()
+    assert len(got) == 1, f"duplicate key after partition move: {got}"
+    assert got[0]["grp"] == "b" and got[0]["val"] == 999.0
+    assert t.read().count() == 40
+    # delete_keys must also find the moved row
+    t.delete_keys(spark.createDataFrame([(4,)], "k long"))
+    assert t.read().filter(F.col("k") == 4).count() == 0

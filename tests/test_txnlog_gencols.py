@@ -1,0 +1,148 @@
+"""GENERATED columns on the txnlog format (operators/txnlog.py,
+Delta's GENERATED ALWAYS AS). The invariant: a generated column's
+value ALWAYS equals its expression over the row — computed when the
+writer omits it, validated (rejected) when the writer supplies a
+contradicting value, regenerated when an UPDATE/MERGE touches its
+sources. The flagship composition is a generated DATE partition
+column: raw event writes carry no date, yet date probes prune at
+directory granularity with zero writer discipline."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from relational_query_engine_sql_spark.operators.txnlog import (
+    ConstraintViolation,
+    TxnLogTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_date", T.DateType()),
+    ]
+)
+
+
+def _events(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1700000000000000) + F.col("id") * 3600_000_000
+        ).alias("ts"),
+        (F.col("id") * 0.5).alias("value"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxnLogTable(
+        spark,
+        str(tmp_path / "ev"),
+        SCHEMA,
+        ["event_id"],
+        partition_by=["event_date"],
+        generated={"event_date": "CAST(ts AS DATE)"},
+    )
+    t.init(_events(spark, 0, 200))  # no event_date in the frame
+    return t
+
+
+def test_generated_on_every_write_path(spark, table):
+    assert table.read().filter(F.col("event_date").isNull()).count() == 0
+    r = table.read().filter(F.col("event_id") == 30).first()
+    assert r["event_date"] == r["ts"].date()
+    table.append(_events(spark, 200, 250))
+    table.upsert(
+        spark.createDataFrame(
+            [(30, dt.datetime(2026, 2, 2, 2), 9.0)],
+            schema="event_id long, ts timestamp, value double",
+        )
+    )
+    got = table.read().filter(F.col("event_id") == 30).first()
+    assert str(got["event_date"]) == "2026-02-02"
+    assert table.read().filter(F.col("event_date").isNull()).count() == 0
+
+
+def test_generated_partition_prunes(spark, table):
+    d = table.read().agg(F.min("event_date")).first()[0]
+    files = table._split_live()[0]
+    cands = table.scan_candidates("event_date", d, d)
+    assert 0 < len(cands) < len(files)
+
+
+def test_explicit_values_validated(spark, table):
+    bad = spark.createDataFrame(
+        [(900, dt.datetime(2024, 1, 1, 12), 1.0, dt.date(1999, 9, 9))],
+        SCHEMA,
+    )
+    with pytest.raises(ConstraintViolation, match="GENERATED"):
+        table.append(bad)
+    good = spark.createDataFrame(
+        [(900, dt.datetime(2024, 1, 1, 12), 1.0, dt.date(2024, 1, 1))],
+        SCHEMA,
+    )
+    table.append(good)  # correct explicit value is fine
+    assert table.read().filter(F.col("event_id") == 900).count() == 1
+
+
+def test_update_regenerates_from_new_source(spark, table):
+    table.update(
+        F.col("event_id") == 7,
+        {"ts": F.lit(dt.datetime(2025, 6, 6, 6))},
+    )
+    r = table.read().filter(F.col("event_id") == 7).first()
+    assert str(r["event_date"]) == "2025-06-06"
+
+
+def test_log_resolves_declaration_for_other_instances(spark, table):
+    fresh = TxnLogTable(
+        spark, table.path, SCHEMA, ["event_id"],
+        partition_by=["event_date"],
+    )
+    fresh.append(
+        spark.createDataFrame(
+            [(5000, dt.datetime(2024, 1, 1, 12), 1.0)],
+            schema="event_id long, ts timestamp, value double",
+        )
+    )
+    r = fresh.read().filter(F.col("event_id") == 5000).first()
+    assert str(r["event_date"]) == "2024-01-01"
+    # feature use gates pre-feature writers
+    assert fresh._cmap_at(None)["protocol"]["min_writer"] == 2
+
+
+def test_generated_and_source_columns_unmappable(spark, table):
+    for op in (
+        lambda: table.rename_column("event_date", "d2"),
+        lambda: table.drop_column("event_date"),
+        lambda: table.rename_column("ts", "ts2"),
+        lambda: table.drop_column("ts"),
+    ):
+        with pytest.raises(ValueError):
+            op()
+    # an uninvolved column still maps fine
+    table.rename_column("value", "amount")
+    assert "amount" in table.read().columns
+
+
+def test_add_generated_column_requires_empty_table(spark, table, tmp_path):
+    with pytest.raises(ValueError, match="empty"):
+        table.add_generated_column("vb", "int", "CAST(value AS INT)")
+    t = TxnLogTable(
+        spark,
+        str(tmp_path / "e2"),
+        T.StructType(SCHEMA.fields[:3]),
+        ["event_id"],
+    )
+    t.init(_events(spark, 0, 0))
+    t.add_generated_column("event_date", "date", "CAST(ts AS DATE)")
+    t.append(_events(spark, 0, 10))
+    assert "event_date" in t.schema.fieldNames()
+    assert t.read().filter(F.col("event_date").isNull()).count() == 0

@@ -65,7 +65,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             elif isinstance(first, float):
                 df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df.astype(str)
+    # stringify datetime columns EXPLICITLY, one column at a time:
+    # DataFrame.astype(str) formats datetime64 BLOCK-wise, so a
+    # date-valued column sharing a consolidated block with a true
+    # timestamp column renders '2024-01-01 00:00:00.000000' while the
+    # same column in a frame with separate blocks renders
+    # '2024-01-01' — and the two engines' frames arrive with
+    # different block layouts (found via s33's date+timestamp output)
+    out = {}
+    for c in df.columns:
+        if df[c].dtype.kind == "M":
+            out[c] = (
+                df[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f").fillna("NaT")
+            )
+        else:
+            out[c] = df[c].astype(str)
+    return pd.DataFrame(out)
 
 
 def main() -> int:
