@@ -2766,6 +2766,39 @@ class TxnLogTable(ParquetTable):
                 continue
         raise CommitConflict(f"gave up after {max_retries} rebases")
 
+    def repair(self, dry_run: bool = False) -> list[str]:
+        """Delta's FSCK REPAIR TABLE: drop the log entries of LIVE
+        files that are missing from storage (manual deletion, partial
+        bucket restore, botched lifecycle rule) so the table reads
+        again instead of failing on every scan. One metadata-only
+        commit of remove actions; history stays auditable
+        (op=fsck_repair) and earlier snapshots still time-travel if
+        THEIR files survive. ``dry_run=True`` returns the missing
+        relpaths without committing — the audit step first, like
+        vacuum. NOTE: repairing a missing DELETION-VECTOR file
+        resurrects the rows it masked (the tombstones are gone with
+        it) — storage loss of a DV is data loss either way; the repair
+        makes the remainder readable and the history records what was
+        dropped."""
+        base = self.current_version()
+        if base is None:
+            return []
+        live = self._live(base)
+        missing = sorted(
+            p
+            for p in live
+            if not os.path.exists(os.path.join(self.path, p))
+        )
+        if dry_run or not missing:
+            return missing
+        self._commit(
+            "fsck_repair",
+            [{"remove": {"path": p}} for p in missing],
+            base,
+            staged_adds=[],
+        )
+        return missing
+
     def vacuum(
         self,
         keep_last: int = 2,

@@ -403,6 +403,8 @@ ROUND8_QUEUE: list[str] = [
     "s32_txnlog_compact_small",
     "src_txnlog_batch_reader",
     "s33_txnlog_generated_partition",
+    "mv_txnlog_cdf_refresh",
+    "s34_txnlog_fsck",
 ]
 
 # Round-8 prefix, pre-curated at the end of round 7: with round 7's

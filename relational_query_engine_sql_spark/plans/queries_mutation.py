@@ -2055,3 +2055,186 @@ def s33_txnlog_generated_partition(
         F.lit(pruned).alias("date_probe_pruned"),
         F.lit(single).alias("moved_row_single_copy"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDF-DRIVEN incremental materialized view: the consumption side of
+# the change-data feed (s26 proved the feed itself; this proves it
+# POWERS incremental compute — the reason CDF exists at 100 TB). A
+# per-type rollup is materialized at v0, then the base table takes an
+# append + an upsert + a delete; instead of recomputing over the
+# table, the MV is refreshed from table_changes(v0 → head) alone:
+# +post-image for inserts/update-postimages, -pre-image for deletes/
+# update-preimages, merged into the stale MV by group. Refresh cost
+# tracks the CHANGED rows (log-replayed churned files), not table
+# size. All sums run in DECIMAL(27,6) — exact and associative — so
+# the incremental result is asserted EQUAL (not approximately) to the
+# full recompute before emission; the hash pins the refreshed MV.
+# --------------------------------------------------------------------------
+@query(
+    "mv_txnlog_cdf_refresh",
+    survey="beyond:txnlog,beyond:cdf,beyond:incremental-mv",
+    priority=60,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(
+               CASE WHEN event_id % 7 = 0 THEN value + 10.0
+                    ELSE value END AS DECIMAL(27,6))), 4) AS DOUBLE)
+               AS total_value,
+           TRUE AS incremental_equals_full
+    FROM events
+    WHERE event_id % 13 <> 0
+    GROUP BY event_type
+    """,
+)
+def mv_txnlog_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-mv-cdf-")
+    t = TxnLogTable(spark, f"{root}/ev", ev.schema, ["event_id"])
+    t.init(ev.filter(F.col("event_id") % 2 == 0))
+    v0 = t.current_version()
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("total"),
+        )
+
+    mv0 = rollup(t.read(v0))  # the materialized state at v0
+
+    # the base table moves on: append, upsert (+10 on %7), delete %13
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    bumped = (
+        t.read()
+        .filter(F.col("event_id") % 7 == 0)
+        .withColumn("value", F.col("value") + F.lit(10.0))
+    )
+    t.upsert(bumped)
+    t.delete_keys(
+        ev.filter(F.col("event_id") % 13 == 0).select("event_id")
+    )
+
+    # refresh from the CHANGE FEED alone: signed contributions per group
+    ch = t.table_changes(v0)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), 1
+    ).otherwise(-1)
+    delta = ch.groupBy("event_type").agg(
+        F.sum(sign).alias("dn"),
+        F.sum(
+            F.col("value").cast("decimal(27,6)") * sign
+        ).alias("dtotal"),
+    )
+    merged = (
+        mv0.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("total"), F.lit(0).cast("decimal(27,6)"))
+                + F.coalesce(
+                    F.col("dtotal"), F.lit(0).cast("decimal(27,6)")
+                )
+            ).alias("total"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+    # exact-equality gate: decimal sums are associative, so the
+    # incremental MV must match the full recompute to the last digit
+    full = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in rollup(t.read()).collect()
+    }
+    inc = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in merged.collect()
+    }
+    exact = inc == full
+    assert exact, f"incremental refresh diverged: {inc} vs {full}"
+
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(F.col("total"), 4).cast("double").alias("total_value"),
+        F.lit(exact).alias("incremental_equals_full"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S34: FSCK repair (Delta's FSCK REPAIR TABLE,
+# operators/txnlog.py repair): storage loses files — a manual delete,
+# a partial bucket restore, a botched lifecycle rule — and every scan
+# then fails on the missing path. The repair drops exactly the
+# missing entries in ONE metadata commit (audited first by the
+# dry run, which must commit nothing), restoring readability for the
+# surviving data while history records what was dropped. The lost
+# files here are one partition directory's, so the surviving content
+# is exactly SQL-expressible and the hash pins it.
+# --------------------------------------------------------------------------
+@query(
+    "s34_txnlog_fsck",
+    survey="beyond:txnlog,beyond:fsck,S7",
+    priority=60,
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           TRUE AS read_failed_before_repair,
+           TRUE AS dry_run_committed_nothing,
+           TRUE AS repair_dropped_exactly_missing
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def s34_txnlog_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-s34-")
+    t = TxnLogTable(
+        spark,
+        f"{root}/c",
+        src.schema,
+        ["c_custkey"],
+        partition_by=["c_mktsegment"],
+    )
+    t.init(src)
+    doomed = t.scan_candidates("c_mktsegment", "BUILDING", "BUILDING")
+    assert doomed, "expected files in the BUILDING partition"
+    for p in doomed:
+        _os.remove(_os.path.join(t.path, p))
+    try:
+        t.read().count()
+        failed_before = False
+    except Exception:
+        failed_before = True
+    assert failed_before, "missing files must fail loudly"
+    audit = t.repair(dry_run=True)
+    dry_noop = sorted(audit) == sorted(doomed)
+    try:
+        t.read().count()
+        dry_noop = False  # dry run must not have fixed anything
+    except Exception:
+        pass
+    assert dry_noop, "dry run must audit without committing"
+    removed = t.repair()
+    exact = sorted(removed) == sorted(doomed)
+    assert exact, "repair dropped a different set than the audit"
+    return t.read().select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.lit(failed_before).alias("read_failed_before_repair"),
+        F.lit(dry_noop).alias("dry_run_committed_nothing"),
+        F.lit(exact).alias("repair_dropped_exactly_missing"),
+    )

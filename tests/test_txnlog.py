@@ -2077,3 +2077,38 @@ def test_upsert_moving_row_across_partitions_leaves_no_duplicate(
     # delete_keys must also find the moved row
     t.delete_keys(spark.createDataFrame([(4,)], "k long"))
     assert t.read().filter(F.col("k") == 4).count() == 0
+
+
+def test_fsck_repair_restores_readability(spark, tmp_path):
+    """Delta FSCK REPAIR TABLE parity: after a live data file is lost
+    from storage, reads fail loudly; repair(dry_run) audits the
+    missing set without committing; repair() drops exactly those
+    entries in one metadata commit and the table reads again with the
+    surviving rows."""
+    t = TxnLogTable(
+        spark, str(tmp_path / "fsck"), SCHEMA, ["k"],
+        partition_by=["grp"],
+    )
+    rows = _rows(
+        spark,
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(40)],
+    )
+    t.init(rows)
+    doomed = t.scan_candidates("grp", "a", "a")
+    assert doomed
+    for p in doomed:
+        os.remove(os.path.join(t.path, p))
+    with pytest.raises(Exception):
+        t.read().count()  # missing files fail loudly
+    audit = t.repair(dry_run=True)
+    assert sorted(audit) == sorted(doomed)
+    with pytest.raises(Exception):
+        t.read().count()  # dry run committed nothing
+    removed = t.repair()
+    assert sorted(removed) == sorted(doomed)
+    got = t.read()
+    assert got.count() == 20 and got.filter(F.col("grp") == "a").count() == 0
+    assert t.repair(dry_run=True) == []  # idempotent
+    # the repair is an auditable commit
+    ops = [h["op"] for h in t.history()]
+    assert "fsck_repair" in ops
