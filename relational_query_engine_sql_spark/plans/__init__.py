@@ -459,7 +459,11 @@ ROUND8_STALE_GREENS = [
     "w1_single_series_returns",
     "w2_returns_panel",
 ]
-ROUND8_PREFIX = ROUND8_QUEUE + ROUND8_STALE_GREENS + [
+# Order: the never-checked QUEUE first (provenance), then the family
+# reps (insurance — must stay inside the ~50-name driver window), and
+# the stale-green refreshes LAST so any window overflow costs a
+# re-verification of an old green, never a first row or a family rep.
+ROUND8_PREFIX = ROUND8_QUEUE + [
     # family-representative insurance
     "a1_pricing_summary",
     "j1_join_dims",
@@ -468,7 +472,7 @@ ROUND8_PREFIX = ROUND8_QUEUE + ROUND8_STALE_GREENS + [
     "stream_tumbling_hourly",
     "sketch_hll_estimate",
     "s13_txnlog_merge_mixed",
-]
+] + ROUND8_STALE_GREENS
 _unknown_r8 = [n for n in ROUND8_PREFIX if n not in all_queries()]
 assert not _unknown_r8, f"ROUND8 names not registered: {_unknown_r8}"
 

@@ -384,8 +384,13 @@ def test_colmap_sequences_match_pandas_model(spark, tmp_path_factory, ops):
                 + [T.StructField(c, T.StringType()) for c in cur]
             )
             t.upsert(spark.createDataFrame(rows, schema=up_schema))
-            for k in keys:
-                model.loc[k] = [f"{c}_{seed}_{k}" for c in cur]
+            if cur:
+                for k in keys:
+                    model.loc[k] = [f"{c}_{seed}_{k}" for c in cur]
+            else:
+                # every non-key column dropped: the upsert is pure key
+                # membership (pandas loc can't assign an empty row list)
+                model = model.reindex(model.index.union(keys))
     got = (
         t.read()
         .toPandas()

@@ -102,6 +102,10 @@ WHITELIST: set[tuple[str, str]] = {
     # DECIMAL(27,6)-quantized sum rounded as decimal then cast double —
     # exact cross-engine (same emission class as the tpch revenues)
     ("ext_dynamic_partition_pruning", "revenue"),
+    # DECIMAL(27,6) sums throughout (exact + associative — the query
+    # in-plan ASSERTS incremental == full recompute on the raw
+    # decimals before emission); round runs on the decimal, then casts
+    ("mv_txnlog_cdf_refresh", "total_value"),
     ("ext_cume_nth", "cd"),
     ("ext_filtered_agg", "spend_recent"),
     ("ext_filtered_agg", "spend_total"),
