@@ -404,3 +404,80 @@ def test_colmap_sequences_match_pandas_model(spark, tmp_path_factory, ops):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_index_type=False
     )
+
+
+# -- concurrency: schema-change commits vs data writes ----------------------
+
+
+def test_rename_inside_write_window_fails_loud_no_partial_state(
+    spark, tmp_path
+):
+    """A rename landing between a mutation's snapshot read and its
+    commit changes the table SHAPE under it — the mutation must FAIL
+    LOUDLY and leave no partial state, never land rows against the
+    stale era. Two timings exist and both are safe: if the rename
+    lands before the mutation stages, the stage's conform resolves
+    the NEW schema and raises on the old-named frame (nothing
+    written); if it lands after staging, the CAS loses and the
+    metadata action forces the strict no-rebase path (staged files
+    cleaned up). Either way the rename wins and the table stays
+    consistent."""
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 50).coalesce(1))
+    rival = TxnLogTable(spark, t.path, SCHEMA, ["id"])
+
+    real = t._write_files
+    fired = {"done": False}
+
+    def inject_then_write(df, dv=False):
+        if not fired["done"]:
+            fired["done"] = True
+            rival.rename_column("comment", "note")
+        return real(df, dv=dv)
+
+    t._write_files = inject_then_write
+    with pytest.raises(Exception):
+        t.upsert(
+            spark.createDataFrame(
+                [(7, 9.9, "upd", "odd")], SCHEMA
+            )
+        )
+    # the rename won; the failed upsert left no partial state — same
+    # row count, same values, new schema, and no unreferenced commit
+    fresh = TxnLogTable(spark, t.path, SCHEMA, ["id"])
+    assert fresh.schema.fieldNames() == ["id", "price", "note", "flag"]
+    assert fresh.read().count() == 50
+    assert fresh.read().filter(F.col("id") == 7).first()["note"] == "c7"
+    assert [h["op"] for h in fresh.history()][-1] == "rename_column"
+
+
+def test_data_write_inside_rename_window_forces_conflict(spark, tmp_path):
+    """The mirror race: a data commit landing between rename_column's
+    snapshot read and its metadata commit must fail the RENAME with
+    CommitConflict (it would otherwise commit a schema derived from a
+    stale version number) — the caller re-reads and retries."""
+    from relational_query_engine_sql_spark.operators.mutation import (
+        CommitConflict,
+    )
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 50))
+    rival = TxnLogTable(spark, t.path, SCHEMA, ["id"])
+
+    real = t._commit
+    fired = {"done": False}
+
+    def inject_then_commit(op, actions, expected_version, **kw):
+        if not fired["done"] and op == "rename_column":
+            fired["done"] = True
+            rival.append(_frame(spark, 100, 110))
+        return real(op, actions, expected_version, **kw)
+
+    t._commit = inject_then_commit
+    with pytest.raises(CommitConflict):
+        t.rename_column("comment", "note")
+    # retry on a fresh snapshot succeeds and sees the rival's rows
+    t2 = TxnLogTable(spark, t.path, SCHEMA, ["id"])
+    t2.rename_column("comment", "note")
+    assert t2.read().count() == 60
+    assert "note" in t2.read().columns
