@@ -2799,6 +2799,65 @@ class TxnLogTable(ParquetTable):
         )
         return missing
 
+    def gc_orphans(
+        self, grace_seconds: float = 3600.0, dry_run: bool = False
+    ) -> list[str]:
+        """The disk→log mirror of :meth:`repair`: physically delete
+        data files under this table's root that NO log version ever
+        referenced — the debris of crashed writers (staged then never
+        committed, and the crash skipped the loser-cleanup path).
+        ``grace_seconds`` protects in-flight writers: a file younger
+        than the grace window may belong to a commit that has not
+        CAS-landed yet, so it is never touched (Delta's VACUUM applies
+        the same uncommitted-file retention logic). Bloom sidecars of
+        surviving directories are kept; ``dry_run`` audits. Returns
+        the relpaths removed (or doomed)."""
+        referenced: set[str] = set()
+        sidecars: set[str] = set()
+        for v in self.versions():
+            with open(self._log_path(v), encoding="utf-8") as f:
+                entry = json.load(f)
+            for a in entry["actions"]:
+                add = a.get("add")
+                if not add:
+                    continue
+                p = add["path"]
+                if not os.path.isabs(p):  # clone refs are external
+                    referenced.add(os.path.normpath(p))
+                sc = (add.get("bloom") or {}).get("sidecar")
+                if sc:
+                    sidecars.add(os.path.normpath(sc))
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return []
+        cutoff = time.time() - grace_seconds
+        removed: list[str] = []
+        for dp, _, fns in os.walk(data_root):
+            for fn in fns:
+                full = os.path.join(dp, fn)
+                rel = os.path.normpath(
+                    os.path.relpath(full, self.path)
+                )
+                if rel in referenced or rel in sidecars:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight writer's
+                    if not dry_run:
+                        os.remove(full)
+                    removed.append(rel)
+                except OSError:
+                    continue
+        if not dry_run:
+            # prune directories the sweep emptied
+            for dp, dns, fns in os.walk(data_root, topdown=False):
+                if dp != data_root and not dns and not fns:
+                    try:
+                        os.rmdir(dp)
+                    except OSError:
+                        pass
+        return sorted(removed)
+
     def vacuum(
         self,
         keep_last: int = 2,

@@ -2112,3 +2112,42 @@ def test_fsck_repair_restores_readability(spark, tmp_path):
     # the repair is an auditable commit
     ops = [h["op"] for h in t.history()]
     assert "fsck_repair" in ops
+
+
+def test_gc_orphans_removes_only_unreferenced_debris(spark, tmp_path):
+    """gc_orphans: the disk->log mirror of repair() — crashed writers'
+    staged-but-never-committed files are deleted; every referenced
+    file (live OR historical), every bloom sidecar, and anything
+    younger than the grace window survives."""
+    import time as _time
+
+    t = TxnLogTable(spark, str(tmp_path / "gc"), SCHEMA, ["k"])
+    t.init(_rows(spark, [(i, "g", float(i)) for i in range(20)]))
+    t.upsert(_rows(spark, [(3, "g", 99.0)]))  # makes v0 historical
+    # plant debris: a crashed writer's orphan dir, aged past the grace
+    orphan_dir = os.path.join(t.path, "data", "deadbeef0000")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-0.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    # and a FRESH orphan that must survive (possible in-flight writer)
+    fresh_dir = os.path.join(t.path, "data", "deadbeef1111")
+    os.makedirs(fresh_dir)
+    fresh = os.path.join(fresh_dir, "part-0.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"in flight")
+
+    before = t.read().count()
+    audit = t.gc_orphans(grace_seconds=3600, dry_run=True)
+    assert audit == ["data/deadbeef0000/part-0.parquet"]
+    assert os.path.exists(orphan)  # dry run touched nothing
+    removed = t.gc_orphans(grace_seconds=3600)
+    assert removed == audit
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan_dir)  # emptied dir pruned
+    assert os.path.exists(fresh)  # grace window protected
+    # table unchanged, history intact, time travel intact
+    assert t.read().count() == before
+    assert t.read(0).count() == 20
