@@ -2660,6 +2660,16 @@ class TxnLogTable(ParquetTable):
                     for k in ("min_reader", "min_writer")
                 },
             }
+            # GENERATED-column declarations are part of the restored
+            # era's metadata too (dropping the field would silently
+            # stop generation for every later writer)
+            if "gen" in cm_then:
+                restored["gen"] = dict(cm_then["gen"])
+            elif "gen" in cm_now:
+                # the target era predates the declaration: the columns
+                # it generates may not even exist there — restoring
+                # the old schema correctly drops the declaration
+                pass
             actions.append(
                 {
                     "metadata": {

@@ -647,6 +647,17 @@ class TxnLogStreamWriter(DataSourceStreamArrowWriter):
                 "(renamed/dropped columns); ingest via foreachBatch + "
                 "append_once instead"
             )
+        if state.get("gen"):
+            # same reasoning as CHECK constraints: this path stages
+            # raw executor files, bypassing both the GENERATED-column
+            # computation (_conform) and its write-time validation —
+            # rows would land with missing or unvalidated generated
+            # values
+            raise RuntimeError(
+                "txnlog sink cannot write to a table with GENERATED "
+                "columns (the sink path bypasses generation and "
+                "validation); ingest via foreachBatch + append_once"
+            )
         resolved = self._resolved_table_schema()
         # conform-or-reject: the stream must carry exactly the table's
         # columns with the table's types (order and nullability are

@@ -146,3 +146,49 @@ def test_add_generated_column_requires_empty_table(spark, table, tmp_path):
     t.append(_events(spark, 0, 10))
     assert "event_date" in t.schema.fieldNames()
     assert t.read().filter(F.col("event_date").isNull()).count() == 0
+
+
+def test_restore_preserves_generation(spark, table):
+    """RESTORE must carry the generated-column declarations of the
+    restored era — dropping the field would silently stop generation
+    for every later writer (fresh instances resolve gencols from the
+    LOG, not the constructor)."""
+    v_pre = table.current_version()
+    table.append(_events(spark, 200, 220))
+    # a rename after the snapshot forces restore to WRITE a metadata
+    # action (schema/cmap differ) — the case where a rebuilt state
+    # that dropped the gen field would silently kill generation
+    table.rename_column("value", "amount")
+    table.restore(v_pre)
+    fresh = TxnLogTable(
+        spark, table.path, SCHEMA, ["event_id"],
+        partition_by=["event_date"],
+    )
+    assert fresh._gencols_at(None) == {"event_date": "CAST(ts AS DATE)"}
+    fresh.append(_events(spark, 300, 310))
+    got = fresh.read().filter(F.col("event_id") == 305).first()
+    assert got["event_date"] == got["ts"].date()
+
+
+def test_stream_sink_refuses_generated_columns(spark, table, tmp_path):
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    src = _events(spark, 500, 520).withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    src.write.parquet(str(tmp_path / "src" / "c0"))
+    q = (
+        spark.readStream.schema(src.schema)
+        .parquet(str(tmp_path / "src" / "c*"))
+        .writeStream.format("txnlog")
+        .option("path", table.path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="GENERATED"):
+        q.awaitTermination()
+    assert table.read().count() == 200  # nothing landed
