@@ -2504,10 +2504,13 @@ class TxnLogTable(ParquetTable):
             update_cond,
             delete_cond,
         )
-        # same regeneration rule as update(): assignments touching a
-        # generated column's source must not leave a stale value
+        # same regeneration rule as update(): a generated column not
+        # EXPLICITLY assigned is dropped so _conform regenerates it —
+        # merge sources routinely carry stale (or null) values for
+        # columns they didn't compute, and regeneration is always
+        # valid by the invariant
         for g in self._gencols_at(base):
-            if update_assign and g not in update_assign:
+            if not update_assign or g not in update_assign:
                 out = out.drop(g)
         self._rewrite(
             "merge",

@@ -192,3 +192,32 @@ def test_stream_sink_refuses_generated_columns(spark, table, tmp_path):
     with pytest.raises(Exception, match="GENERATED"):
         q.awaitTermination()
     assert table.read().count() == 200  # nothing landed
+
+
+def test_merge_regenerates_generated_columns(spark, table):
+    """MERGE sources routinely carry stale values for columns they
+    didn't compute: unassigned generated columns are regenerated, so
+    a source row whose date contradicts its (new) timestamp merges
+    with the CORRECT generated value rather than failing or landing
+    stale."""
+    src = spark.createDataFrame(
+        [
+            # existing key with a STALE date: only `value` is assigned,
+            # so the target keeps its ts and the regenerated date must
+            # equal THAT ts — the source's contradicting date never lands
+            (7, dt.datetime(2026, 3, 3, 3), 111.0, dt.date(1999, 1, 1)),
+            # brand-new key, null date from an upstream that skipped it
+            (9000, dt.datetime(2026, 4, 4, 4), 2.0, None),
+        ],
+        SCHEMA,
+    )
+    table.merge(src, update_assign={"value": F.col("_s_value")})
+    rows = {
+        r["event_id"]: r
+        for r in table.read()
+        .filter(F.col("event_id").isin(7, 9000))
+        .collect()
+    }
+    assert rows[7]["value"] == 111.0  # the assignment applied
+    assert rows[7]["event_date"] == rows[7]["ts"].date()  # regenerated
+    assert str(rows[9000]["event_date"]) == "2026-04-04"  # computed
