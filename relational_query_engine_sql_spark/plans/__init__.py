@@ -405,6 +405,7 @@ ROUND8_QUEUE: list[str] = [
     "s33_txnlog_generated_partition",
     "mv_txnlog_cdf_refresh",
     "s34_txnlog_fsck",
+    "s35_txnlog_gc_orphans",
 ]
 
 # Round-8 prefix, pre-curated at the end of round 7: with round 7's

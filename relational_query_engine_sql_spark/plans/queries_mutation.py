@@ -2238,3 +2238,73 @@ def s34_txnlog_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(dry_noop).alias("dry_run_committed_nothing"),
         F.lit(exact).alias("repair_dropped_exactly_missing"),
     )
+
+
+# --------------------------------------------------------------------------
+# S35: orphan-file GC (operators/txnlog.py gc_orphans) — the disk→log
+# mirror of S34's fsck: a writer that crashed between staging and
+# commit leaves parquet debris no log version references (the
+# loser-cleanup path never ran). The GC deletes exactly that debris:
+# referenced files — live AND historical — survive, a fresh orphan
+# inside the grace window survives (it may be an in-flight writer's),
+# and the table's content, history, and time travel are untouched.
+# The planted debris and the grace probe make every clause assertable;
+# the hash pins the (unchanged) table.
+# --------------------------------------------------------------------------
+@query(
+    "s35_txnlog_gc_orphans",
+    survey="beyond:txnlog,beyond:gc,S7",
+    priority=60,
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           TRUE AS removed_only_debris,
+           TRUE AS grace_protected_inflight,
+           TRUE AS history_intact
+    FROM supplier
+    """,
+)
+def s35_txnlog_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import time as _time
+
+    from ..operators.txnlog import TxnLogTable
+
+    src = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-s35-")
+    t = TxnLogTable(spark, f"{root}/s", src.schema, ["s_suppkey"])
+    t.init(src)
+    t.upsert(src.limit(5))  # makes v0 historical (still referenced)
+    # plant an AGED orphan (crashed writer) and a FRESH one (in-flight)
+    aged_dir = _os.path.join(t.path, "data", "orphan000000")
+    _os.makedirs(aged_dir)
+    aged = _os.path.join(aged_dir, "part-0.parquet")
+    with open(aged, "wb") as f:
+        f.write(b"crashed writer debris")
+    stale = _time.time() - 7200
+    _os.utime(aged, (stale, stale))
+    fresh_dir = _os.path.join(t.path, "data", "orphan111111")
+    _os.makedirs(fresh_dir)
+    fresh = _os.path.join(fresh_dir, "part-0.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"in-flight writer")
+
+    removed = t.gc_orphans(grace_seconds=3600)
+    only_debris = removed == ["data/orphan000000/part-0.parquet"]
+    assert only_debris, f"gc removed the wrong set: {removed}"
+    grace_ok = _os.path.exists(fresh)
+    assert grace_ok, "grace window failed to protect a fresh file"
+    history_ok = (
+        t.read(0).count() == src.count()
+        and t.read().count() == src.count()
+    )
+    assert history_ok, "gc disturbed table content or history"
+    return t.read().select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.lit(only_debris).alias("removed_only_debris"),
+        F.lit(grace_ok).alias("grace_protected_inflight"),
+        F.lit(history_ok).alias("history_intact"),
+    )
