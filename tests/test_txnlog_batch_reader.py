@@ -141,3 +141,32 @@ def test_batch_reader_protocol_gate(spark, table):
         _fmt(spark, table.path).count()
     # pinned pre-feature versions stay readable
     assert _fmt(spark, table.path, versionAsOf=0).count() == 100
+
+
+def test_batch_reader_timestamp_as_of_monotonic_under_skew(
+    spark, tmp_path
+):
+    """The format reader's timestampAsOf resolves over the same
+    monotonically adjusted commit sequence as TxnLogTable.read_asof
+    (s30): a later-numbered commit with an EARLIER wall clock (skewed
+    writer) can never be exposed by a timestamp between its neighbors."""
+    spark.dataSource.register(TxnLogStreamDataSource)
+    t = TxnLogTable(spark, str(tmp_path / "skew"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 10))  # v0
+    t.append(_frame(spark, 10, 20))  # v1 fast clock
+    t.append(_frame(spark, 20, 30))  # v2 slow clock (behind v1)
+    for v, ts in ((0, 1.0e9), (1, 1.0e9 + 100.0), (2, 1.0e9 + 50.0)):
+        with open(t._log_path(v), encoding="utf-8") as f:
+            e = json.load(f)
+        e["ts"] = ts
+        with open(t._log_path(v), "w", encoding="utf-8") as f:
+            json.dump(e, f)
+    asked = 1.0e9 + 75.0  # between v0 and v1 on the ADJUSTED sequence
+    got = (
+        spark.read.format("txnlog")
+        .option("path", t.path)
+        .option("timestampAsOf", str(asked))
+        .load()
+    )
+    assert got.count() == 10  # v0, not the skewed v2
+    assert got.count() == t.read_asof(asked).count()  # library parity
