@@ -377,6 +377,69 @@ def probe_column_mapping(spark, sf_dir: str, copies: int):
     )
 
 
+def probe_compact_small(spark, sf_dir: str, drips: int):
+    """compact_small (s32) vs full compact at a streaming-sink-shaped
+    layout: one well-sized base file plus `drips` micro-batch files.
+    The claim: selective compaction costs O(small files) — the base
+    file survives BY IDENTITY and its bytes are never read — while
+    full compact() rewrites the table. Measured as wall time and
+    files-rewritten for both paths on the same layout."""
+    import tempfile
+
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+
+    print("\n### Selective vs full compaction at a drip layout (s32)\n")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    n0 = orders.count()
+
+    root = tempfile.mkdtemp(prefix="rqe-probe-cs-")
+    t1 = TxnLogTable(spark, f"{root}/t", orders.schema, ["o_orderkey"])
+    t1.init(orders.repartition(1))  # one big base file
+    drip = orders.limit(drips * 3).collect()
+    for i in range(drips):
+        rows = [
+            (
+                int(r["o_orderkey"]) + 10_000_000 + i * 10,
+                r["o_orderpriority"],
+                float(r["o_totalprice"]),
+            )
+            for r in drip[i * 3 : i * 3 + 3]
+        ]
+        t1.append(
+            spark.createDataFrame(rows, orders.schema).coalesce(1)
+        )
+    pre_compact = t1.current_version()
+    before = set(t1._split_live()[0])
+    big = [p for p in before if t1._live()[p]["rows"] == n0]
+    t0 = time.perf_counter()
+    t1.compact_small(max_rows=1000)
+    small_wall = time.perf_counter() - t0
+    after = set(t1._split_live()[0])
+    small_rewrote = len(before - after)
+    big_survived = big[0] in after
+
+    # RESTORE (metadata-only) rewinds to the same drip layout, so the
+    # full compact measures over the identical file set
+    t1.restore(pre_compact)
+    t0 = time.perf_counter()
+    t1.compact(target_files=4)
+    full_wall = time.perf_counter() - t0
+
+    print("| base rows | drip files | compact_small wall "
+          "(files rewritten, base survived) | full compact wall |")
+    print("|---|---|---|---|")
+    print(
+        f"| {n0:,} | {drips} "
+        f"| {small_wall:.1f} s ({small_rewrote} files, "
+        f"{'yes' if big_survived else 'NO'}) "
+        f"| {full_wall:.1f} s |"
+    )
+
+
 def main():
     quick = "--quick" in sys.argv
     spark = get_spark(app_name="scale-probe-sf1")
@@ -391,6 +454,9 @@ def main():
     )
     probe_column_mapping(
         spark, "/root/testdata/sf0.1", copies=3 if quick else 10
+    )
+    probe_compact_small(
+        spark, "/root/testdata/sf0.1", drips=20 if quick else 60
     )
     spark.stop()
 
