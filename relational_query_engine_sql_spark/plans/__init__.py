@@ -371,6 +371,10 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
     "stream_session_live",  # native session windows, live exec
     "s31_txnlog_column_mapping",  # metadata-only rename/drop + protocol
     "stream_txnlog_join",  # two txnlog sources x join state restart
+    # promoted from ROUND8_QUEUE into the window's last slot: the
+    # batch format reader exercises DV subtraction, column mapping,
+    # time travel, and protocol gating in one row
+    "src_txnlog_batch_reader",
     "a1_pricing_summary",
     "j1_join_dims",
     "s5_upsert",
@@ -399,9 +403,9 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
 # at all three SFs first).
 ROUND8_QUEUE: list[str] = [
     # round-7 session additions past the full 50-name ROUND7 window
-    # (each strict-sim green at sf0.001 + 0.01 + 0.1 when staged)
+    # (each strict-sim green at sf0.001 + 0.01 + 0.1 when staged;
+    # src_txnlog_batch_reader was promoted into ROUND7's last slot)
     "s32_txnlog_compact_small",
-    "src_txnlog_batch_reader",
     "s33_txnlog_generated_partition",
     "mv_txnlog_cdf_refresh",
     "s34_txnlog_fsck",
