@@ -476,6 +476,11 @@ ROUND8_PREFIX = ROUND8_QUEUE + [
     "dedup_minhash_lsh",
     "stream_tumbling_hourly",
     "sketch_hll_estimate",
+    # the union-estimate sibling shares the round-6/7 red's emission —
+    # both MUST be inside the checked window to driver-verify the
+    # all-integer/string fix (round-7 verdict: staging this row was
+    # the miss that left its fix unverifiable)
+    "sketch_hll_union_estimate",
     "s13_txnlog_merge_mixed",
 ] + ROUND8_STALE_GREENS
 _unknown_r8 = [n for n in ROUND8_PREFIX if n not in all_queries()]

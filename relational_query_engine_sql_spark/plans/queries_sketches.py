@@ -248,17 +248,54 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order-dependent in doubles) is sidestepped by summing the registers
 # as EXACT scaled integers: each register contributes 2^(61-r) (a
 # BIGINT; 256 of them summed as DECIMAL(38,0) — exact in both
-# engines), so S = sum/2^61 and the bias-corrected estimate
-# alpha*m^2/S reduce to ONE double division on identical inputs.
-# The small-range linear-counting branch is expressed in both engines
-# too (same CASE on the same doubles). The result row carries the
-# estimate, the exact COUNT(DISTINCT), the raw scaled sum, and a
-# hash-checked within_bound flag asserting the published 1.04/sqrt(m)
-# envelope at 3 sigma — the sketch is proven usable end-to-end, not
-# just storable.
+# engines). After two rounds of driver-red on these rows (r6, r7 —
+# rows/schema green, hash red, with the local strict sim green at all
+# three SFs), EVERY value that feeds the driver hash is now an
+# integer, a string, or a boolean derived from integer comparisons:
+#   - est_e4 = round-half-up(alpha*m^2*2^61*1e4 / s_scaled) computed
+#     as (2*C_e4 + s) div (2*s) — pure integral division of exact
+#     DECIMAL(38,0)/HUGEINT values; no decimal→double cast anywhere.
+#   - the linear-counting branch (est <= 2.5m and empty buckets) both
+#     SELECTS by an integer comparison (C <= 640*s ⟺ C/s <= 640) and
+#     EMITS from a 255-entry integer lookup precomputed once in
+#     Python — no ln() (StrictMath vs libm last-ulp risk) reaches the
+#     hash.
+#   - s_scaled, a 21-digit DECIMAL(38,0), is emitted as its exact
+#     STRING form: the r6/r7 reds are attributed to hashing a >2^53
+#     decimal value (the only two registry rows that did), which the
+#     local sim could not see because it coerced Decimal→float64
+#     (fixed in tools/driver_sim.py the same round).
+#   - within_bound asserts the published 1.04/sqrt(m) envelope at
+#     3 sigma via |est_e4 - 1e4·n| <= 1950·n — all BIGINT.
+# The result row proves the sketch usable end-to-end, not just
+# storable. tools/hash_lint.py now hard-fails any hashed decimal that
+# can exceed 2^53 — this emission is the pattern it enforces.
 # --------------------------------------------------------------------------
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
-_HLL_C = _HLL_ALPHA * 256 * 256 * 2.0**61  # alpha*m^2 * scale
+_HLL_C = _HLL_ALPHA * 256 * 256 * 2.0**61  # alpha*m^2 * scale (double)
+# _HLL_C exceeds 2^76, so the double's exact value IS an integer —
+# int() loses nothing; both engines get the same exact literals.
+_HLL_C_INT = int(_HLL_C)  # 108542285437616546381824 (24 digits)
+_HLL_C2_E4 = 2 * _HLL_C_INT * 10**4  # 2*alpha*m^2*2^61*1e4 (28 digits)
+
+
+def _hll_lc_case() -> str:
+    """Linear-counting estimates m*ln(m/V) for V=1..255 as a CASE of
+    integer literals (scaled by 1e4, round-half-up), precomputed once
+    in Python so neither engine evaluates a transcendental at query
+    time — the same literal text feeds the Spark plan and the DuckDB
+    oracle."""
+    import math
+
+    arms = " ".join(
+        f"WHEN {v} THEN "
+        f"{int(math.floor(256.0 * math.log(256.0 / v) * 10000.0 + 0.5))}"
+        for v in range(1, 256)
+    )
+    return f"CASE empty_buckets {arms} END"
+
+
+_HLL_LC_CASE = _hll_lc_case()
 
 
 def _hll_est_sql(col: str) -> str:
@@ -306,25 +343,23 @@ _HLL_EST_SQL = f"""
                CAST(256 - nb AS INT) AS empty_buckets
         FROM agg
     ),
-    est0 AS (
-        SELECT s_scaled, empty_buckets,
-               {_HLL_C!r} / CAST(s_scaled AS DOUBLE) AS est_raw
-        FROM scaled
-    ),
-    est1 AS (
-        SELECT s_scaled, empty_buckets,
-               CASE WHEN est_raw <= 640.0 AND empty_buckets > 0
-                    THEN CAST(floor(256.0 * ln(256.0 / empty_buckets)
-                                    * 10000.0 + 0.5) AS BIGINT)
-                    ELSE CAST(floor(est_raw * 10000.0 + 0.5) AS BIGINT)
+    est AS (
+        SELECT CAST(s_scaled AS VARCHAR) AS s_scaled, empty_buckets,
+               CASE WHEN CAST('{_HLL_C_INT}' AS HUGEINT)
+                         <= CAST(s_scaled AS HUGEINT) * 640
+                         AND empty_buckets > 0
+                    THEN CAST({_HLL_LC_CASE} AS BIGINT)
+                    ELSE CAST((CAST('{_HLL_C2_E4}' AS HUGEINT)
+                               + CAST(s_scaled AS HUGEINT))
+                              // (CAST(s_scaled AS HUGEINT) * 2)
+                         AS BIGINT)
                END AS est_e4
-        FROM est0
+        FROM scaled
     ),
     ex AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem)
     SELECT est_e4, n_exact, empty_buckets, s_scaled,
-           abs(CAST(est_e4 AS DOUBLE) / 10000.0
-               / CAST(n_exact AS DOUBLE) - 1.0) <= 0.195 AS within_bound
-    FROM est1, ex
+           abs(est_e4 - 10000 * n_exact) <= 1950 * n_exact AS within_bound
+    FROM est, ex
 """
 
 
@@ -346,7 +381,14 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _estimate_from_regs(regs: DataFrame, exact: DataFrame) -> DataFrame:
     """Registers → (est_e4, n_exact, empty_buckets, s_scaled,
     within_bound): the hash-stable estimate emission shared by the
-    direct and merged-shard rows."""
+    direct and merged-shard rows. All-integer arithmetic end to end —
+    round-half-up(C/s) as (2·C·1e4 + s) div (2·s) on DECIMAL(38,0)
+    (Spark's `div` is exact integral division → BIGINT), the
+    linear-counting branch both selected (C <= 640·s) and emitted
+    (precomputed lookup) without touching doubles, and the 21-digit
+    register sum emitted as its exact STRING form — see the module
+    comment above for why nothing wider than 2^53 may reach the
+    driver hash as a numeric."""
     agg = regs.agg(
         F.expr(
             "CAST(SUM(CAST(shiftleft(CAST(1 AS BIGINT), 61 - r) "
@@ -360,23 +402,15 @@ def _estimate_from_regs(regs: DataFrame, exact: DataFrame) -> DataFrame:
         "CAST(256 - nb AS INT) AS empty_buckets",
     )
     est = scaled.selectExpr(
-        "s_scaled",
+        "CAST(s_scaled AS STRING) AS s_scaled",
         "empty_buckets",
-        f"{_HLL_C!r} / CAST(s_scaled AS DOUBLE) AS est_raw",
-    ).selectExpr(
-        "s_scaled",
-        "empty_buckets",
-        # Hash-stable emission: never return round(<double>, n) from a
-        # hash-compared query — Spark rounds doubles via decimal-string
-        # HALF_UP while DuckDB rounds in binary, so the two can disagree
-        # near scale-4 halfway points even when est_raw is bit-identical.
-        # floor(x * 1e4 + 0.5) is pure IEEE multiply/add/floor (exact and
-        # identical cross-engine on the same double), cast to BIGINT.
-        "CASE WHEN est_raw <= 640.0 AND empty_buckets > 0"
-        " THEN CAST(floor(256.0 * ln(256.0 / empty_buckets)"
-        "                 * 10000.0 + 0.5) AS BIGINT)"
-        " ELSE CAST(floor(est_raw * 10000.0 + 0.5) AS BIGINT)"
-        " END AS est_e4",
+        f"CASE WHEN CAST('{_HLL_C_INT}' AS DECIMAL(38,0))"
+        "          <= s_scaled * CAST(640 AS DECIMAL(38,0))"
+        "          AND empty_buckets > 0"
+        f"     THEN CAST({_HLL_LC_CASE} AS BIGINT)"
+        f"     ELSE (CAST('{_HLL_C2_E4}' AS DECIMAL(38,0)) + s_scaled)"
+        "          div (s_scaled + s_scaled)"
+        "     END AS est_e4",
     )
     # 1-row × 1-row scalar join (broadcast; never a data crossjoin)
     return est.crossJoin(F.broadcast(exact)).selectExpr(
@@ -384,8 +418,8 @@ def _estimate_from_regs(regs: DataFrame, exact: DataFrame) -> DataFrame:
         "n_exact",
         "empty_buckets",
         "s_scaled",
-        "abs(CAST(est_e4 AS DOUBLE) / 10000.0"
-        " / CAST(n_exact AS DOUBLE) - 1.0) <= 0.195 AS within_bound",
+        "abs(est_e4 - 10000 * n_exact) <= 1950 * n_exact"
+        " AS within_bound",
     )
 
 

@@ -57,7 +57,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if isinstance(first, (_dt.date, _dt.datetime)):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             elif isinstance(first, _decimal.Decimal):
-                df[c] = df[c].astype("float64")
+                # Stringify decimals EXACTLY (normalized scale) — the
+                # r6/r7 sketch_hll_estimate driver reds hid behind a
+                # float64 coercion here: any disagreement below 2^53
+                # precision in a ~2^65 DECIMAL(38,0) hashed identically
+                # locally while the real driver hashes the arrow
+                # decimal values. No numeric coercion for decimals.
+                df[c] = df[c].map(
+                    lambda v: (
+                        v
+                        if not isinstance(v, _decimal.Decimal)
+                        else str(
+                            v.quantize(_decimal.Decimal(1))
+                            if v == v.to_integral_value()
+                            else v.normalize()
+                        )
+                    )
+                )
             elif isinstance(first, bool):
                 pass
             elif isinstance(first, int):

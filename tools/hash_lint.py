@@ -41,10 +41,6 @@ sys.path.insert(0, "/root/repo")
 #     majority below): the emitted doubles are DECIMAL-quantized sums
 #     or stats that sit nowhere near a scale-n halfway point, verified
 #     empirically by the hard driver signal;
-#   - (sketch_hll_estimate, s_scaled): DECIMAL(38,0) built from exact
-#     integer register arithmetic — identical digits cross-engine by
-#     construction (the r6 red on this query was its round(double,4)
-#     emission, since replaced by est_e4);
 #   - (u1_linreg_fit_pandas, slope/intercept): shares the emission AND
 #     oracle of driver-green u1_linreg_fit, and the two Spark paths
 #     are pinned to each other in tests/test_forecast_paths.py.
@@ -148,9 +144,6 @@ WHITELIST: set[tuple[str, str]] = {
     ("search_hybrid_rrf", "rrf"),
     ("search_tfidf_terms", "score"),
     ("sec_cleanroom_join", "revenue"),
-    ("sketch_hll_estimate", "s_scaled"),
-    # same exact-integer DECIMAL(38,0) register sum as its sibling
-    ("sketch_hll_union_estimate", "s_scaled"),
     ("sql_api_report", "spend"),
     ("stats_ab_welch", "mean_diff"),
     ("stats_ab_welch", "t_stat"),
@@ -222,12 +215,27 @@ def lint_one(spark, name: str, fn, sf_dir: str) -> list[str]:
         f.name for f in df.schema.fields if isinstance(f.dataType, T.DoubleType)
     }
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.DecimalType) and f.dataType.precision > 18:
-            if (name, f.name) not in WHITELIST:
+        if isinstance(f.dataType, T.DecimalType):
+            p, s = f.dataType.precision, f.dataType.scale
+            if p - s > 15:
+                # HARD FAIL — no whitelist path. A decimal whose
+                # integer part can exceed 2^53 is invisible to any
+                # float-coercing canonicalizer (the r6/r7
+                # sketch_hll_estimate reds: 21-digit DECIMAL(38,0)
+                # hashed green locally under float64 coercion, red in
+                # the driver which hashes the arrow decimals). Emit
+                # CAST(col AS STRING) or restructure to integer
+                # arithmetic instead.
                 findings.append(
-                    f"{name}.{f.name}: DECIMAL({f.dataType.precision},"
-                    f"{f.dataType.scale}) output (>18 digits exercises the "
-                    "driver canonicalizer's decimal path)"
+                    f"{name}.{f.name}: DECIMAL({p},{s}) output can "
+                    "exceed 2^53 — HARD FAIL (no whitelist): emit "
+                    "CAST AS STRING or all-integer arithmetic"
+                )
+            elif p > 18 and (name, f.name) not in WHITELIST:
+                findings.append(
+                    f"{name}.{f.name}: DECIMAL({p},{s}) output "
+                    "(>18 digits exercises the driver canonicalizer's "
+                    "decimal path)"
                 )
     plan = df._jdf.queryExecution().analyzed().toString()
     for m in ROUND_AS.finditer(plan):
