@@ -2699,7 +2699,18 @@ class TxnLogTable(ParquetTable):
         # re-referencing commit: nothing freshly staged, so a losing
         # race must clean up NOTHING (the re-added files are live
         # historical data)
-        return self._commit("restore", actions, base, staged_adds=[])
+        v = self._commit("restore", actions, base, staged_adds=[])
+        if old_schema != self._schema_at(base) or cm_then != cm_now:
+            # keep THIS instance's in-memory GENERATED declaration in
+            # sync with what the restore just committed: restoring to
+            # an era that predates add_generated_column drops the
+            # declaration from the log, and _gencols_at's pre-commit
+            # fallback to self._generated would otherwise make this
+            # instance's next write reference a column no longer in
+            # the restored schema (fresh instances resolve correctly
+            # from the log)
+            self._generated = dict(restored.get("gen", {}))
+        return v
 
     def clone_to(self, dest_path: str) -> "TxnLogTable":
         """Delta's SHALLOW CLONE: a NEW independent table whose v0 log
@@ -2813,7 +2824,7 @@ class TxnLogTable(ParquetTable):
         return missing
 
     def gc_orphans(
-        self, grace_seconds: float = 3600.0, dry_run: bool = False
+        self, grace_seconds: float = 604800.0, dry_run: bool = False
     ) -> list[str]:
         """The disk→log mirror of :meth:`repair`: physically delete
         data files under this table's root that NO log version ever
@@ -2821,8 +2832,15 @@ class TxnLogTable(ParquetTable):
         committed, and the crash skipped the loser-cleanup path).
         ``grace_seconds`` protects in-flight writers: a file younger
         than the grace window may belong to a commit that has not
-        CAS-landed yet, so it is never touched (Delta's VACUUM applies
-        the same uncommitted-file retention logic). Bloom sidecars of
+        CAS-landed yet, so it is never touched. The default is 7 DAYS
+        — Delta's VACUUM retains uncommitted files for 7 days for
+        exactly this reason (an hour-scale default can delete the
+        staged parquet of a long-staging writer whose commit then
+        lands referencing deleted files: silent data loss). The grace
+        is additionally keyed off the YOUNGEST file in each staging
+        directory, not per-file mtime, so a multi-file task whose
+        staging phase outlives the window cannot lose its earliest
+        files while still writing its last. Bloom sidecars of
         surviving directories are kept; ``dry_run`` audits. Returns
         the relpaths removed (or doomed)."""
         referenced: set[str] = set()
@@ -2845,7 +2863,20 @@ class TxnLogTable(ParquetTable):
             return []
         cutoff = time.time() - grace_seconds
         removed: list[str] = []
+        # youngest mtime per directory: one task stages all its files
+        # under one directory, so any young file protects its siblings
+        dir_newest: dict[str, float] = {}
         for dp, _, fns in os.walk(data_root):
+            for fn in fns:
+                try:
+                    mt = os.path.getmtime(os.path.join(dp, fn))
+                except OSError:
+                    continue
+                if mt > dir_newest.get(dp, -1.0):
+                    dir_newest[dp] = mt
+        for dp, _, fns in os.walk(data_root):
+            if dir_newest.get(dp, 0.0) > cutoff:
+                continue  # possibly an in-flight writer's directory
             for fn in fns:
                 full = os.path.join(dp, fn)
                 rel = os.path.normpath(
@@ -2854,8 +2885,6 @@ class TxnLogTable(ParquetTable):
                 if rel in referenced or rel in sidecars:
                     continue
                 try:
-                    if os.path.getmtime(full) > cutoff:
-                        continue  # possibly an in-flight writer's
                     if not dry_run:
                         os.remove(full)
                     removed.append(rel)

@@ -293,6 +293,45 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _declared_arrow_types(schema) -> dict:
+    """{logical field name: declared Arrow type} for null-filling
+    fields absent from old-era files (computed driver-side, pickled to
+    executors with the reader)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+
+
+def _project_file_table(table, want, logical_to_phys, arrow_types):
+    """Project ONE data file's raw Arrow table (immutable PHYSICAL
+    column names on disk) to the logical column list ``want`` — the
+    format readers' twin of ``TxnLogTable._scan_files``
+    (operators/txnlog.py): resolve each logical name to its PHYSICAL
+    name and select by that, so a RETIRED physical column whose name
+    happens to equal a re-added logical column can never resurrect the
+    dropped era's bytes; null-fill fields absent from files written
+    before an add_columns (with the declared Arrow type, matching the
+    library path's spark.read.schema null-fill); rename to logical.
+    Blind name-based rename+subset — the previous implementation —
+    fails BOTH ways: it resurrects dropped bytes on drop+re-add and
+    raises DATA_SOURCE_RETURN_SCHEMA_MISMATCH on pre-evolution files
+    missing a later-added column."""
+    import pyarrow as pa
+
+    cols, fields = [], []
+    for lname in want:
+        pname = logical_to_phys.get(lname, lname)
+        if pname in table.column_names:
+            col = table[pname]
+            cols.append(col)
+            fields.append(pa.field(lname, col.type))
+        else:
+            t = arrow_types[lname]
+            cols.append(pa.nulls(table.num_rows, type=t))
+            fields.append(pa.field(lname, t))
+    return pa.table(cols, schema=pa.schema(fields))
+
+
 class TxnLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema=None) -> None:
         # declared (LOGICAL) column set: after a drop_column the data
@@ -322,9 +361,10 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 f"txnlog stream: table requires reader protocol "
                 f"{need}; this source supports 2"
             )
-        self._phys_to_logical = {
-            p: l for l, p in (state.get("map") or {}).items()
-        }
+        self._logical_to_phys = dict(state.get("map") or {})
+        self._arrow_types = (
+            _declared_arrow_types(schema) if schema is not None else {}
+        )
 
     def initialOffset(self) -> dict:
         if self.starting is not None:
@@ -371,17 +411,11 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 fields.append(f)
         if changed:
             table = table.cast(pa.schema(fields))
-        if self._phys_to_logical:
-            table = table.rename_columns(
-                [
-                    self._phys_to_logical.get(n, n)
-                    for n in table.column_names
-                ]
+        if self._want is not None:
+            table = _project_file_table(
+                table, self._want, self._logical_to_phys,
+                self._arrow_types,
             )
-        if self._want is not None and set(self._want) <= set(
-            table.column_names
-        ):
-            table = table.select(self._want)
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -437,10 +471,9 @@ class TxnLogBatchReader(DataSourceReader):
                 f"txnlog batch read: table requires reader protocol "
                 f"{need}; this source supports 2"
             )
-        self._phys_to_logical = {
-            p: l for l, p in (state.get("map") or {}).items()
-        }
+        self._logical_to_phys = dict(state.get("map") or {})
         self._want = [f.name for f in schema.fields]
+        self._arrow_types = _declared_arrow_types(schema)
         data, dvs = view.live_at(self.version)
         self._files = [
             p if os.path.isabs(p) else os.path.join(self.path, p)
@@ -491,13 +524,13 @@ class TxnLogBatchReader(DataSourceReader):
                 fields.append(f)
         if changed:
             table = table.cast(pa.schema(fields))
-        if self._phys_to_logical:
-            table = table.rename_columns(
-                [
-                    self._phys_to_logical.get(n, n)
-                    for n in table.column_names
-                ]
-            )
+        # Physical-schema projection BEFORE the DV subtraction: the DV
+        # sidecars are written with LOGICAL key names (_dv_schema,
+        # operators/txnlog.py), so the filter runs on the projected
+        # table.
+        table = _project_file_table(
+            table, self._want, self._logical_to_phys, self._arrow_types
+        )
         if self._dv_col is not None and self._dv_keys:
             col = table[self._dv_col]
             mask = pc.invert(
@@ -509,8 +542,6 @@ class TxnLogBatchReader(DataSourceReader):
                 )
             )
             table = table.filter(mask)
-        if set(self._want) <= set(table.column_names):
-            table = table.select(self._want)
         yield from table.to_batches()
 
 

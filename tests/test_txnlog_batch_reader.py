@@ -170,3 +170,59 @@ def test_batch_reader_timestamp_as_of_monotonic_under_skew(
     )
     assert got.count() == 10  # v0, not the skewed v2
     assert got.count() == t.read_asof(asked).count()  # library parity
+
+
+def test_batch_reader_add_columns_null_fills_old_files(spark, tmp_path):
+    """Files written BEFORE an add_columns lack the new column; the
+    format reader must null-fill it (like the library path's
+    spark.read.schema) instead of raising
+    DATA_SOURCE_RETURN_SCHEMA_MISMATCH on the old-era files."""
+    spark.dataSource.register(TxnLogStreamDataSource)
+    t = TxnLogTable(spark, str(tmp_path / "ev"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 20))  # v0: no 'extra'
+    t.add_columns({"extra": "bigint"})  # v1: metadata only
+    t.append(
+        _frame(spark, 20, 30).withColumn(
+            "extra", F.col("id") * 100
+        )
+    )  # v2: files WITH the column
+    cur = _fmt(spark, t.path)
+    assert cur.count() == 30
+    assert cur.filter(F.col("id") == 3).first()["extra"] is None
+    assert cur.filter(F.col("id") == 25).first()["extra"] == 2500
+    for v in t.versions():
+        want = sorted(map(tuple, t.read(v).collect()))
+        got = sorted(
+            map(tuple, _fmt(spark, t.path, versionAsOf=v).collect())
+        )
+        assert got == want, f"format reader diverged at v{v}"
+
+
+def test_batch_reader_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    """Old-era files still carry the RETIRED physical column whose
+    name equals the re-added logical column; projecting by name would
+    resurrect the dropped era's bytes. The format reader must project
+    by PHYSICAL schema like TxnLogTable._scan_files: NULL over the old
+    files, real values only from post-re-add writes."""
+    spark.dataSource.register(TxnLogStreamDataSource)
+    t = TxnLogTable(spark, str(tmp_path / "rr"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 20))  # comment='c<i>' in every old file
+    t.drop_column("comment")
+    t.add_columns({"comment": "string"})  # same logical name, fresh phys
+    row = {"id": 7, "price": 10.5, "comment": "NEW"}
+    t.upsert(
+        spark.createDataFrame(
+            [tuple(row[f.name] for f in t.schema.fields)], t.schema
+        )
+    )
+    cur = _fmt(spark, t.path)
+    assert cur.filter(F.col("id") == 3).first()["comment"] is None, (
+        "format reader resurrected a dropped column's bytes"
+    )
+    assert cur.filter(F.col("id") == 7).first()["comment"] == "NEW"
+    for v in t.versions():
+        want = sorted(map(tuple, t.read(v).collect()))
+        got = sorted(
+            map(tuple, _fmt(spark, t.path, versionAsOf=v).collect())
+        )
+        assert got == want, f"format reader diverged at v{v}"

@@ -263,6 +263,49 @@ def test_stream_source_reads_logical_names(spark, tmp_path):
     assert out.filter(F.col("id") == 45).first()["note"] == "n45"
 
 
+def test_stream_source_drop_then_readd_does_not_resurrect(
+    spark, tmp_path
+):
+    """Old-era files carry the RETIRED physical column whose name
+    equals the re-added logical column; the stream source must project
+    by PHYSICAL schema (TxnLogTable._scan_files parity) so the dropped
+    era's bytes never resurrect and pre-evolution files null-fill."""
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    t = TxnLogTable(spark, str(tmp_path / "rr"), SCHEMA, ["id"])
+    t.init(_frame(spark, 0, 40))  # flag='even'/'odd' in old files
+    t.drop_column("flag")
+    t.add_columns({"flag": "string"})  # same logical name, fresh phys
+    t.append(
+        spark.range(40, 50).select(
+            F.col("id"),
+            (F.col("id") * 1.5).alias("price"),
+            F.concat(F.lit("n"), F.col("id")).alias("comment"),
+            F.lit("NEW").alias("flag"),
+        )
+    )
+    q = (
+        spark.readStream.format("txnlog")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cmap_stream_rr")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("cmap_stream_rr")
+    assert out.count() == 50
+    assert out.filter(F.col("id") == 7).first()["flag"] is None, (
+        "stream source resurrected a dropped column's bytes"
+    )
+    assert out.filter(F.col("id") == 45).first()["flag"] == "NEW"
+
+
 def test_stream_sink_refuses_mapped_table(spark, tmp_path):
     from relational_query_engine_sql_spark.sources.txnlog_stream import (
         TxnLogStreamDataSource,

@@ -170,6 +170,33 @@ def test_restore_preserves_generation(spark, table):
     assert got["event_date"] == got["ts"].date()
 
 
+def test_restore_to_pre_gen_era_resets_live_instance(spark, tmp_path):
+    """restore() to a version that PREDATES add_generated_column
+    correctly drops the declaration from the log — and must also reset
+    the LIVE instance's in-memory declaration (_gencols_at's pre-commit
+    fallback), or the same instance's next write references a generated
+    column no longer in the restored schema and fails, while a fresh
+    instance works fine."""
+    t = TxnLogTable(
+        spark,
+        str(tmp_path / "pg"),
+        T.StructType(SCHEMA.fields[:3]),
+        ["event_id"],
+    )
+    t.init(_events(spark, 0, 0))  # v0: empty, NO generated column
+    t.add_generated_column("event_date", "date", "CAST(ts AS DATE)")
+    t.append(_events(spark, 0, 10))
+    assert t.read().filter(F.col("event_date").isNull()).count() == 0
+    t.restore(0)  # back to the pre-declaration era
+    assert t._gencols_at(None) == {}
+    assert "event_date" not in t.schema.fieldNames()
+    # the SAME instance must keep writing without referencing the
+    # dropped generated column
+    t.append(_events(spark, 100, 110))
+    assert t.read().count() == 10
+    assert "event_date" not in t.read().columns
+
+
 def test_stream_sink_refuses_generated_columns(spark, table, tmp_path):
     from relational_query_engine_sql_spark.sources.txnlog_stream import (
         TxnLogStreamDataSource,
