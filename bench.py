@@ -277,18 +277,55 @@ def _prior_bench(here: str, sf: str) -> tuple[dict | None, int | None]:
     return None, None
 
 
-def _regressions(timings: dict[str, float], prior: dict) -> dict[str, str]:
+def _regressions(
+    timings: dict[str, float], prior: dict, vm_factor: float = 1.0
+) -> dict[str, str]:
     """Per-query deltas vs the prior round that exceed both the ratio
     and the absolute noise floor — fail-loud on stderr, recorded in the
-    JSON line so round-over-round drift is visible in BENCH_r{N}."""
+    JSON line so round-over-round drift is visible in BENCH_r{N}.
+    ``vm_factor`` (this run's canary / the prior run's canary, >1 when
+    this VM is slower) normalizes the comparison so a uniformly slower
+    host — round 7 ran ~1.22x slower driver-side than the same code on
+    the builder's close run — doesn't read as N per-query regressions."""
     out: dict[str, str] = {}
     for name, now in timings.items():
         before = (prior.get("queries") or {}).get(name)
         if before is None or before <= 0:
             continue
-        if now > before * REGRESSION_FACTOR and now - before > REGRESSION_FLOOR_SEC:
-            out[name] = f"{before}s -> {now}s ({now / before:.2f}x)"
+        adj = now / vm_factor
+        if (
+            adj > before * REGRESSION_FACTOR
+            and adj - before > REGRESSION_FLOOR_SEC
+        ):
+            note = (
+                f" [vm-normalized /{vm_factor:.2f}]"
+                if vm_factor != 1.0
+                else ""
+            )
+            out[name] = (
+                f"{before}s -> {now}s ({adj / before:.2f}x{note})"
+            )
     return out
+
+
+# Fixed pure-SQL reference plan timed FIRST and LAST in every run
+# (after warmup): the pair makes host slowness measurable INSIDE the
+# artifact — round 7's 138.6 s driver headline vs 113.6 s same-code
+# close run had to be attributed by cross-file forensics. The ratio
+# of this run's canary to the prior artifact's normalizes the
+# regression check.
+CANARY = "a1_pricing_summary"
+
+
+def _time_canary(spark, sf_dir: str, k: int = 2) -> float:
+    q = plans.get(CANARY)
+    best = float("inf")
+    for _ in range(k):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def _prior_full_registry(here: str, sf: str) -> dict | None:
@@ -335,11 +372,56 @@ def main() -> None:
         if full
         else [n for n in plans.all_queries() if n not in set(HEADLINE)]
     )
-    # compute queries first, latency-bound streaming scenarios last:
-    # if the tail budget runs out, the skipped rows are the latency
-    # ones (visible in tail_skipped), never a compute query's
-    # regression coverage
-    tail_names.sort(key=lambda n: n in LATENCY_BOUND)
+    here = os.path.dirname(os.path.abspath(__file__))
+    if full:
+        prior, prior_round = _prior_full_registry(here, sf), None
+    else:
+        prior, prior_round = _prior_bench(here, sf)
+    tail_prior = _prior_full_registry(here, sf) if tail_names else None
+    # Tail ordering (round-7 advice: 37 skipped rows incl. 27 compute
+    # queries when a slower VM ate the budget). Priority when the
+    # budget runs out:
+    #   1. NEVER-TIMED rows (no committed timing anywhere) — a first
+    #      timing beats any re-check;
+    #   2. rows the PRIOR round skipped — the same name can never be
+    #      skipped two rounds running;
+    #   3. remaining compute rows, ROTATED by round so repeated budget
+    #      squeezes spread across the registry instead of always
+    #      hitting the alphabetical tail;
+    #   4. latency-bound streaming scenarios LAST — their wall time is
+    #      trigger/checkpoint latency, the least valuable to re-check.
+    if tail_names:
+        ever_timed: set[str] = set()
+        for src in (tail_prior, prior):
+            if src:
+                ever_timed |= set(src.get("queries") or {})
+                ever_timed |= set(src.get("tail_queries") or {})
+        prev_skipped = set((prior or {}).get("tail_skipped") or [])
+        env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
+        rnd = (
+            int(env_round)
+            if env_round.isdigit()
+            else (prior_round or 0) + 1
+        )
+
+        def _bucket(n: str) -> int:
+            if n not in ever_timed:
+                return 0
+            if n in prev_skipped and n not in LATENCY_BOUND:
+                return 1
+            if n not in LATENCY_BOUND:
+                return 2
+            return 3 if n in prev_skipped else 4
+
+        tail_names.sort(key=_bucket)
+        compute_rest = [n for n in tail_names if _bucket(n) == 2]
+        if compute_rest:
+            rot = rnd % len(compute_rest)
+            rotated = compute_rest[rot:] + compute_rest[:rot]
+            it = iter(rotated)
+            tail_names = [
+                next(it) if _bucket(n) == 2 else n for n in tail_names
+            ]
     spark = get_spark(app_name="bench")
 
     # warm the JVM + parquet footers once so per-query numbers measure
@@ -370,75 +452,87 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    # Two timed passes, keep the per-query MINIMUM. The host is a VM:
+    # Timed passes keep the per-query MINIMUM. The host is a VM:
     # hypervisor CPU steal makes single measurements bimodal (the same
     # 0.4 s plan has measured 4 s with zero code change and zero local
     # load). min-of-k is the standard robust estimator for plan cost —
     # noise only ever ADDS time, so the minimum is the best available
-    # proxy for what the plan actually costs. The second pass is
-    # soft-deadlined so the whole run stays inside the driver's
-    # timeout: every query always gets its pass-1 number; pass 2
-    # refines as much as the budget allows.
+    # proxy for what the plan actually costs.
     deadline = time.perf_counter() + float(
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900" if full else "420")
     )
-    # the tail sweep borrows its slice from the END of the same budget
-    # (headline refinement passes 2-3 stop early instead of the whole
-    # run growing) so total wall time stays inside what the driver
-    # already tolerates
-    tail_budget = (
-        float(os.environ.get("SPARK_GRAFT_BENCH_TAIL_BUDGET", "170"))
-        if tail_names
-        else 0.0
-    )
-    headline_deadline = deadline - tail_budget
-    for pass_i in range(3):
+    canary_first = _time_canary(spark, sf_dir)
+
+    def _time_one(name: str, into: dict[str, float], label: str) -> None:
+        # Leftover cache blocks from OTHER queries are cross-talk,
+        # not plan cost: a query that persists a panel pollutes heap
+        # for every query after it. Caches a query builds for itself
+        # inside fn() still count — this only clears between queries.
+        spark.catalog.clearCache()
+        print(f"BENCH start {name} ({label})", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            # count() materializes every row through the full plan
+            # without collecting results to the driver.
+            plans.get(name).fn(spark, sf_dir).count()
+            took = round(time.perf_counter() - t0, 3)
+            if name not in into or took < into[name]:
+                into[name] = took
+            print(f"BENCH done  {name} {took}s", file=sys.stderr, flush=True)
+        except Exception as ex:  # one bad query must not lose the run
+            failures[name] = f"{type(ex).__name__}: {ex}"[:200]
+            print(f"BENCH FAIL {name}: {failures[name]}",
+                  file=sys.stderr, flush=True)
+
+    # PASS 1 (ungated): every headline query gets a number.
+    for name in names:
+        _time_one(name, timings, "pass 0")
+
+    # -- tail sweep BEFORE headline refinement (round-7 advice): one
+    # warm timing per non-headline registry query. First-ever coverage
+    # of a tail query outranks a third decimal on a headline number,
+    # so when the VM is slow the squeeze lands on refinement passes —
+    # and the skip order (never-timed first, latency-bound last) makes
+    # any residual skip cost the least informative rows.
+    tail_timings: dict[str, float] = {}
+    tail_skipped: list[str] = []
+    retime_reserve = 40.0
+    if tail_names:
+        for name in tail_names:
+            if time.perf_counter() > deadline - retime_reserve:
+                tail_skipped.append(name)
+                continue
+            _time_one(name, tail_timings, "tail")
+        if tail_skipped:
+            # no silent caps: dropped coverage must be visible
+            print(f"BENCH tail budget exhausted: {len(tail_skipped)} "
+                  f"queries not timed", file=sys.stderr, flush=True)
+
+    # PASSES 2-3 (gated): refine headline minimums with what's left.
+    for pass_i in (1, 2):
+        exhausted = False
         for name in names:
-            if pass_i > 0 and time.perf_counter() > headline_deadline:
-                print("BENCH pass-2 budget exhausted",
+            if time.perf_counter() > deadline - retime_reserve:
+                print(f"BENCH pass-{pass_i + 1} budget exhausted",
                       file=sys.stderr, flush=True)
+                exhausted = True
                 break
-            q = plans.get(name)
-            # Leftover cache blocks from OTHER queries are cross-talk,
-            # not plan cost: a query that persists a panel pollutes
-            # heap for every query after it, and by query ~30 the
-            # accumulated blocks turn into GC pauses billed to
-            # whichever query runs next. Caches a query builds for
-            # itself inside fn() still count — this only clears
-            # between queries.
-            spark.catalog.clearCache()
-            print(
-                f"BENCH start {name} (pass {pass_i})",
-                file=sys.stderr,
-                flush=True,
-            )
-            t0 = time.perf_counter()
-            try:
-                # count() materializes every row through the full plan
-                # without collecting results to the driver.
-                q.fn(spark, sf_dir).count()
-                took = round(time.perf_counter() - t0, 3)
-                if name not in timings or took < timings[name]:
-                    timings[name] = took
-                print(
-                    f"BENCH done  {name} {took}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
-            except Exception as ex:  # one bad query must not lose the run
-                failures[name] = f"{type(ex).__name__}: {ex}"[:200]
-                print(f"BENCH FAIL {name}: {failures[name]}",
-                      file=sys.stderr, flush=True)
+            _time_one(name, timings, f"pass {pass_i}")
+        if exhausted:
+            break
 
     total = round(sum(timings.values()), 3)
-    here = os.path.dirname(os.path.abspath(__file__))
+    # VM-speed normalization for the regression check: only when the
+    # prior artifact recorded a canary (first round with one: 8).
+    prior_canary = ((prior or {}).get("canary") or {}).get("best")
+    vm_factor = (
+        max(canary_first / float(prior_canary), 1.0)
+        if prior_canary
+        else 1.0
+    )
     regressions: dict[str, str] = {}
-    if full:
-        prior, prior_round = _prior_full_registry(here, sf), None
-    else:
-        prior, prior_round = _prior_bench(here, sf)
     if prior:
-        regressions = _regressions(timings, prior)
+        regressions = _regressions(timings, prior, vm_factor)
         for name in list(regressions):
             if name in LATENCY_BOUND:
                 regressions[name] = f"[latency-bound] {regressions[name]}"
@@ -450,33 +544,9 @@ def main() -> None:
         print(f"REGRESSION-CHECK SKIPPED: no prior-round bench at sf={sf}",
               file=sys.stderr)
 
-    # -- tail sweep: one warm timing per non-headline registry query,
-    # regression-checked against the committed full-registry bench;
-    # flagged names are re-timed (kept minimum) before being reported
-    tail_timings: dict[str, float] = {}
-    tail_skipped: list[str] = []
     if tail_names:
-        tail_prior = _prior_full_registry(here, sf)
-        retime_reserve = 30.0
-        for name in tail_names:
-            if time.perf_counter() > deadline - retime_reserve:
-                tail_skipped.append(name)
-                continue
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            try:
-                plans.get(name).fn(spark, sf_dir).count()
-                tail_timings[name] = round(time.perf_counter() - t0, 3)
-            except Exception as ex:
-                failures[name] = f"{type(ex).__name__}: {ex}"[:200]
-                print(f"BENCH FAIL {name}: {failures[name]}",
-                      file=sys.stderr, flush=True)
-        if tail_skipped:
-            # no silent caps: dropped coverage must be visible
-            print(f"BENCH tail budget exhausted: {len(tail_skipped)} "
-                  f"queries not timed", file=sys.stderr, flush=True)
         if tail_prior:
-            flagged = _regressions(tail_timings, tail_prior)
+            flagged = _regressions(tail_timings, tail_prior, vm_factor)
             for name in list(flagged):
                 # single timings are VM-noise-bimodal: re-time up to
                 # twice, keep the min, and only report if it sticks
@@ -493,7 +563,7 @@ def main() -> None:
                     except Exception:
                         break
                 still = _regressions(
-                    {name: tail_timings[name]}, tail_prior
+                    {name: tail_timings[name]}, tail_prior, vm_factor
                 )
                 if not still:
                     flagged.pop(name)
@@ -508,6 +578,16 @@ def main() -> None:
         else:
             print("TAIL REGRESSION-CHECK SKIPPED: no committed "
                   f"bench_full_registry.json at sf={sf}", file=sys.stderr)
+    # same fixed plan, re-timed at the END of the run: first/last pair
+    # shows within-run host drift; best feeds next round's vm_factor
+    canary_last = _time_canary(spark, sf_dir, k=1)
+    canary = {
+        "query": CANARY,
+        "first": canary_first,
+        "last": canary_last,
+        "best": min(canary_first, canary_last),
+        "vm_factor_vs_prior": round(vm_factor, 3),
+    }
     payload = {
         "metric": "full_registry_total" if full else "headline_queries_total",
         "value": total,
@@ -519,6 +599,7 @@ def main() -> None:
         # the round-over-round check ran and what it saw.
         "regressions": regressions,
         "regression_baseline_round": prior_round,
+        "canary": canary,
         # which timed names are live-streaming latency, not compute
         "latency_bound": sorted(
             LATENCY_BOUND & (set(timings) | set(tail_timings))
@@ -573,6 +654,7 @@ def main() -> None:
                 "n_regressions": len(regressions),
                 "regressions": dict(sorted(regressions.items())[:10]),
                 "regression_baseline_round": prior_round,
+                "canary": canary,
                 "slowest": slowest,
                 "queries_full": os.path.basename(full_path),
             },
