@@ -71,10 +71,18 @@ def connected_components(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
 
+    # Initialize each node at min(self, min neighbor) — round 0's
+    # neighbor-min adoption fused into the init aggregate, so the loop
+    # starts one propagation step ahead (each loop round costs ~0.5 s
+    # of fixed job latency regardless of graph size; round-7 er
+    # profiling).
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nmin"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("nmin")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -85,20 +93,23 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nlabel"))
         )
-        # Step 1: adopt the neighborhood minimum. Checkpointed because
-        # the pointer-doubling join below consumes this frame TWICE
-        # (as the node side and as the label-lookup side).
-        half = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", "label")
-                ).alias("label"),
-                F.col("label").alias("_old"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        # Step 1: adopt the neighborhood minimum. PERSISTED (not
+        # checkpointed) because the pointer-doubling join below
+        # consumes this frame TWICE (node side + label-lookup side):
+        # a lazy persist caches it on first evaluation inside the
+        # new_labels checkpoint job — same 3 exchanges per round, one
+        # fewer Spark ACTION. (Round-7 profiling: each round of the
+        # 3-action loop cost ~0.6 s of job-scheduling overhead on an
+        # 80-edge graph — the round's fixed cost was actions, not
+        # shuffle volume. Lineage is still cut every round by the
+        # new_labels checkpoint.)
+        half = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", "label")
+            ).alias("label"),
+            F.col("label").alias("_old"),
+        ).persist()
         # Step 2: pointer doubling — label(n) ← label(label(n)).
         # Every label value is itself a node in the frame (labels are
         # reachable node ids), so the left join only misses when the
@@ -124,6 +135,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("_chg").limit(1).count()
+        half.unpersist()
         labels = new_labels.drop("_chg")
         if changed == 0:
             break

@@ -126,6 +126,12 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rec_id").alias("nid"),
             F.count(F.lit(1)).alias("n_recs"),
         )
+        # pin the distinct-name table (the whole point of the
+        # names-first design is that it is TINY — 128 rows at sf0.1,
+        # bounded by the value domain at any SF): without the cut both
+        # the edge generator and the final rollup re-scan and
+        # re-aggregate the record stream
+        .localCheckpoint(eager=True)
     )
     keyed = names.select(
         "name",
