@@ -499,6 +499,13 @@ class TxnLogTable(ParquetTable):
                 raise ValueError(f"generated column not in schema: {g}")
             if g in self.keys:
                 raise ValueError(f"key column cannot be generated: {g}")
+        # in-flight schema-evolution overrides (append merge_schema):
+        # set only while an evolving write stages its files, so the
+        # staging path conforms/writes against the WIDENED schema the
+        # same commit is about to declare — never persisted, the
+        # metadata action in that commit is the durable record
+        self._pending_schema = None
+        self._pending_cmap: dict | None = None
         # version-keyed SNAPSHOT CACHE for the replayed live-file map
         # (Delta caches snapshots the same way): a table version is
         # immutable once committed, so caching by version is always
@@ -625,6 +632,9 @@ class TxnLogTable(ParquetTable):
         written before this field existed just don't stop the walk."""
         import pyspark.sql.types as T
 
+        pending = getattr(self, "_pending_schema", None)
+        if version is None and pending is not None:
+            return pending
         if version is None:
             version = self.current_version()
         if version is None:
@@ -681,6 +691,9 @@ class TxnLogTable(ParquetTable):
         add_columns — are transparent to the walk), else the default.
         Pre-feature checkpoints stop the walk with the default: no
         rename can predate the feature that records it."""
+        pending = getattr(self, "_pending_cmap", None)
+        if version is None and pending is not None:
+            return pending
         if version is None:
             version = self.current_version()
         if version is None:
@@ -2285,14 +2298,107 @@ class TxnLogTable(ParquetTable):
             f"append gave up after {max_retries} rebases"
         )
 
-    def append(self, rows: DataFrame, max_retries: int = 10) -> None:
+    def append(
+        self,
+        rows: DataFrame,
+        max_retries: int = 10,
+        merge_schema: bool = False,
+    ) -> None:
         # append-only: new files, zero rewrite — the op Versioned
         # ParquetTable pays a full table copy for. If an appended key
         # is currently tombstoned, the DV shrink AND the purge of its
         # old masked row ride the same commit (_revive_actions). A CAS
         # loss against a disjoint commit rebases the SAME staged files
         # instead of re-writing them (blind-append resolution).
-        self._append_with_rebase(rows, marker=None, max_retries=max_retries)
+        # ``merge_schema=True`` is Delta's mergeSchema write option:
+        # columns present in ``rows`` but absent from the table are
+        # added (same retired-physical-name rules as add_columns) in
+        # the SAME commit that lands the data.
+        if merge_schema:
+            self._append_evolving(rows, max_retries)
+        else:
+            self._append_with_rebase(
+                rows, marker=None, max_retries=max_retries
+            )
+
+    def _evolution_meta(self, rows: DataFrame, base: int | None):
+        """(metadata action, widened schema, widened cmap state) for
+        the columns ``rows`` carries beyond the schema at ``base`` —
+        or (None, None, None) when the frame already fits. Mirrors
+        add_columns' retired-physical-name remapping so a mergeSchema
+        write can never resurrect a dropped column's bytes."""
+        import pyspark.sql.types as T
+
+        cur = self._schema_at(base)
+        have = set(cur.fieldNames())
+        extra = [f for f in rows.schema.fields if f.name not in have]
+        if not extra:
+            return None, None, None
+        self._check_protocol(base, write=True)
+        new = T.StructType(
+            list(cur.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in extra]
+        )
+        state = json.loads(json.dumps(self._cmap_at(base)))
+        m = state.setdefault("map", {})
+        used_physical = {
+            m.get(f.name, f.name) for f in cur.fields
+        } | set(state.get("retired", []))
+        changed = False
+        for f in extra:
+            if f.name in used_physical:
+                m[f.name] = f"{f.name}__p{0 if base is None else base + 1}"
+                changed = True
+        meta: dict = {"schema": new.jsonValue()}
+        if changed or state != _default_cmap():
+            meta["cmap"] = state
+        return {"metadata": meta}, new, state
+
+    def _append_evolving(self, rows: DataFrame, max_retries: int) -> None:
+        """Schema-evolving append: the widening metadata action and
+        the data files land in ONE commit (Delta's mergeSchema write —
+        a crash can never leave data the declared schema can't
+        describe). Staging runs under the pending widened schema/cmap
+        so files and their stats are written with the same physical
+        names the metadata action declares. A CAS loss always
+        re-derives the evolution against the new head and re-stages —
+        blind-append rebase is unsafe here because an intervening
+        commit may have added the same column under a different
+        physical name."""
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            meta_action, new_schema, new_state = self._evolution_meta(
+                rows, base
+            )
+            if meta_action is None:
+                return self._append_with_rebase(
+                    rows, marker=None, max_retries=max_retries
+                )
+            self._pending_schema = new_schema
+            self._pending_cmap = new_state
+            try:
+                keys_df = self._conform(rows).select(*self.keys)
+                revive = self._revive_actions(keys_df, base)
+                staged = self._write_files(rows)
+                try:
+                    self._commit(
+                        "append_evolve",
+                        [meta_action] + staged + revive,
+                        base,
+                        staged_adds=[],
+                    )
+                    return
+                except CommitConflict:
+                    self._drop_staged(
+                        staged + [a for a in revive if "add" in a]
+                    )
+                    continue
+            finally:
+                self._pending_schema = None
+                self._pending_cmap = None
+        raise CommitConflict(
+            f"append(merge_schema) gave up after {max_retries} retries"
+        )
 
     def _txn_markers(self, version: int | None) -> dict[str, int]:
         """app_id -> newest txn version at ``version``, replayed from
@@ -2431,19 +2537,43 @@ class TxnLogTable(ParquetTable):
         """Files live at ``version`` that contain at least one row
         matching an arbitrary predicate. One filtered
         metadata-projection scan — parquet row-group stats make it
-        cheap — returning file NAMES to the driver, never rows."""
+        cheap — returning file NAMES to the driver, never rows.
+
+        Matching is by FULL relpath, not basename: one partitioned
+        write job emits files with IDENTICAL basenames
+        (``part-00000-<job uuid>...``) into every partition directory,
+        so basename matching flagged every partition's file whenever
+        any one matched — predicate update/delete/replace_where then
+        rewrote the whole table instead of the predicate's region
+        (found by s36's untouched-files assertion, round 8)."""
+        from urllib.parse import unquote
+
         live = list(self._split_live(version)[0])
         if not live:
             return []
-        hit_files = {
-            os.path.basename(r["_f"].split("?", 1)[0])
-            for r in self._read_files(live)
+        hits = set()
+        for r in (
+            self._read_files(live)
             .filter(condition)
             .select(F.input_file_name().alias("_f"))
             .distinct()
             .collect()
-        }
-        return [p for p in live if os.path.basename(p) in hit_files]
+        ):
+            # input_file_name() is a (possibly percent-encoded) URI:
+            # strip query + scheme, decode, normalize to a local path
+            f = unquote(r["_f"].split("?", 1)[0])
+            if f.startswith("file:"):
+                f = "/" + f.split(":", 1)[1].lstrip("/")
+            hits.add(os.path.normpath(f))
+        root = os.path.normpath(os.path.abspath(self.path))
+        return [
+            p
+            for p in live
+            if os.path.normpath(
+                p if os.path.isabs(p) else os.path.join(root, p)
+            )
+            in hits
+        ]
 
     def update(self, condition: Column, assignments: dict[str, Column]) -> None:
         base = self.current_version()
@@ -2481,6 +2611,77 @@ class TxnLogTable(ParquetTable):
             ~F.coalesce(condition, F.lit(False))
         )
         self._rewrite("delete", affected, out, expected_version=base)
+
+    def replace_where(self, rows: DataFrame, condition: Column) -> None:
+        """Delta's ``replaceWhere`` (``df.write.option("replaceWhere",
+        pred)``): atomically replace EXACTLY the rows matching
+        ``condition`` with ``rows`` — remove of every file containing a
+        matching row, re-add of its non-matching remainder, and the new
+        data, all in ONE copy-on-write commit (readers see the old
+        region or the new one, never a mix). Two validations before any
+        file is staged, both fail-loud like Delta's:
+
+        - every incoming row must satisfy the predicate (Delta raises
+          on replaceWhere violations);
+        - on a KEYED table, incoming keys must not collide with rows
+          SURVIVING outside the replaced region (the alternative is a
+          silent duplicate key). The check reads only the key-pruned
+          files not already being rewritten — stats/bloom skipping
+          keeps it O(owner files), not O(table).
+
+        At 100 TB the matching-file discovery is one metadata-cheap
+        filtered projection scan (parquet row-group stats prune it),
+        and the rewrite touches exactly the predicate's region — the
+        standard idempotent partition-reload pattern (re-land one day
+        of a date-partitioned fact) without a table lock."""
+        base = self.current_version()
+        incoming = self._conform(rows).dropDuplicates(self.keys)
+        bad = (
+            incoming.filter(~F.coalesce(condition, F.lit(False)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "replace_where: incoming rows violate the predicate"
+            )
+        affected = self._files_matching(condition, base)
+        outside = [
+            p
+            for p in self._affected(incoming, base)
+            if p not in set(affected)
+        ]
+        if outside:
+            clash = (
+                self._read_files_mor(outside, base)
+                .filter(~F.coalesce(condition, F.lit(False)))
+                .join(
+                    incoming.select(*self.keys), self.keys, "left_semi"
+                )
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ValueError(
+                    "replace_where: incoming keys collide with rows "
+                    "outside the replaced region"
+                )
+        if affected:
+            kept = self._read_files_mor(affected, base).filter(
+                ~F.coalesce(condition, F.lit(False))
+            )
+            out = kept.unionByName(incoming)
+        else:
+            out = incoming
+        self._rewrite(
+            "replace_where",
+            affected,
+            out,
+            extra=self._dv_shrink_actions(
+                incoming.select(*self.keys), base
+            ),
+            expected_version=base,
+        )
 
     def merge(
         self,

@@ -402,6 +402,10 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
 # the FRONT of ROUND8_PREFIX as they are added, each strict-sim green
 # at all three SFs first).
 ROUND8_QUEUE: list[str] = [
+    # round-8 session additions (each strict-sim green at
+    # sf0.001 + 0.01 + 0.1 when staged)
+    "s36_txnlog_replace_where",
+    "s37_txnlog_merge_schema",
     # round-7 session additions past the full 50-name ROUND7 window
     # (each strict-sim green at sf0.001 + 0.01 + 0.1 when staged;
     # src_txnlog_batch_reader was promoted into ROUND7's last slot)

@@ -2308,3 +2308,194 @@ def s35_txnlog_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(grace_ok).alias("grace_protected_inflight"),
         F.lit(history_ok).alias("history_intact"),
     )
+
+
+# --------------------------------------------------------------------------
+# S36: replaceWhere (operators/txnlog.py replace_where) — Delta's
+# df.write.option("replaceWhere", pred): atomically replace exactly
+# the predicate's region in ONE copy-on-write commit. The canonical
+# 100 TB use is the idempotent partition reload (re-land one day/one
+# priority class of a fact table) without a table lock. The scenario
+# proves the three contracts: untouched partitions survive by FILE
+# IDENTITY (zero rewrite outside the region), the pre-replace region
+# stays time-travelable, and both validations — an incoming row that
+# violates the predicate, an incoming key colliding with a surviving
+# row outside the region — raise BEFORE anything lands. The hash pins
+# the resulting table.
+# --------------------------------------------------------------------------
+@query(
+    "s36_txnlog_replace_where",
+    survey="beyond:txnlog,beyond:replace-where,S5,S7",
+    priority=60,
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_orderpriority AS priority, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT o_orderkey, priority, o_totalprice,
+           TRUE AS untouched_files_survived,
+           TRUE AS old_region_time_travels,
+           TRUE AS validations_raise
+    FROM (
+        SELECT o_orderkey, priority, o_totalprice FROM src
+        WHERE priority <> '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey + 100000000, priority, o_totalprice FROM src
+        WHERE priority = '1-URGENT'
+    )
+    """,
+)
+def s36_txnlog_replace_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="rqe-s36-")
+    t = TxnLogTable(
+        spark,
+        f"{root}/orders",
+        src.schema,
+        ["o_orderkey"],
+        partition_by=["priority"],
+    )
+    t.init(src)
+    v0 = t.current_version()
+    n_urgent = src.filter(F.col("priority") == "1-URGENT").count()
+    outside_before = {
+        p for p in t._split_live()[0] if "p_priority=1-URGENT" not in p
+    }
+
+    relanded = src.filter(F.col("priority") == "1-URGENT").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "priority",
+        "o_totalprice",
+    )
+    t.replace_where(relanded, F.col("priority") == "1-URGENT")
+
+    untouched = outside_before <= set(t._split_live()[0])
+    assert untouched, "replace_where rewrote files outside the region"
+    time_travels = (
+        t.read(v0).filter(F.col("priority") == "1-URGENT").count()
+        == n_urgent
+    )
+    assert time_travels, "pre-replace region lost to time travel"
+
+    raised = 0
+    try:  # incoming row violating the predicate
+        t.replace_where(
+            src.filter(F.col("priority") == "2-HIGH").limit(1),
+            F.col("priority") == "1-URGENT",
+        )
+    except ValueError:
+        raised += 1
+    try:  # incoming key colliding with a surviving outside-region row
+        t.replace_where(
+            src.filter(F.col("priority") == "2-HIGH")
+            .limit(1)
+            .withColumn("priority", F.lit("1-URGENT")),
+            F.col("priority") == "1-URGENT",
+        )
+    except ValueError:
+        raised += 1
+    assert raised == 2, "replace_where validations did not raise"
+
+    return t.read().select(
+        "o_orderkey",
+        "priority",
+        "o_totalprice",
+        F.lit(untouched).alias("untouched_files_survived"),
+        F.lit(time_travels).alias("old_region_time_travels"),
+        F.lit(raised == 2).alias("validations_raise"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S37: schema-evolving append (operators/txnlog.py append
+# merge_schema=True) — Delta's mergeSchema write option: a frame
+# carrying columns the table lacks widens the schema and lands the
+# data in the SAME commit, so a crash can never leave data the
+# declared schema can't describe. The scenario proves: single-commit
+# atomicity (version advances by exactly one), old files read the new
+# column as NULL, and an evolve-after-drop of the SAME logical name
+# gets a fresh physical name — the dropped era's bytes never
+# resurrect through the mergeSchema path (same retirement rule the
+# add_columns path enforces). The hash pins the resulting table.
+# --------------------------------------------------------------------------
+@query(
+    "s37_txnlog_merge_schema",
+    survey="beyond:txnlog,beyond:schema-evolution,S3,S5",
+    priority=60,
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           CASE WHEN c_custkey % 3 = 2 THEN c_custkey % 50
+                ELSE NULL END AS loyalty,
+           TRUE AS single_commit_evolution,
+           TRUE AS dropped_bytes_stayed_dead
+    FROM src
+    """,
+)
+def s37_txnlog_merge_schema(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="rqe-s37-")
+    t = TxnLogTable(spark, f"{root}/cust", src.schema, ["c_custkey"])
+    t.init(src.filter(F.col("c_custkey") % 3 == 0))
+
+    v0 = t.current_version()
+    t.append(
+        src.filter(F.col("c_custkey") % 3 == 1).withColumn(
+            "loyalty", (F.col("c_custkey") % 100).cast("long")
+        ),
+        merge_schema=True,
+    )
+    single_commit = t.current_version() == v0 + 1
+    assert single_commit, "mergeSchema must widen and land in one commit"
+
+    # drop the evolved column, then evolve the SAME name back in: the
+    # retired physical name forces a fresh one, so the first append's
+    # values must NOT come back — only the final batch carries values
+    t.drop_column("loyalty")
+    t.append(
+        src.filter(F.col("c_custkey") % 3 == 2).withColumn(
+            "loyalty", (F.col("c_custkey") % 50).cast("long")
+        ),
+        merge_schema=True,
+    )
+    stayed_dead = (
+        t.read()
+        .filter(
+            (F.col("c_custkey") % 3 == 1) & F.col("loyalty").isNotNull()
+        )
+        .count()
+        == 0
+    )
+    assert stayed_dead, "dropped era's bytes resurrected via mergeSchema"
+
+    return t.read().select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "loyalty",
+        F.lit(single_commit).alias("single_commit_evolution"),
+        F.lit(stayed_dead).alias("dropped_bytes_stayed_dead"),
+    )
