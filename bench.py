@@ -190,6 +190,7 @@ LATENCY_BOUND = frozenset(
         "stream_txnlog_join",
         "stream_session_live",
         "stream_cdc_apply",
+        "stream_txnlog_rate_limit",
     }
 )
 

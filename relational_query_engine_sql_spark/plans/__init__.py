@@ -406,6 +406,7 @@ ROUND8_QUEUE: list[str] = [
     # sf0.001 + 0.01 + 0.1 when staged)
     "s36_txnlog_replace_where",
     "s37_txnlog_merge_schema",
+    "stream_txnlog_rate_limit",
     # round-7 session additions past the full 50-name ROUND7 window
     # (each strict-sim green at sf0.001 + 0.01 + 0.1 when staged;
     # src_txnlog_batch_reader was promoted into ROUND7's last slot)

@@ -1543,3 +1543,104 @@ def stream_txnlog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lit(only_new).alias("restart_restored_join_state"),
     )
+
+
+# --------------------------------------------------------------------------
+# ADMISSION CONTROL on the txnlog streaming source — Delta's
+# maxFilesPerTrigger. At 100 TB, a stream that falls behind (or a
+# table that takes a burst of commits) must drain in BOUNDED
+# micro-batches: one giant catch-up batch is an executor-memory and
+# checkpoint-latency hazard; the limit turns the backlog into a
+# paced sequence of trigger-sized units of work. The scenario: the
+# stream catches up on v0, six single-file commits land inside one
+# trigger gap (processingTime=5s), and the drain is asserted to take
+# >= ceil(6/2) bounded batches with every post-catch-up batch <= the
+# 2-file budget. Exactly-once totals hold across the bounded drain —
+# the hash pins the sink content against the batch-world oracle.
+# The documented caveat (sources/txnlog_stream.py): the Python data
+# source API has no SupportsAdmissionControl, so the FIRST planned
+# batch of a run is unbounded (the engine reveals its position only
+# when it plans); every subsequent trigger is bounded.
+# --------------------------------------------------------------------------
+@query(
+    "stream_txnlog_rate_limit",
+    survey="beyond:txnlog,beyond:streaming-source,beyond:admission-control",
+    priority=60,
+    oracle="""
+    SELECT event_id, event_type, value,
+           TRUE AS drain_was_bounded,
+           TRUE AS drain_took_multiple_batches
+    FROM events WHERE event_id < 100
+    """,
+)
+def stream_txnlog_rate_limit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+    import tempfile
+
+    from ..operators.txnlog import TxnLogTable
+    from ..sources.txnlog_stream import TxnLogStreamDataSource
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 100)
+        .select("event_id", "event_type", "value")
+    )
+    wave1 = ev.filter(F.col("event_id") >= 60)
+    chunks = [
+        ev.filter(
+            (F.col("event_id") >= i * 10) & (F.col("event_id") < i * 10 + 10)
+        ).coalesce(1)
+        for i in range(6)
+    ]
+    chunk_rows = [c.count() for c in chunks]
+    root = tempfile.mkdtemp(prefix="rqe-txn-rate-")
+    t = TxnLogTable(spark, f"{root}/t", ev.schema, ["event_id"])
+    t.init(wave1)
+
+    batch_rows: list[int] = []
+    q = (
+        spark.readStream.format("txnlog")
+        .option("path", f"{root}/t")
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, b: (
+                df.write.mode("append").parquet(f"{root}/sink"),
+                batch_rows.append(df.count()),
+            )
+        )
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(processingTime="5 seconds")
+        .start()
+    )
+    q.processAllAvailable()  # catch-up (unbounded by design)
+    n_catchup = len(batch_rows)
+    for c in chunks:  # six 1-file commits inside one trigger gap
+        if c.take(1):
+            t.append(c)
+    n_files = sum(1 for n in chunk_rows if n)
+    q.processAllAvailable()
+    q.stop()
+
+    post = batch_rows[n_catchup:]
+    # a 2-file batch can hold at most the two largest chunks' rows
+    pair_cap = sum(sorted(chunk_rows)[-2:])
+    bounded = bool(post) and max(post) <= pair_cap
+    assert bounded, f"a drain batch exceeded the 2-file budget: {post}"
+    multi = len(post) >= math.ceil(n_files / 2)
+    assert multi, f"{n_files} files drained in {len(post)} batches"
+
+    return (
+        spark.read.schema(ev.schema)
+        .parquet(f"{root}/sink")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.lit(bounded).alias("drain_was_bounded"),
+            F.lit(multi).alias("drain_took_multiple_batches"),
+        )
+    )

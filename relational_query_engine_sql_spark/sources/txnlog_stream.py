@@ -346,6 +346,20 @@ class TxnLogStreamReader(DataSourceStreamReader):
         )
         start = options.get("startingversion")
         self.starting = int(start) if start is not None else None
+        # ADMISSION CONTROL (Delta's maxFilesPerTrigger): bound how
+        # many data files one micro-batch may ingest. The Python data
+        # source API has no SupportsAdmissionControl (latestOffset
+        # takes no start), so the bound is applied relative to the
+        # engine position this reader has OBSERVED — initialOffset on
+        # a fresh stream, then every partitions()/commit() call. On a
+        # fresh stream every batch is bounded; after a checkpoint
+        # restart the FIRST planned batch is unbounded (the position
+        # is only revealed to us when the engine plans it) — the same
+        # best-effort caveat Delta documents for trigger-availableNow
+        # restarts.
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else 0
+        self._pos: int | None = None
         # COLUMN MAPPING: data files carry immutable PHYSICAL names;
         # the stream's declared schema is LOGICAL. The physical->
         # logical rename is resolved ONCE at stream start and applied
@@ -369,20 +383,43 @@ class TxnLogStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.starting is not None:
             # startingVersion v ⇒ the first batch INCLUDES version v
+            self._pos = self.starting - 1
             return {"version": self.starting - 1}
         vs = self.view.versions()
         # default: consume the table from the beginning (version 0's
         # init rides the first batch), matching Delta's default of
         # processing the full existing snapshot first
+        self._pos = -1
         return {"version": -1}
 
     def latestOffset(self) -> dict:
         vs = self.view.versions()
-        return {"version": vs[-1] if vs else -1}
+        newest = vs[-1] if vs else -1
+        if self.max_files <= 0 or self._pos is None or newest <= self._pos:
+            return {"version": newest}
+        # advance version-at-a-time while the batch stays within the
+        # file budget; always include at least one version so the
+        # stream can never stall on a single over-budget commit
+        # (Delta's maxFilesPerTrigger admits an oversized single
+        # commit the same way)
+        end = self._pos
+        taken = 0
+        for v in vs:
+            if v <= self._pos:
+                continue
+            n = len(self.view.added_data_files(end, v, True))
+            if taken and taken + n > self.max_files:
+                break
+            taken += n
+            end = v
+            if taken >= self.max_files:
+                break
+        return {"version": end}
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        self._pos = int(end["version"])
         files = self.view.added_data_files(
             int(start["version"]), int(end["version"]), self.ignore_changes
         )
@@ -419,7 +456,11 @@ class TxnLogStreamReader(DataSourceStreamReader):
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the engine's checkpoint
+        # offsets live in the engine's checkpoint; remember the
+        # position so the admission-control bound applies from here
+        v = int(end["version"])
+        if self._pos is None or v > self._pos:
+            self._pos = v
 
 
 class TxnLogBatchReader(DataSourceReader):

@@ -1287,3 +1287,60 @@ def test_txnlog_source_windowed_state_survives_restart(
     # updated across the restart, not recomputed from a full re-read
     grew = [k for k in after_1 if after_2.get(k, 0) > after_1[k]]
     assert grew, "no shared window updated across the restart"
+
+
+def test_txnlog_source_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger (Delta's admission control): once the stream
+    has caught up, each subsequent trigger ingests at most N data
+    files — pending commits drain in bounded batches, never one giant
+    catch-up batch. Exactly-once totals hold across the bounded
+    drain."""
+    from relational_query_engine_sql_spark.operators.txnlog import (
+        TxnLogTable,
+    )
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    from pyspark.sql import types as T
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    t = TxnLogTable(spark, str(tmp_path / "t"), schema, ["k"])
+    t.init(rows(0, 10))  # v0: one file
+    batches: list[tuple[int, int]] = []
+    q = (
+        spark.readStream.format("txnlog")
+        .option("path", t.path)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, b: batches.append((b, df.count()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="5 seconds")
+        .start()
+    )
+    q.processAllAvailable()  # catch-up batch (unbounded by design)
+    # six single-file commits land inside ONE trigger gap, so the next
+    # trigger sees all six pending — the limit must split the drain
+    for i in range(1, 7):
+        t.append(rows(i * 10, i * 10 + 10))
+    q.processAllAvailable()
+    q.stop()
+    post = [c for _, c in batches[1:]]
+    assert sum(c for _, c in batches) == 70  # exactly-once, no loss
+    assert post, "no post-catchup batches"
+    assert max(post) <= 20, f"a batch exceeded 2 files: {batches}"
+    assert len(post) >= 3, f"6 files must take >= 3 bounded batches: {batches}"
