@@ -1090,3 +1090,88 @@ def stats_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# W12 — row-PATTERN detection (SQL:2016 MATCH_RECOGNIZE's most common
+# pattern, A B+ with B := value > PREV(value), i.e. maximal strictly-
+# rising runs) expressed as the gaps-and-islands window composition
+# Spark actually optimizes: one LAG to flag run breaks, one running
+# SUM over the breaks to assign an island id, one grouped aggregate
+# per island, one per-key rollup. Neither Spark nor DuckDB ships
+# MATCH_RECOGNIZE; this is the scale-correct translation — every step
+# is a keyed window/aggregate (state bounded per partition, no
+# self-join, no UDF), so at 100 TB it is exactly two exchanges on
+# user_id. Oracled with the same composition in DuckDB; counts and
+# lengths are integers, hash-exact by construction.
+# --------------------------------------------------------------------------
+@query(
+    "w12_pattern_rising_runs",
+    survey="beyond:row-pattern-match,W2,F7",
+    priority=60,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value > lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) THEN 0 ELSE 1 END AS brk
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               SUM(brk) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island
+        FROM seq
+    ),
+    runs AS (
+        SELECT user_id, island, COUNT(*) AS run_len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE run_len >= 3) AS BIGINT)
+               AS n_rising_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs
+    GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE run_len >= 3) > 0
+    """,
+)
+def w12_pattern_rising_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per user: how many maximal runs of >= 3 strictly-rising event
+    values occur in their (ts, event_id)-ordered stream, and the
+    longest run seen. Users with no qualifying run are filtered (the
+    MATCH_RECOGNIZE ONE ROW PER MATCH shape aggregated per key)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "brk",
+        F.when(F.col("value") > F.lag("value").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = seq.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("run_len") >= 3, 1).otherwise(0)
+            ).alias("n_rising_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+        )
+        .filter(F.col("n_rising_runs") > 0)
+    )
