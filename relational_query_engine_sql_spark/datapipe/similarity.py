@@ -651,3 +651,107 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "adc", "rnk")
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein, SIGIR'98) with lambda = 0.5: greedily pick, from a
+    per-query candidate pool of the top ``pool`` by cosine, the item
+    maximizing relevance minus its max similarity to the already-
+    selected set — the standard RAG retrieval step that stops k
+    near-duplicate chunks from crowding out coverage.
+
+    Scale shape: the pool is bounded per query (top-``pool`` via one
+    broadcast-scored window), pairwise similarities are a keyed
+    self-join of that bounded pool (pool^2 rows per query, metadata-
+    sized), and the inherently sequential greedy runs PER QUERY inside
+    one ``applyInPandas`` group — distributed across queries, never a
+    driver loop. Selection arithmetic is exact integer e9 (cosines
+    rounded at 1e-9 then scaled to BIGINT, the repo's cross-engine-
+    stable idiom), so an unrolled SQL greedy in DuckDB reproduces the
+    ranking bit-for-bit.
+
+    Output: (query_id, vec_id, mmr_rank 1..k).
+    """
+    import pandas as pd
+
+    cands = cosine_topk(
+        emb, queries, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    rel = cands.select(
+        "query_id",
+        F.col(id_col).alias("a"),
+        F.round(F.col("cos") * 1e9).cast("long").alias("rel_e9"),
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    )
+    a_side = rel.join(
+        vecs.select(
+            F.col("_vid").alias("a"), F.col("_v").alias("_va")
+        ),
+        "a",
+    )
+    b_side = rel.select(
+        "query_id", F.col("a").alias("b")
+    ).join(
+        vecs.select(
+            F.col("_vid").alias("b"), F.col("_v").alias("_vb")
+        ),
+        "b",
+    )
+    pairs = (
+        a_side.join(b_side, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "rel_e9",
+            "b",
+            F.round(F.round(cosine(F.col("_va"), F.col("_vb")), 9) * 1e9)
+            .cast("long")
+            .alias("sim_e9"),
+        )
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        rel_of = {}
+        sim_of = {}
+        for r in pdf.itertuples(index=False):
+            rel_of[int(r.a)] = int(r.rel_e9)
+            sim_of[(int(r.a), int(r.b))] = int(r.sim_e9)
+        remaining = sorted(rel_of)
+        chosen: list[int] = []
+        out = []
+        for step in range(1, k + 1):
+            if not remaining:
+                break
+            if chosen:
+                best = max(
+                    remaining,
+                    key=lambda v: (
+                        rel_of[v]
+                        - max(sim_of[(v, s)] for s in chosen),
+                        -v,
+                    ),
+                )
+            else:
+                best = max(remaining, key=lambda v: (rel_of[v], -v))
+            chosen.append(best)
+            remaining.remove(best)
+            out.append((qid, best, step))
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "mmr_rank"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, vec_id long, mmr_rank int"
+    )

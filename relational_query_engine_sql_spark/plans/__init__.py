@@ -408,6 +408,7 @@ ROUND8_QUEUE: list[str] = [
     "s37_txnlog_merge_schema",
     "stream_txnlog_rate_limit",
     "w12_pattern_rising_runs",
+    "rag_mmr_rerank",
     # round-7 session additions past the full 50-name ROUND7 window
     # (each strict-sim green at sf0.001 + 0.01 + 0.1 when staged;
     # src_txnlog_batch_reader was promoted into ROUND7's last slot)

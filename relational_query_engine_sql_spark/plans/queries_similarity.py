@@ -770,3 +770,121 @@ def eval_quantization_recall(
             ).alias("recall_ge_80pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking (Carbonell & Goldstein, SIGIR'98; lambda =
+# 0.5) — the RAG retrieval step between "top-k by cosine" and the
+# context packer: greedily re-rank a bounded candidate pool so near-
+# duplicate chunks can't crowd out coverage. The greedy is inherently
+# sequential IN k, so the scale shape is per-QUERY parallelism: pool
+# selection is the broadcast-scored top-N window, pairwise sims are a
+# keyed self-join of the bounded pool, and the k-step loop runs inside
+# one applyInPandas group per query. Every selection compares exact
+# BIGINT e9 values (cosine rounded at 1e-9 then scaled — the repo's
+# cross-engine-stable idiom), so the DuckDB oracle below — the SAME
+# greedy unrolled into one CTE per step, no recursion — reproduces the
+# ranking bit-for-bit and the driver hash-checks an iterative
+# algorithm exactly.
+# --------------------------------------------------------------------------
+_MMR_K = 5
+_MMR_POOL = 12
+
+
+def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    """The MMR greedy unrolled into k sequential CTEs: step i scores
+    every unselected candidate as rel - max(sim to selected), picks
+    the max (ties -> smaller vec_id), and appends it to the running
+    selection. Generated, not hand-written, so k/pool stay in one
+    place with the Spark path."""
+    e9 = (
+        "CAST(ROUND(ROUND(list_cosine_similarity("
+        "CAST({a}.embedding AS DOUBLE[]), {b}), 9) * 1e9) AS BIGINT)"
+    )
+    steps = []
+    for i in range(2, k + 1):
+        prev = f"selall{i - 1}"
+        steps.append(f"""
+    sel{i} AS (
+        SELECT query_id, vec_id, CAST({i} AS INTEGER) AS mmr_rank
+        FROM (
+            SELECT m.query_id, m.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY m.query_id
+                       ORDER BY m.score DESC, m.vec_id
+                   ) AS rn
+            FROM (
+                SELECT c.query_id, c.vec_id, c.rel - MAX(p.sim) AS score
+                FROM cand c
+                JOIN pairs p
+                  ON p.query_id = c.query_id AND p.a = c.vec_id
+                JOIN {prev} s
+                  ON s.query_id = p.query_id AND s.vec_id = p.b
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM {prev} s2
+                    WHERE s2.query_id = c.query_id
+                      AND s2.vec_id = c.vec_id
+                )
+                GROUP BY c.query_id, c.vec_id, c.rel
+            ) m
+        ) WHERE rn = 1
+    ),
+    selall{i} AS (
+        SELECT * FROM selall{i - 1} UNION ALL SELECT * FROM sel{i}
+    )""")
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {e9.format(a="e", b="q.qv")} AS rel
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT query_id, vec_id, rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC, vec_id
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= {pool}
+    ),
+    pairs AS (
+        SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+               {e9.format(a="e1", b="CAST(e2.embedding AS DOUBLE[])")} AS sim
+        FROM cand c1
+        JOIN cand c2
+          ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+        JOIN embeddings e1 ON e1.vec_id = c1.vec_id
+        JOIN embeddings e2 ON e2.vec_id = c2.vec_id
+    ),
+    sel1 AS (
+        SELECT query_id, vec_id, CAST(1 AS INTEGER) AS mmr_rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC, vec_id
+                   ) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ),
+    selall1 AS (SELECT * FROM sel1),{",".join(steps)}
+    SELECT query_id, vec_id, mmr_rank FROM selall{k}
+    """
+
+
+@query(
+    "rag_mmr_rerank",
+    survey="beyond:mmr-rerank,beyond:rag",
+    priority=60,
+    oracle=_mmr_oracle(),
+)
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, _queries_df(emb), k=_MMR_K, pool=_MMR_POOL
+    )

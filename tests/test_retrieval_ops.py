@@ -244,3 +244,61 @@ def test_pq_codebook_survives_shifted_id_space(spark, sf_small):
     tiny = emb.filter(F.col("vec_id") < 5)
     with pytest.raises(ValueError, match="fewer than k"):
         pq_codebook(tiny, m=8, k=16, dsub=8)
+
+
+def test_mmr_rerank_diversity_and_shape(spark, sf_small):
+    """MMR invariants: rank 1 equals plain cosine rank 1 (no penalty
+    yet); every selection comes from the candidate pool; the selected
+    set's mean pairwise similarity is <= the plain top-k set's (the
+    diversity property MMR exists for); ranks are 1..k per query."""
+    from relational_query_engine_sql_spark.datapipe.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    k, pool = 4, 10
+    top = cosine_topk(emb, queries, k=pool)
+    sel = mmr_rerank(emb, queries, k=k, pool=pool)
+    sel_rows = sel.collect()
+    top_rows = top.collect()
+    by_q_sel = {}
+    for r in sel_rows:
+        by_q_sel.setdefault(r["query_id"], {})[r["mmr_rank"]] = r["vec_id"]
+    by_q_top = {}
+    for r in top_rows:
+        by_q_top.setdefault(r["query_id"], {})[r["rnk"]] = r["vec_id"]
+    import itertools
+
+    import numpy as np
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        return float(
+            vecs[a] @ vecs[b]
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+
+    def mean_pairwise(ids):
+        ps = [cos(a, b) for a, b in itertools.combinations(ids, 2)]
+        return sum(ps) / len(ps)
+
+    for q, ranks in by_q_sel.items():
+        assert sorted(ranks) == list(range(1, k + 1))
+        assert ranks[1] == by_q_top[q][1]  # first pick = top cosine
+        pool_ids = set(by_q_top[q].values())
+        assert set(ranks.values()) <= pool_ids
+        mmr_ids = [ranks[i] for i in range(1, k + 1)]
+        topk_ids = [by_q_top[q][i] for i in range(1, k + 1)]
+        if set(mmr_ids) != set(topk_ids):
+            assert (
+                mean_pairwise(mmr_ids) <= mean_pairwise(topk_ids) + 1e-12
+            ), f"MMR set is LESS diverse than top-k for query {q}"
