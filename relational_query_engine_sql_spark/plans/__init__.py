@@ -404,6 +404,11 @@ ROUND7_PREFIX = ROUND7_QUEUE + [
 ROUND8_QUEUE: list[str] = [
     # round-8 session additions (each strict-sim green at
     # sf0.001 + 0.01 + 0.1 when staged)
+    "ext_python_udtf",
+    "ext_variant_shred",
+    "sql_recursive_cte_native",
+    "graph_pagerank",
+    "ts_holt_linear",
     "s36_txnlog_replace_where",
     "s37_txnlog_merge_schema",
     "stream_txnlog_rate_limit",

@@ -788,3 +788,290 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y") - F.col("trend") - F.col("s"), 4
         ).alias("residual"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted PageRank over the event-type transition graph, in pure
+# integer fixed-point (rank mass in 1e-12 units) so ten iterations of
+# damped propagation hash bit-identically against the oracle — no
+# doubles anywhere. Each iteration is one keyed join + one keyed
+# aggregation over the EDGE list (never the node×node matrix): the
+# canonical bulk-synchronous pattern that scales to billions of edges
+# because work per superstep is O(|E|) shuffled on the join key. The
+# node set here is small (event types) but the edge build scans the
+# full events table; the iteration code is edge-partitioned and
+# node-count-agnostic. Products are computed in DECIMAL(38,0) /
+# HUGEINT so rank·weight can't overflow 64 bits at production edge
+# weights; the emitted rank is BIGINT (≤ 1e12, hash-safe).
+# --------------------------------------------------------------------------
+
+_PRW_SCALE = 10**12  # rank mass fixed-point denominator
+_PRW_ITERS = 10
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 10-iteration integer PageRank as chained CTEs.
+    graph_pagerank_fixed's oracle leans on DuckDB's nonstandard
+    aggregate-in-recursive-term extension; this one unrolls the fixed
+    iteration count textually instead, staying ANSI-portable and
+    structurally identical to the Spark loop (same literals feed both
+    engines). Companion row: graph_pagerank_fixed pins the
+    double-arithmetic variant on the undirected co-key graph; THIS
+    row pins hash-exact integer propagation on the weighted directed
+    transition graph."""
+    base = f"""
+    WITH tr AS (
+        SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS src,
+               event_type AS dst
+        FROM events
+    ),
+    edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS w
+        FROM tr WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+    it0 AS (
+        SELECT node, CAST({_PRW_SCALE} AS HUGEINT) // (SELECT n FROM nn)
+               AS r
+        FROM nodes
+    )"""
+    step = """,
+    it{k} AS (
+        SELECT n.node,
+               (CAST(15 AS HUGEINT) * {scale})
+                   // (100 * (SELECT n FROM nn))
+               + COALESCE(c.s, CAST(0 AS HUGEINT)) AS r
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM((85 * p.r * e.w) // (100 * o.wout)) AS s
+            FROM edges e
+            JOIN it{prev} p ON p.node = e.src
+            JOIN outw o ON o.src = e.src
+            GROUP BY e.dst
+        ) c ON c.node = n.node
+    )"""
+    sql = base
+    for k in range(1, _PRW_ITERS + 1):
+        sql += step.format(k=k, prev=k - 1, scale=_PRW_SCALE)
+    sql += f"""
+    SELECT node, CAST(r AS BIGINT) AS rank_e12
+    FROM it{_PRW_ITERS}
+    ORDER BY rank_e12 DESC, node
+    """
+    return sql
+
+
+@query(
+    "graph_pagerank",
+    survey="beyond:graph-pagerank",
+    priority=60,
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 damped (d=0.85) supersteps of weighted PageRank, integer
+    fixed-point. Per iteration: edges ⋈ ranks on src (keyed), group
+    by dst (keyed) — no broadcast of the rank vector needed because
+    the join IS the routing; dangling mass is dropped (same rule both
+    engines). localCheckpoint per superstep caps the lineage at O(1)
+    instead of O(iterations)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    edges = tr.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("w")
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    # edges+outw are read every superstep: pin once
+    edges2 = edges.join(outw, "src").localCheckpoint(eager=True)
+    n_nodes = nodes.count()  # scalar of a tiny distinct — metadata-plane
+    teleport = (15 * _PRW_SCALE) // (100 * n_nodes)
+    ranks = nodes.select(
+        "node",
+        F.lit(_PRW_SCALE // n_nodes).cast("bigint").alias("r"),
+    )
+    for _ in range(_PRW_ITERS):
+        contrib = (
+            edges2.join(ranks, edges2["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr(
+                    "CAST((85 * CAST(r AS DECIMAL(38,0)) * w)"
+                    " div (100 * wout) AS BIGINT)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0))
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node", F.col("r").alias("rank_e12")
+    ).orderBy(F.desc("rank_e12"), "node")
+
+
+# --------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing of the daily value series
+# per event type, integer fixed-point so the level/trend recursion is
+# bit-exact across engines: y is the DECIMAL(27,6)-exact daily sum in
+# 1e-6 units (BIGINT), and each update divides by 10 with TRUNCATING
+# division (Spark div / DuckDB // / Python tdiv all truncate toward
+# zero — pinned in tests). The scalable stage is the daily
+# aggregation (one shuffle over the full events table); the recursion
+# itself runs per-series inside applyInPandas — 30 points per key,
+# the classic "heavy reduce, tiny sequential tail" split. Forecast
+# h=5 steps ahead = level + 5·trend.
+#   alpha = 0.2:  l' = (2·y + 8·(l+b)) tdiv 10
+#   beta  = 0.1:  b' = ((l'-l) + 9·b)  tdiv 10
+# Oracle: DuckDB recursive CTE walking rn → rn+1 per series (no
+# aggregation in the recursive term, so RECURSIVE is legal there).
+# --------------------------------------------------------------------------
+
+_HOLT_H = 5
+
+
+@query(
+    "ts_holt_linear",
+    survey="beyond:ts-holt,U1",
+    priority=60,
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000
+                    AS BIGINT) AS y6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY CAST(ts AS DATE)
+               ) AS rn
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    hw(event_type, rn, l, b) AS (
+        SELECT event_type, rn, y6, CAST(0 AS BIGINT)
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn,
+               (2 * s.y6 + 8 * (hw.l + hw.b)) // 10,
+               (((2 * s.y6 + 8 * (hw.l + hw.b)) // 10) - hw.l
+                + 9 * hw.b) // 10
+        FROM hw JOIN s
+          ON s.event_type = hw.event_type AND s.rn = hw.rn + 1
+    ),
+    fin AS (
+        SELECT event_type, l, b,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY rn DESC
+               ) AS rr
+        FROM hw
+    )
+    SELECT event_type, l AS level_e6, b AS trend_e6,
+           l + {_HOLT_H} * b AS forecast_e6
+    FROM fin WHERE rr = 1
+    ORDER BY event_type
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily DECIMAL-exact rollup (distributed) → per-series integer
+    Holt recursion (applyInPandas, arbitrary-precision Python ints,
+    truncating division to match SQL div)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(27,6)")) * 1000000)
+            .cast("bigint")
+            .alias("y6")
+        )
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = [int(v) for v in pdf["y6"]]
+        level, trend = ys[0], 0
+        for y in ys[1:]:
+            new_level = tdiv(2 * y + 8 * (level + trend), 10)
+            trend = tdiv((new_level - level) + 9 * trend, 10)
+            level = new_level
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level_e6": [level],
+                "trend_e6": [trend],
+                "forecast_e6": [level + _HOLT_H * trend],
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        holt,
+        schema=(
+            "event_type string, level_e6 long, trend_e6 long,"
+            " forecast_e6 long"
+        ),
+    )
+    return out.orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Native WITH RECURSIVE (Spark 4.1+): the same parent=⌊k/2⌋ supplier
+# hierarchy as sql_recursive_hierarchy, but expressed as a recursive
+# CTE the ENGINE unrolls instead of the application driving a
+# frontier loop. Catalyst plans the recursion as a UnionLoop; the
+# application-level loop variant stays registered as the pattern for
+# engines/versions without the feature and as the plan-shape
+# comparison (same O(depth) keyed joins either way). Identical SQL
+# text feeds the DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_RECURSIVE_HIER_SQL = """
+    WITH RECURSIVE h AS (
+        SELECT s_suppkey, 0 AS depth
+        FROM {supplier} WHERE s_suppkey = 0
+        UNION ALL
+        SELECT s.s_suppkey, h.depth + 1
+        FROM {supplier} s
+        JOIN h ON CAST(FLOOR(s.s_suppkey / 2) AS BIGINT) = h.s_suppkey
+        WHERE s.s_suppkey > 0
+    )
+    SELECT s_suppkey, depth FROM h
+"""
+
+
+@query(
+    "sql_recursive_cte_native",
+    survey="ext:recursive-cte",
+    priority=60,
+    oracle=_RECURSIVE_HIER_SQL.format(supplier="supplier"),
+)
+def sql_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native recursive CTE (UnionLoop in the plan) — depth of
+    every node in the derived binary tree over supplier."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "rec_cte_supplier"
+    )
+    return spark.sql(
+        _RECURSIVE_HIER_SQL.format(supplier="rec_cte_supplier")
+    )

@@ -1119,3 +1119,129 @@ def ext_dynamic_partition_pruning(
         "revenue",
         F.lit(has_dpp).alias("dpp_in_plan"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python UDTF: a user-defined TABLE function lateral-joined to
+# each input row. The reference exposes only scalar expressions
+# (SURVEY §2.7); a complete engine also needs set-returning functions
+# (Postgres SRFs / Hive LATERAL VIEW generators) for row-expanding
+# logic a scalar can't express. Built-ins (explode/split) stay the
+# fast path — this row pins the EXTENSION API: arbitrary Python
+# expansion with Arrow batch transfer (useArrow=True), here word
+# bigrams over part names. At 100 TB the UDTF runs partition-local
+# with no shuffle before the aggregation, identical to explode().
+# --------------------------------------------------------------------------
+
+_UDTF_TOPK = 20
+
+
+@query(
+    "ext_python_udtf",
+    survey="ext:udtf,E8",
+    priority=60,
+    oracle=f"""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+        SELECT unnest([w[i] || ' ' || w[i + 1]
+                       for i in range(1, len(w))]) AS bigram
+        FROM (SELECT string_split(p_name, ' ') AS w FROM part)
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {_UDTF_TOPK}
+    """,
+)
+def ext_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-bigrams of part names via a Python UDTF in a LATERAL
+    join. The UDTF yields len(words)-1 rows per input row; Arrow
+    batches keep the Python crossing vectorized. Total order
+    (n DESC, bigram ASC) makes the top-k set deterministic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string", useArrow=True)
+    class WordBigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            w = text.split(" ")
+            for i in range(len(w) - 1):
+                yield (w[i] + " " + w[i + 1],)
+
+    spark.udtf.register("word_bigrams", WordBigrams)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "ext_udtf_part"
+    )
+    return spark.sql(
+        f"""
+        SELECT t.bigram, COUNT(*) AS n
+        FROM ext_udtf_part p, LATERAL word_bigrams(p.p_name) t
+        GROUP BY t.bigram
+        ORDER BY n DESC, bigram
+        LIMIT {_UDTF_TOPK}
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT: open-schema semi-structured values shredded at read
+# time. get_json_object (ext_json_extract) re-parses the JSON text per
+# path; VARIANT parses ONCE into a binary-encoded tree and every
+# variant_get is a cheap navigation — the difference between O(paths)
+# and O(1) parses per row, which is the whole game on a 100 TB event
+# firehose with tens of extracted paths. The JSON document is BUILT
+# from customer columns by identical string concatenation in both
+# engines, so the parse input is byte-equal; emission is all
+# int/string (hash_lint policy).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ext_variant_shred",
+    survey="ext:variant,E8",
+    priority=60,
+    oracle="""
+    WITH j AS (
+        SELECT '{"id":' || c_custkey || ',"seg":"' || c_mktsegment ||
+               '","geo":{"nation":' || c_nationkey || '}}' AS doc
+        FROM customer
+    )
+    SELECT json_extract_string(doc, '$.seg') AS seg,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(doc, '$.geo.nation') AS BIGINT))
+                AS BIGINT) AS sum_nation,
+           MAX(CAST(json_extract(doc, '$.id') AS BIGINT)) AS max_id
+    FROM j
+    GROUP BY seg
+    ORDER BY seg
+    """,
+)
+def ext_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json → VARIANT → typed variant_get extraction of a
+    nested path, grouped. One parse per row feeds three extractions;
+    adding a fourth path costs navigation, not a re-parse."""
+    c = load_table(spark, sf_dir, "customer")
+    doc = F.concat(
+        F.lit('{"id":'),
+        F.col("c_custkey").cast("string"),
+        F.lit(',"seg":"'),
+        F.col("c_mktsegment"),
+        F.lit('","geo":{"nation":'),
+        F.col("c_nationkey").cast("string"),
+        F.lit("}}"),
+    )
+    v = c.select(F.parse_json(doc).alias("v"))
+    shredded = v.select(
+        F.variant_get("v", "$.seg", "string").alias("seg"),
+        F.variant_get("v", "$.geo.nation", "bigint").alias("nation"),
+        F.variant_get("v", "$.id", "bigint").alias("id"),
+    )
+    return (
+        shredded.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nation").alias("sum_nation"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("seg")
+    )
