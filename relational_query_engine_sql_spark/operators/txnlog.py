@@ -112,11 +112,21 @@ BLOOM_AFFECTED_LIMIT = 128
 # requires a newer protocol than the running code fails LOUDLY at
 # read/commit time instead of silently misreading data written with
 # features it doesn't know. Version 2 = column mapping (logical
-# renames/drops over immutable physical column names). Tables never
+# renames/drops over immutable physical column names). Writer
+# version 3 = row tracking (stable row ids whose materialization
+# rewrites must preserve — an unaware writer compacting a row-tracked
+# table would silently break row lineage, so the table demands
+# min_writer 3; readers are unaffected because the extra physical
+# _row_id column is invisible to schema-projected scans). Tables never
 # bump their protocol until a gated feature is actually used, so
 # version-1 readers keep working on every pre-existing table.
 PROTOCOL_READER = 2
-PROTOCOL_WRITER = 2
+PROTOCOL_WRITER = 3
+
+# Physical name of the row-tracking column that preserving rewrites
+# materialize into data files (Delta row tracking's materialized
+# row-id column). Reserved: user schemas must not declare it.
+ROWID_COL = "_row_id"
 
 
 def _default_cmap() -> dict:
@@ -1553,6 +1563,30 @@ class TxnLogTable(ParquetTable):
         # keys/partition columns are never mapped, so every key-named
         # expression below reads the same either way
         cmap = {} if dv else self._mapping_at(None)
+        # Row tracking: a preserving rewrite hands this method a frame
+        # that already carries each row's stable id; the column rides
+        # through conform/physical-rename and lands IN the data files,
+        # and the add-actions are flagged so lazy base-id assignment
+        # (_row_id_bases) knows these files' ids are self-contained.
+        carry_rowid = (not dv) and (ROWID_COL in df.columns)
+
+        def _prep(frame: DataFrame) -> DataFrame:
+            if not carry_rowid:
+                return self._to_physical(self._conform(frame))
+            for gname, gexpr in self._gencols_at(None).items():
+                if gname not in frame.columns:
+                    frame = frame.withColumn(gname, F.expr(gexpr))
+            m_ = self._mapping_at(None)
+            return frame.select(
+                *[
+                    F.col(f.name)
+                    .cast(f.dataType)
+                    .alias(m_.get(f.name, f.name))
+                    for f in self.schema.fields
+                ],
+                F.col(ROWID_COL).cast("long").alias(ROWID_COL),
+            )
+
         if dv:
             schema = self._dv_schema()
             df.select(
@@ -1567,7 +1601,7 @@ class TxnLogTable(ParquetTable):
             # holds exactly one partition value — which is what makes
             # the recorded partitionValues an EXACT prune
             schema = self._physical_schema(None)
-            out = self._to_physical(self._conform(df))
+            out = _prep(df)
             for c in self.partition_by:
                 out = out.withColumn(f"p_{c}", F.col(c).cast("string"))
             out.write.mode("error").partitionBy(
@@ -1575,8 +1609,17 @@ class TxnLogTable(ParquetTable):
             ).parquet(out_dir)
         else:
             schema = self._physical_schema(None)
-            self._to_physical(self._conform(df)).write.mode("error").parquet(
-                out_dir
+            _prep(df).write.mode("error").parquet(out_dir)
+        if carry_rowid:
+            # the files physically contain the id column: include it
+            # in the stats-pass read schema (its per-file min/max then
+            # lands in the logged stats for free — a row-id range scan
+            # can prune files like any other column)
+            import pyspark.sql.types as T
+
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(ROWID_COL, T.LongType())]
             )
         # stats cover every key column PLUS prunable non-key columns
         # (capped, Delta's dataSkippingNumIndexedCols mechanic) so
@@ -1762,6 +1805,8 @@ class TxnLogTable(ParquetTable):
                 }
             if dv:
                 action["dv"] = True
+            if carry_rowid:
+                action["rowid_materialized"] = True
             adds.append({"add": action})
         if sidecar_masks:
             with open(
@@ -2805,6 +2850,196 @@ class TxnLogTable(ParquetTable):
             df = df.repartition(n_out)
         return self._rewrite(
             "compact_small", small, df, expected_version=base
+        )
+
+    # -- row tracking (Delta row tracking / Iceberg v3 row lineage) ----------
+    #
+    # Every row gets a STABLE id that survives appends, merge-on-read
+    # deletes, and preserving compaction. The design keeps the write
+    # path untouched for ordinary commits: fresh files get their ids
+    # LAZILY — replaying the immutable log assigns each non-flagged
+    # data add a contiguous [base, base+rows) range in commit order,
+    # and a row's id is base + its position in the file (exposed by
+    # the parquet scanner's _metadata.row_index). Because the log
+    # prefix below any version never changes, the assignment is
+    # deterministic and stable forever without allocating anything at
+    # write time. Rewrites that must PRESERVE ids (compaction)
+    # materialize the id into the rewritten files as a physical
+    # _row_id column and flag their adds `rowid_materialized`, which
+    # (a) makes readers trust the column over the lazy formula and
+    # (b) excludes those files from base assignment so the high-water
+    # mark — and therefore every fresh id — is unaffected by however
+    # many times the table is compacted. Copy-on-write mutations
+    # (update/merge/upsert) give REWRITTEN rows fresh ids, which is
+    # Delta's row-tracking semantics too (stable ids identify row
+    # VERSIONS; lineage across an update is the CDF's job). At 100 TB
+    # the lazy walk is metadata-plane (one pass over log JSON, no data
+    # reads); a production build would fold (bases, hwm) into the
+    # periodic checkpoint exactly like the live-file set.
+
+    def enable_row_tracking(self) -> int:
+        """Feature-gate commit: marks the table row-tracked and bumps
+        min_writer to 3 so an unaware writer can't compact away the
+        lineage. Metadata-only — no data files touched."""
+        base = self.current_version()
+        self._check_protocol(base, write=True)
+        if self.row_tracking_enabled(base):
+            return base if base is not None else 0
+        if ROWID_COL in self.schema.fieldNames():
+            raise ValueError(f"{ROWID_COL} is reserved for row tracking")
+        state = json.loads(json.dumps(self._cmap_at(base)))
+        state["row_tracking"] = True
+        prot = state.setdefault("protocol", {})
+        prot["min_writer"] = max(prot.get("min_writer", 1), 3)
+        # metadata actions carry the (unchanged) schema alongside the
+        # cmap — the schema replay treats every metadata action as a
+        # full statement of table metadata
+        cur = self._schema_at(base) if base is not None else self.schema
+        return self._commit(
+            "enable_row_tracking",
+            [{"metadata": {"schema": cur.jsonValue(), "cmap": state}}],
+            base,
+        )
+
+    def row_tracking_enabled(self, version: int | None = None) -> bool:
+        return bool(self._cmap_at(version).get("row_tracking"))
+
+    def _row_id_bases(
+        self, version: int | None = None
+    ) -> tuple[dict[str, int], int]:
+        """(relpath -> base row id, high-water mark) at ``version``:
+        one metadata-plane walk of the log in commit order. Adds
+        flagged ``rowid_materialized`` carry their ids physically and
+        are skipped; a path re-referenced by restore/clone keeps its
+        FIRST assignment (the log prefix is immutable, so this is
+        stable across any later history)."""
+        if version is None:
+            version = self.current_version()
+        bases: dict[str, int] = {}
+        hwm = 0
+        if version is None:
+            return bases, hwm
+        for v in range(0, version + 1):
+            p = self._log_path(v)
+            if not os.path.exists(p):
+                continue
+            with open(p, encoding="utf-8") as f:
+                entry = json.load(f)
+            for a in entry["actions"]:
+                add = a.get("add")
+                if (
+                    not add
+                    or add.get("dv")
+                    or add.get("rowid_materialized")
+                    or add["path"] in bases
+                ):
+                    continue
+                bases[add["path"]] = hwm
+                hwm += add.get("rows") or 0
+        return bases, hwm
+
+    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """:meth:`read` plus the stable ``_row_id`` column. Files
+        written by a preserving rewrite carry the id physically (the
+        column is trusted over the lazy formula — this also self-heals
+        a restore that re-referenced materialized files without the
+        flag); fresh files compute base + _metadata.row_index with the
+        per-file base joined in from a broadcast map. Merge-on-read
+        deletion vectors subtract exactly as in :meth:`read`, so a
+        tombstoned row's id disappears with it."""
+        import pyspark.sql.types as T
+
+        if not self.row_tracking_enabled(version):
+            raise RuntimeError(
+                "row tracking is not enabled on this table "
+                "(call enable_row_tracking() first)"
+            )
+        data, dvs = self._split_live(version)
+        schema = self._schema_at(version)
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(ROWID_COL, T.LongType(), False)]
+        )
+        if not data:
+            return self.spark.createDataFrame([], out_schema)
+        import pyarrow.parquet as pq
+
+        mat, fresh = [], []
+        for rel in data:
+            names = pq.read_schema(
+                os.path.join(self.path, rel)
+            ).names
+            (mat if ROWID_COL in names else fresh).append(rel)
+        m = self._mapping_at(version)
+        phys_fields = [
+            T.StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        logical_sel = [
+            F.col(m.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        parts = []
+        if fresh:
+            bases, _ = self._row_id_bases(version)
+            # join key = the parquet part-file NAME: Spark part files
+            # embed a per-job uuid, so basenames are globally unique
+            bmap = self.spark.createDataFrame(
+                [(os.path.basename(p), bases[p]) for p in fresh],
+                "fname string, base long",
+            )
+            df = self.spark.read.schema(T.StructType(phys_fields)).parquet(
+                *[os.path.join(self.path, p) for p in fresh]
+            )
+            df = (
+                df.select(
+                    *logical_sel,
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("fname"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+                .join(F.broadcast(bmap), "fname")
+                .select(
+                    *[f.name for f in schema.fields],
+                    (F.col("base") + F.col("_ri")).alias(ROWID_COL),
+                )
+            )
+            parts.append(df)
+        if mat:
+            df = self.spark.read.schema(
+                T.StructType(
+                    phys_fields + [T.StructField(ROWID_COL, T.LongType())]
+                )
+            ).parquet(*[os.path.join(self.path, p) for p in mat])
+            parts.append(df.select(*logical_sel, F.col(ROWID_COL)))
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
+        if dvs:
+            tomb = self.spark.read.schema(self._dv_schema()).parquet(
+                *[os.path.join(self.path, p) for p in dvs]
+            )
+            out = out.join(F.broadcast(tomb), self.keys, "left_anti")
+        return out
+
+    def compact_preserving_row_ids(self, target_files: int) -> int:
+        """Compaction that PRESERVES row ids: reads with ids attached,
+        materializes ``_row_id`` into the rewritten files, and flags
+        the adds so the high-water mark is untouched — after any
+        number of compactions, every surviving row keeps the id it was
+        born with and the next append continues exactly where the
+        pre-compact table left off."""
+        base = self.current_version()
+        if not self.row_tracking_enabled(base):
+            raise RuntimeError("row tracking is not enabled")
+        data, dvs = self._split_live(base)
+        df = self.read_with_row_ids(base).repartition(target_files)
+        return self._rewrite(
+            "compact_rowid",
+            list(data) + list(dvs),
+            df,
+            expected_version=base,
         )
 
     # -- optimistic concurrency / retention ----------------------------------

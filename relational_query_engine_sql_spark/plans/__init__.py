@@ -409,6 +409,7 @@ ROUND8_QUEUE: list[str] = [
     "sql_recursive_cte_native",
     "graph_pagerank",
     "ts_holt_linear",
+    "s38_txnlog_row_tracking",
     "s36_txnlog_replace_where",
     "s37_txnlog_merge_schema",
     "stream_txnlog_rate_limit",

@@ -2499,3 +2499,142 @@ def s37_txnlog_merge_schema(
         F.lit(single_commit).alias("single_commit_evolution"),
         F.lit(stayed_dead).alias("dropped_bytes_stayed_dead"),
     )
+
+
+# --------------------------------------------------------------------------
+# S38: ROW TRACKING (Delta row tracking / Iceberg v3 row lineage,
+# operators/txnlog.py enable_row_tracking/read_with_row_ids/
+# compact_preserving_row_ids). Every row gets a stable id: fresh
+# files' ids derive LAZILY from the immutable log (base = running
+# row total in commit order, id = base + in-file position), so
+# ordinary writes allocate nothing; a preserving compaction
+# materializes `_row_id` physically into the rewritten files and
+# flags its adds so the high-water mark — and every future fresh
+# id — is unaffected. The scenario writes two sorted batches,
+# merge-on-read-deletes every 7th key, compacts preserving ids,
+# appends a third batch, and proves: survivor ids unchanged through
+# the delete AND the compaction (layout-independent), fresh ids
+# continue contiguously above the high-water mark, and no id is ever
+# duplicated. The oracle reconstructs the exact expected id of every
+# surviving row from the same deterministic batch order, so the hash
+# pins the id ASSIGNMENT itself, not just the invariants.
+# --------------------------------------------------------------------------
+_S38_SHIFT = 10_000_000
+
+
+@query(
+    "s38_txnlog_row_tracking",
+    survey="beyond:txnlog,beyond:row-tracking,S5",
+    priority=60,
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(MAX(s_suppkey) // 2 AS BIGINT) AS h FROM supplier
+    ),
+    b1 AS (
+        SELECT s_suppkey,
+               ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier WHERE s_suppkey <= (SELECT h FROM h)
+    ),
+    b2 AS (
+        SELECT s_suppkey,
+               (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier WHERE s_suppkey > (SELECT h FROM h)
+    ),
+    b3 AS (
+        SELECT s_suppkey + {_S38_SHIFT} AS s_suppkey,
+               (SELECT COUNT(*) FROM supplier)
+               + ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier WHERE s_suppkey <= (SELECT h FROM h)
+    ),
+    unioned AS (
+        SELECT * FROM b1 WHERE s_suppkey % 7 <> 0
+        UNION ALL
+        SELECT * FROM b2 WHERE s_suppkey % 7 <> 0
+        UNION ALL
+        SELECT * FROM b3
+    )
+    SELECT s_suppkey, row_id,
+           TRUE AS ids_survive_mor_delete,
+           TRUE AS ids_survive_compaction,
+           TRUE AS fresh_ids_above_hwm,
+           TRUE AS ids_unique
+    FROM unioned
+    """,
+)
+def s38_txnlog_row_tracking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import ROWID_COL, TxnLogTable
+
+    src = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    h = src.agg(F.max("s_suppkey")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="rqe-s38-")
+    t = TxnLogTable(spark, f"{root}/s", src.schema, ["s_suppkey"])
+    t.enable_row_tracking()
+
+    def sorted1(df: DataFrame) -> DataFrame:
+        # single sorted file => in-file position == sorted-key rank,
+        # making the lazy id assignment oracle-reproducible
+        return df.repartition(1).sortWithinPartitions("s_suppkey")
+
+    t.init(sorted1(src.filter(F.col("s_suppkey") <= h)))
+    t.append(sorted1(src.filter(F.col("s_suppkey") > h)))
+    before = {
+        r.s_suppkey: r[ROWID_COL]
+        for r in t.read_with_row_ids().collect()
+    }
+
+    # merge-on-read delete: files untouched, ids must survive
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 7 == 0).select("s_suppkey")
+    )
+    after_del = {
+        r.s_suppkey: r[ROWID_COL]
+        for r in t.read_with_row_ids().collect()
+    }
+    del_ok = all(after_del[k] == before[k] for k in after_del)
+    assert del_ok, "MOR delete changed survivor row ids"
+
+    # preserving compaction: new physical layout, same ids
+    _, hwm = t._row_id_bases()
+    t.compact_preserving_row_ids(2)
+    after_cp = {
+        r.s_suppkey: r[ROWID_COL]
+        for r in t.read_with_row_ids().collect()
+    }
+    cp_ok = after_cp == after_del
+    assert cp_ok, "compaction changed row ids"
+
+    # fresh rows continue contiguously above the high-water mark
+    t.append(
+        sorted1(
+            src.filter(F.col("s_suppkey") <= h).select(
+                (F.col("s_suppkey") + _S38_SHIFT).alias("s_suppkey"),
+                "s_name",
+                "s_acctbal",
+            )
+        )
+    )
+    final = {
+        r.s_suppkey: r[ROWID_COL]
+        for r in t.read_with_row_ids().collect()
+    }
+    fresh_ids = [v for k, v in final.items() if k >= _S38_SHIFT]
+    fresh_ok = min(fresh_ids) == hwm and max(fresh_ids) == hwm + len(
+        fresh_ids
+    ) - 1
+    assert fresh_ok, "fresh ids did not continue at the high-water mark"
+    uniq_ok = len(set(final.values())) == len(final)
+    assert uniq_ok, "duplicate row ids"
+
+    return t.read_with_row_ids().select(
+        "s_suppkey",
+        F.col(ROWID_COL).alias("row_id"),
+        F.lit(del_ok).alias("ids_survive_mor_delete"),
+        F.lit(cp_ok).alias("ids_survive_compaction"),
+        F.lit(fresh_ok).alias("fresh_ids_above_hwm"),
+        F.lit(uniq_ok).alias("ids_unique"),
+    )

@@ -1,0 +1,196 @@
+"""Row tracking (Delta row tracking / Iceberg v3 row lineage) on the
+txnlog format: stable row ids under append, merge-on-read delete, and
+preserving compaction; fresh ids above the high-water mark; protocol
+gating so an unaware writer can't silently break lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from relational_query_engine_sql_spark.operators.txnlog import (
+    ROWID_COL,
+    TxnLogTable,
+)
+from relational_query_engine_sql_spark.sources import load_table
+
+
+def _src(spark, sf):
+    return load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+def _sorted1(df, key="s_suppkey"):
+    return df.repartition(1).sortWithinPartitions(key)
+
+
+def _ids(t, version=None):
+    return {
+        r.s_suppkey: r[ROWID_COL]
+        for r in t.read_with_row_ids(version).collect()
+    }
+
+
+@pytest.fixture()
+def tracked(spark, sf_small, tmp_path):
+    src = _src(spark, sf_small)
+    t = TxnLogTable(
+        spark, str(tmp_path / "s"), src.schema, ["s_suppkey"]
+    )
+    t.enable_row_tracking()
+    h = src.agg(F.max("s_suppkey")).collect()[0][0] // 2
+    t.init(_sorted1(src.filter(F.col("s_suppkey") <= h)))
+    t.append(_sorted1(src.filter(F.col("s_suppkey") > h)))
+    return t, src, h
+
+
+def test_lazy_ids_are_contiguous_in_commit_and_file_order(tracked):
+    t, src, h = tracked
+    ids = _ids(t)
+    n = src.count()
+    assert sorted(ids.values()) == list(range(n))
+    # batch 1 was written sorted: its ids are the sorted-key ranks
+    keys1 = sorted(k for k in ids if k <= h)
+    for rank, k in enumerate(keys1):
+        assert ids[k] == rank
+
+
+def test_mor_delete_keeps_survivor_ids(tracked):
+    t, src, _ = tracked
+    before = _ids(t)
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 3 == 0).select("s_suppkey")
+    )
+    after = _ids(t)
+    assert set(after) == {k for k in before if k % 3 != 0}
+    assert all(after[k] == before[k] for k in after)
+
+
+def test_preserving_compact_keeps_ids_and_hwm(tracked):
+    t, src, _ = tracked
+    before = _ids(t)
+    _, hwm_before = t._row_id_bases()
+    t.compact_preserving_row_ids(2)
+    assert _ids(t) == before
+    _, hwm_after = t._row_id_bases()
+    assert hwm_after == hwm_before
+    # the rewritten adds are flagged in the log entry itself
+    with open(t._log_path(t.current_version()), encoding="utf-8") as f:
+        entry = json.load(f)
+    adds = [a["add"] for a in entry["actions"] if "add" in a]
+    assert adds and all(a.get("rowid_materialized") for a in adds)
+    # a second compaction changes nothing either
+    t.compact_preserving_row_ids(1)
+    assert _ids(t) == before
+
+
+def test_fresh_append_after_compact_continues_above_hwm(tracked):
+    t, src, h = tracked
+    t.compact_preserving_row_ids(2)
+    before = _ids(t)
+    _, hwm = t._row_id_bases()
+    fresh = src.filter(F.col("s_suppkey") <= h).select(
+        (F.col("s_suppkey") + 10_000_000).alias("s_suppkey"),
+        "s_name",
+        "s_acctbal",
+    )
+    t.append(_sorted1(fresh))
+    after = _ids(t)
+    new_ids = [v for k, v in after.items() if k >= 10_000_000]
+    assert min(new_ids) == hwm  # contiguous continuation, no gap jump
+    assert all(after[k] == before[k] for k in before)
+    assert len(set(after.values())) == len(after)
+
+
+def test_plain_read_never_shows_the_id_column(tracked):
+    t, src, _ = tracked
+    t.compact_preserving_row_ids(2)
+    assert ROWID_COL not in t.read().columns
+    assert t.read().count() == src.count()
+
+
+def test_restore_to_precompact_version_keeps_ids(tracked):
+    t, src, _ = tracked
+    v_pre = t.current_version()
+    ids_pre = _ids(t)
+    t.compact_preserving_row_ids(2)
+    t.restore(v_pre)
+    assert _ids(t) == ids_pre
+
+
+def test_time_travel_reads_that_versions_ids(tracked):
+    t, src, _ = tracked
+    v1 = t.current_version()
+    ids_v1 = _ids(t)
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey")
+    )
+    assert _ids(t, v1) == ids_v1
+    assert set(_ids(t)) == {k for k in ids_v1 if k % 2 != 0}
+
+
+def test_cow_update_gives_rewritten_rows_fresh_ids(tracked):
+    """Delta row-tracking semantics: copy-on-write rewrites assign
+    fresh ids to the rewritten rows (stable ids name row VERSIONS);
+    rows in untouched files keep theirs."""
+    t, src, h = tracked
+    before = _ids(t)
+    _, hwm = t._row_id_bases()
+    t.update(
+        F.col("s_suppkey") <= h,
+        {"s_acctbal": F.col("s_acctbal") + 1},
+    )
+    after = _ids(t)
+    assert set(after) == set(before)
+    touched = {k for k in after if k <= h}
+    untouched = set(after) - touched
+    assert all(after[k] >= hwm for k in touched)
+    assert all(after[k] == before[k] for k in untouched)
+    assert len(set(after.values())) == len(after)
+
+
+def test_protocol_gate_and_reserved_name(spark, sf_small, tmp_path):
+    src = _src(spark, sf_small)
+    t = TxnLogTable(
+        spark, str(tmp_path / "t1"), src.schema, ["s_suppkey"]
+    )
+    # not enabled -> the id read path refuses
+    t.init(_sorted1(src))
+    with pytest.raises(RuntimeError, match="row tracking"):
+        t.read_with_row_ids()
+    v = t.enable_row_tracking()
+    prot = t._cmap_at(v)["protocol"]
+    assert prot["min_writer"] == 3
+    # enabling twice is a no-op commit-wise
+    assert t.enable_row_tracking() == v
+
+    bad_schema = src.withColumn(ROWID_COL, F.lit(0)).schema
+    t2 = TxnLogTable(
+        spark, str(tmp_path / "t2"), bad_schema, ["s_suppkey"]
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        t2.enable_row_tracking()
+
+
+def test_ids_survive_checkpoint_crossing(spark, sf_small, tmp_path):
+    """More than CHECKPOINT_EVERY commits: the cmap (and with it the
+    row-tracking flag) folds through the checkpoint, and the lazy
+    base walk still reads the raw entries."""
+    src = _src(spark, sf_small)
+    t = TxnLogTable(
+        spark, str(tmp_path / "ck"), src.schema, ["s_suppkey"]
+    )
+    t.enable_row_tracking()
+    keys = sorted(r.s_suppkey for r in src.select("s_suppkey").collect())
+    t.init(_sorted1(src.filter(F.col("s_suppkey") == keys[0])))
+    for i, k in enumerate(keys[1:12], start=1):
+        t.append(_sorted1(src.filter(F.col("s_suppkey") == k)))
+    assert t.row_tracking_enabled()
+    ids = _ids(t)
+    used = keys[:12]
+    assert [ids[k] for k in used] == list(range(len(used)))
