@@ -233,6 +233,31 @@ class _LogView:
                     return a["metadata"]["schema"]
         return None
 
+    def row_id_bases(self, upto: int | None = None) -> dict[str, int]:
+        """relpath -> base row id at version ``upto`` — the same lazy
+        assignment as TxnLogTable._row_id_bases (commit-order walk;
+        ``rowid_materialized`` adds and re-referenced paths skipped),
+        Spark-free so the format reader can ship it to executors as a
+        pickled dict."""
+        bases: dict[str, int] = {}
+        hwm = 0
+        vs = self.versions()
+        if upto is not None:
+            vs = [v for v in vs if v <= upto]
+        for v in vs:
+            for a in self.entry(v)["actions"]:
+                add = a.get("add")
+                if (
+                    not add
+                    or add.get("dv")
+                    or add.get("rowid_materialized")
+                    or add["path"] in bases
+                ):
+                    continue
+                bases[add["path"]] = hwm
+                hwm += add.get("rows") or 0
+        return bases
+
     def live_at(self, version: int | None = None):
         """(data_relpaths, dv_relpaths) live at ``version`` — full log
         replay (entries are never deleted, so skipping checkpoints is
@@ -473,6 +498,12 @@ class TxnLogBatchReader(DataSourceReader):
     - ``timestampAsOf`` — epoch seconds (float) or an ISO timestamp;
       resolves over the monotonically adjusted commit sequence,
       exactly like ``TxnLogTable.read_asof``
+    - ``rowIds`` — ``true`` appends the stable ``_row_id`` column on a
+      row-tracked table (TxnLogTable.read_with_row_ids parity, batch
+      reads only): files rewritten by a preserving compaction carry
+      the id physically and are trusted as-is; fresh files compute
+      base + in-file position from the log's lazy assignment, shipped
+      to executors as a metadata-sized {path: base} dict
 
     Each live data file is one input partition read executor-side as
     Arrow batches; merge-on-read deletion vectors are subtracted
@@ -513,13 +544,31 @@ class TxnLogBatchReader(DataSourceReader):
                 f"{need}; this source supports 2"
             )
         self._logical_to_phys = dict(state.get("map") or {})
-        self._want = [f.name for f in schema.fields]
+        self._rowids = str(
+            options.get("rowids", "false")
+        ).lower() in ("true", "1")
+        if self._rowids and not state.get("row_tracking"):
+            raise RuntimeError(
+                "txnlog batch read: rowIds requested but row tracking "
+                "is not enabled on this table (at the requested "
+                "version)"
+            )
+        self._want = [
+            f.name for f in schema.fields if f.name != "_row_id"
+        ]
         self._arrow_types = _declared_arrow_types(schema)
         data, dvs = view.live_at(self.version)
         self._files = [
             p if os.path.isabs(p) else os.path.join(self.path, p)
             for p in data
         ]
+        self._rowid_bases: dict[str, int] = {}
+        if self._rowids:
+            rel_bases = view.row_id_bases(self.version)
+            self._rowid_bases = {
+                (p if os.path.isabs(p) else os.path.join(self.path, p)): b
+                for p, b in rel_bases.items()
+            }
         self._dv_col = None
         self._dv_keys: frozenset = frozenset()
         if dvs:
@@ -565,6 +614,24 @@ class TxnLogBatchReader(DataSourceReader):
                 fields.append(f)
         if changed:
             table = table.cast(pa.schema(fields))
+        # Row tracking: grab the physical id column (preserving
+        # compactions materialize it) BEFORE the schema projection
+        # drops it; fresh files derive ids from base + file position.
+        rid_col = None
+        if self._rowids:
+            if "_row_id" in table.column_names:
+                rid_col = table["_row_id"].cast(pa.int64())
+            else:
+                base = self._rowid_bases.get(partition.path)
+                if base is None:
+                    raise RuntimeError(
+                        "txnlog batch read: no row-id base for "
+                        f"{partition.path!r} (log and file set out "
+                        "of sync)"
+                    )
+                rid_col = pa.chunked_array(
+                    [pa.array(range(base, base + len(table)), pa.int64())]
+                )
         # Physical-schema projection BEFORE the DV subtraction: the DV
         # sidecars are written with LOGICAL key names (_dv_schema,
         # operators/txnlog.py), so the filter runs on the projected
@@ -572,6 +639,8 @@ class TxnLogBatchReader(DataSourceReader):
         table = _project_file_table(
             table, self._want, self._logical_to_phys, self._arrow_types
         )
+        if rid_col is not None:
+            table = table.append_column("_row_id", rid_col)
         if self._dv_col is not None and self._dv_keys:
             col = table[self._dv_col]
             mask = pc.invert(
@@ -863,6 +932,10 @@ class TxnLogStreamDataSource(DataSource):
             except ValueError:
                 ts = _dt.datetime.fromisoformat(ts_opt).timestamp()
             upto = view.version_at(ts)
+        rowids = str(
+            self.options.get("rowids", "false")
+        ).lower() in ("true", "1")
+        rid_suffix = ", `_row_id` bigint" if rowids else ""
         logged = view.logical_schema_json(upto)
         if logged is not None:
             # a logged metadata schema is authoritative AND already in
@@ -872,9 +945,12 @@ class TxnLogStreamDataSource(DataSource):
             import pyspark.sql.types as T
 
             st = T.StructType.fromJson(logged)
-            return ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}"
-                for f in st.fields
+            return (
+                ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in st.fields
+                )
+                + rid_suffix
             )
         sample = view.any_data_file()
         if sample is None:
@@ -886,9 +962,11 @@ class TxnLogStreamDataSource(DataSource):
 
         arrow = pq.read_schema(sample)
         cols = ", ".join(
-            f"`{f.name}` {_arrow_field_ddl(f)}" for f in arrow
+            f"`{f.name}` {_arrow_field_ddl(f)}"
+            for f in arrow
+            if f.name != "_row_id"
         )
-        return cols
+        return cols + rid_suffix
 
     def reader(self, schema) -> TxnLogBatchReader:
         return TxnLogBatchReader(self.options, schema)

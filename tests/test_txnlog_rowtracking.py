@@ -194,3 +194,75 @@ def test_ids_survive_checkpoint_crossing(spark, sf_small, tmp_path):
     ids = _ids(t)
     used = keys[:12]
     assert [ids[k] for k in used] == list(range(len(used)))
+
+
+def _register(spark):
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+
+
+def test_format_reader_row_ids_match_library_path(tracked, spark):
+    t, src, _ = tracked
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 3 == 0).select("s_suppkey")
+    )
+    t.compact_preserving_row_ids(2)
+    t.append(
+        _sorted1(
+            src.limit(3).select(
+                (F.col("s_suppkey") + 777_000).alias("s_suppkey"),
+                "s_name",
+                "s_acctbal",
+            )
+        )
+    )
+    _register(spark)
+    via_format = {
+        r.s_suppkey: r[ROWID_COL]
+        for r in spark.read.format("txnlog")
+        .option("path", t.path)
+        .option("rowIds", "true")
+        .load()
+        .collect()
+    }
+    assert via_format == _ids(t)
+    # plain format read stays id-free and row-identical
+    plain = (
+        spark.read.format("txnlog").option("path", t.path).load()
+    )
+    assert ROWID_COL not in plain.columns
+    assert plain.count() == len(via_format)
+
+
+def test_format_reader_row_ids_time_travel(tracked, spark):
+    t, src, _ = tracked
+    v1 = t.current_version()
+    ids_v1 = _ids(t)
+    t.compact_preserving_row_ids(1)
+    _register(spark)
+    via_format = {
+        r.s_suppkey: r[ROWID_COL]
+        for r in spark.read.format("txnlog")
+        .option("path", t.path)
+        .option("rowIds", "true")
+        .option("versionAsOf", str(v1))
+        .load()
+        .collect()
+    }
+    assert via_format == ids_v1
+
+
+def test_format_reader_row_ids_requires_feature(spark, sf_small, tmp_path):
+    src = _src(spark, sf_small)
+    t = TxnLogTable(
+        spark, str(tmp_path / "nf"), src.schema, ["s_suppkey"]
+    )
+    t.init(_sorted1(src))
+    _register(spark)
+    with pytest.raises(Exception, match="row tracking"):
+        spark.read.format("txnlog").option("path", t.path).option(
+            "rowIds", "true"
+        ).load().collect()
