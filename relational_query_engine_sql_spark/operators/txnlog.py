@@ -1890,6 +1890,13 @@ class TxnLogTable(ParquetTable):
                 "txn": self._txn_markers(target),
                 "cmap": self._cmap_at(target),
             }
+            if self.row_tracking_enabled(target):
+                # fold the lazy row-id assignment like the live-file
+                # set: later walks seed here instead of replaying the
+                # whole history (the O(entries) cost the SCALE notes
+                # attribute to a checkpoint-less table)
+                bases, hwm = self._row_id_bases(target)
+                payload["rowid"] = {"bases": bases, "hwm": hwm}
             self.backend.publish_atomic(
                 self._ckpt_path(target), json.dumps(payload)
             )
@@ -2908,7 +2915,9 @@ class TxnLogTable(ParquetTable):
         self, version: int | None = None
     ) -> tuple[dict[str, int], int]:
         """(relpath -> base row id, high-water mark) at ``version``:
-        one metadata-plane walk of the log in commit order. Adds
+        one metadata-plane walk of the log in commit order, seeded
+        from the newest checkpoint carrying folded rowid state (so the
+        walk replays <= CHECKPOINT_EVERY entries, like _live). Adds
         flagged ``rowid_materialized`` carry their ids physically and
         are skipped; a path re-referenced by restore/clone keeps its
         FIRST assignment (the log prefix is immutable, so this is
@@ -2919,7 +2928,15 @@ class TxnLogTable(ParquetTable):
         hwm = 0
         if version is None:
             return bases, hwm
-        for v in range(0, version + 1):
+        start = 0
+        for v in range(version, -1, -1):
+            ck = self._ckpt_payload(v)
+            if ck is not None and "rowid" in ck:
+                bases = dict(ck["rowid"]["bases"])
+                hwm = ck["rowid"]["hwm"]
+                start = v + 1
+                break
+        for v in range(start, version + 1):
             p = self._log_path(v)
             if not os.path.exists(p):
                 continue

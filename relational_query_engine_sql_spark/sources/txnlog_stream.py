@@ -244,7 +244,22 @@ class _LogView:
         vs = self.versions()
         if upto is not None:
             vs = [v for v in vs if v <= upto]
-        for v in vs:
+        # seed from the newest checkpoint carrying folded rowid state
+        # (TxnLogTable._row_id_bases parity)
+        start_idx = 0
+        for i in range(len(vs) - 1, -1, -1):
+            ck_path = os.path.join(
+                self.log_dir, f"{vs[i]:020d}.checkpoint.json"
+            )
+            if os.path.exists(ck_path):
+                with open(ck_path, encoding="utf-8") as f:
+                    ck = json.load(f)
+                if "rowid" in ck:
+                    bases = dict(ck["rowid"]["bases"])
+                    hwm = ck["rowid"]["hwm"]
+                    start_idx = i + 1
+                    break
+        for v in vs[start_idx:]:
             for a in self.entry(v)["actions"]:
                 add = a.get("add")
                 if (
@@ -771,10 +786,15 @@ class TxnLogStreamWriter(DataSourceStreamArrowWriter):
 
         state = _LogView(self.path).cmap_state()
         need_w = (state.get("protocol") or {}).get("min_writer", 1)
-        if need_w > 2:
+        # writer protocol 3 = row tracking, which the sink satisfies
+        # by construction: its commits are pure appends whose add
+        # actions carry exact rowcounts, which is all the lazy row-id
+        # assignment needs — streaming ingest into a row-tracked table
+        # gives every record a stable id with zero coordination
+        if need_w > 3:
             raise RuntimeError(
                 f"txnlog sink: table requires writer protocol "
-                f"{need_w}; this sink supports 2"
+                f"{need_w}; this sink supports 3"
             )
         if state.get("map"):
             # executors stage files named by the STREAM's (logical)

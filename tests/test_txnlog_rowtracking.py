@@ -266,3 +266,103 @@ def test_format_reader_row_ids_requires_feature(spark, sf_small, tmp_path):
         spark.read.format("txnlog").option("path", t.path).option(
             "rowIds", "true"
         ).load().collect()
+
+
+def test_checkpoint_folds_rowid_state(spark, sf_small, tmp_path):
+    """Commit past CHECKPOINT_EVERY: the checkpoint payload carries
+    folded (bases, hwm), the seeded walk equals a raw full-history
+    walk, and the Spark-free _LogView agrees (format-reader parity)."""
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        _LogView,
+    )
+
+    src = _src(spark, sf_small)
+    t = TxnLogTable(
+        spark, str(tmp_path / "ckf"), src.schema, ["s_suppkey"]
+    )
+    t.enable_row_tracking()
+    keys = sorted(
+        r.s_suppkey for r in src.select("s_suppkey").collect()
+    )[:12]
+    t.init(_sorted1(src.filter(F.col("s_suppkey") == keys[0])))
+    for k in keys[1:]:
+        t.append(_sorted1(src.filter(F.col("s_suppkey") == k)))
+    assert os.path.exists(t._ckpt_path(10))
+    with open(t._ckpt_path(10), encoding="utf-8") as f:
+        ck = json.load(f)
+    assert "rowid" in ck and ck["rowid"]["hwm"] > 0
+    # seeded walk == raw reference walk over every entry
+    raw_bases: dict[str, int] = {}
+    raw_hwm = 0
+    for v in range(0, t.current_version() + 1):
+        with open(t._log_path(v), encoding="utf-8") as f:
+            entry = json.load(f)
+        for a in entry["actions"]:
+            add = a.get("add")
+            if (
+                not add
+                or add.get("dv")
+                or add.get("rowid_materialized")
+                or add["path"] in raw_bases
+            ):
+                continue
+            raw_bases[add["path"]] = raw_hwm
+            raw_hwm += add.get("rows") or 0
+    bases, hwm = t._row_id_bases()
+    assert (bases, hwm) == (raw_bases, raw_hwm)
+    assert _LogView(t.path).row_id_bases(t.current_version()) == raw_bases
+
+
+def test_streaming_sink_rows_get_lazy_ids(spark, sf_small, tmp_path):
+    """Streaming ingest into a row-tracked table: the sink's append
+    commits carry exact rowcounts, so every ingested record gets a
+    stable id with zero write-path coordination; later micro-batches
+    land strictly above earlier ones."""
+    _register(spark)
+    schema = "event_id long, event_type string, value double"
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(200)
+        .collect()
+    )
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    spark.createDataFrame(ev[:120], schema).coalesce(1).write.parquet(
+        str(srcdir / "c0")
+    )
+    spark.createDataFrame(ev[120:], schema).coalesce(1).write.parquet(
+        str(srcdir / "c1")
+    )
+    table_path = str(tmp_path / "table")
+    t = TxnLogTable(
+        spark,
+        table_path,
+        spark.createDataFrame([], schema).schema,
+        ["event_id"],
+    )
+    t.enable_row_tracking()
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir / "c*"))
+        .writeStream.format("txnlog")
+        .option("path", table_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("appId", "rowid-ingest")
+        .option("keys", "event_id")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = {
+        r.event_id: r[ROWID_COL]
+        for r in t.read_with_row_ids().collect()
+    }
+    assert len(ids) == 200
+    assert sorted(ids.values()) == list(range(200))
+    first = {r["event_id"] for r in ev[:120]}
+    batch1 = [v for k, v in ids.items() if k in first]
+    batch2 = [v for k, v in ids.items() if k not in first]
+    assert max(batch1) < min(batch2) or max(batch2) < min(batch1)
