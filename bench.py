@@ -460,7 +460,11 @@ def main() -> None:
     # noise only ever ADDS time, so the minimum is the best available
     # proxy for what the plan actually costs.
     deadline = time.perf_counter() + float(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900" if full else "420")
+        # 420 s covered pass-1 + tail + 2 refinement passes up to the
+        # ~300-query registry; at 325 queries the tail sweep alone
+        # squeezed refinement out (single-pass headline = burst-noisy
+        # artifact), so the default grew with the registry
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900" if full else "600")
     )
     canary_first = _time_canary(spark, sf_dir)
 
@@ -522,7 +526,6 @@ def main() -> None:
         if exhausted:
             break
 
-    total = round(sum(timings.values()), 3)
     # VM-speed normalization for the regression check: only when the
     # prior artifact recorded a canary (first round with one: 8).
     prior_canary = ((prior or {}).get("canary") or {}).get("best")
@@ -531,6 +534,25 @@ def main() -> None:
         if prior_canary
         else 1.0
     )
+    # SUSPECT RETIME: when the budget squeezes out the refinement
+    # passes, pass-1 singles carry the host's CPU-steal bursts
+    # straight into the artifact — one close run recorded a 0.5 s
+    # query at 14 s with zero code change while the --full run 20
+    # minutes later measured it normal. Phantom spikes poison BOTH
+    # the headline total and the regression list, so names whose
+    # current timing exceeds the vm-adjusted prior get up to two
+    # re-times under a grace window that survives budget exhaustion
+    # (the budget protects total wall; this protects artifact truth).
+    retime_grace = deadline + float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETIME_GRACE", "150")
+    )
+    if prior:
+        for name in _regressions(timings, prior, vm_factor):
+            for _ in range(2):
+                if time.perf_counter() > retime_grace or name in failures:
+                    break
+                _time_one(name, timings, "suspect-retime")
+    total = round(sum(timings.values()), 3)
     regressions: dict[str, str] = {}
     if prior:
         regressions = _regressions(timings, prior, vm_factor)
@@ -551,8 +573,10 @@ def main() -> None:
             for name in list(flagged):
                 # single timings are VM-noise-bimodal: re-time up to
                 # twice, keep the min, and only report if it sticks
+                # (under the same retime grace as the headline — a
+                # spent budget must not let phantom spikes through)
                 for _ in range(2):
-                    if time.perf_counter() > deadline:
+                    if time.perf_counter() > retime_grace:
                         break
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
