@@ -547,6 +547,66 @@ class TxnLogTable(ParquetTable):
         if bad:
             raise ValueError(f"partition_by not in schema: {bad}")
 
+    # -- partition spec evolution (Iceberg's spec-evolution mechanic) --------
+    #
+    # ``partition_by`` resolves from the LOG once a spec was ever
+    # committed (set_partitioning), falling back to the constructor
+    # declaration. Old-era files keep their old layout and stay fully
+    # valid: every file records its own partitionValues, every pruning
+    # path reads per-file metadata (a file without a value for some
+    # partition column simply never partition-prunes on it and falls
+    # back to its min/max stats), and reads are flat multi-file scans
+    # (files are self-contained — partition columns are duplicated
+    # into file contents at write). So evolving the spec is a
+    # METADATA-ONLY commit and no rewrite ever happens — the Iceberg
+    # property Delta lacks (Delta requires a full table rewrite to
+    # change partitioning).
+
+    @property
+    def partition_by(self) -> list[str]:
+        # during ParquetTable.__init__ the txnlog caches don't exist
+        # yet — resolve to the constructor value until they do
+        if "_cmap_cache" in self.__dict__:
+            spec = self._cmap_at(None).get("part_spec")
+            if spec is not None:
+                return list(spec)
+        return list(self.__dict__.get("_ctor_partition_by") or [])
+
+    @partition_by.setter
+    def partition_by(self, value) -> None:
+        self.__dict__["_ctor_partition_by"] = list(value or [])
+
+    def set_partitioning(self, cols: list[str]) -> int:
+        """ALTER TABLE ... change the partition spec — metadata-only:
+        zero data files touched. New writes lay out under the new
+        spec; existing files keep their recorded partitionValues and
+        prune exactly as before. Columns must exist, must not be
+        renamed (partition columns are written under their own names
+        into hive-style directories), and generated partition columns
+        keep their key-stability analysis for mutation pruning
+        (_stable_partition_cols re-evaluates under the new spec)."""
+        base = self.current_version()
+        self._check_protocol(base, write=True)
+        cols = list(cols or [])
+        cur = self._schema_at(base) if base is not None else self.schema
+        bad = [c for c in cols if c not in cur.fieldNames()]
+        if bad:
+            raise ValueError(f"partition columns not in schema: {bad}")
+        m = self._mapping_at(base)
+        mapped = [c for c in cols if m.get(c, c) != c]
+        if mapped:
+            raise ValueError(
+                f"renamed columns cannot become partition columns: "
+                f"{mapped}"
+            )
+        state = json.loads(json.dumps(self._cmap_at(base)))
+        state["part_spec"] = cols
+        return self._commit(
+            "set_partitioning",
+            [{"metadata": {"schema": cur.jsonValue(), "cmap": state}}],
+            base,
+        )
+
     # -- log bookkeeping (driver-side metadata only) ------------------------
 
     def _log_dir(self) -> str:

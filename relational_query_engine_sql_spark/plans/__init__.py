@@ -410,6 +410,7 @@ ROUND8_QUEUE: list[str] = [
     "graph_pagerank",
     "ts_holt_linear",
     "s38_txnlog_row_tracking",
+    "s39_txnlog_partition_evolution",
     "s36_txnlog_replace_where",
     "s37_txnlog_merge_schema",
     "stream_txnlog_rate_limit",

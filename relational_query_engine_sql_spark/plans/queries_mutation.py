@@ -2638,3 +2638,94 @@ def s38_txnlog_row_tracking(
         F.lit(fresh_ok).alias("fresh_ids_above_hwm"),
         F.lit(uniq_ok).alias("ids_unique"),
     )
+
+
+# --------------------------------------------------------------------------
+# S39: PARTITION SPEC EVOLUTION (Iceberg's spec-evolution mechanic,
+# operators/txnlog.py set_partitioning). Changing how a table is
+# partitioned is a METADATA-ONLY commit: old-era files keep their
+# layout and stay fully valid (every file records its own
+# partitionValues; pruning reads per-file metadata, so a file without
+# a value for the new partition column simply falls back to its
+# min/max stats), while new writes lay out under the new spec — the
+# property Delta lacks (it rewrites the table to repartition). The
+# scenario initializes UNPARTITIONED, evolves to partition by
+# event_type, appends a second era, and proves: the evolve commit
+# touched zero files, both eras read as one table, a partition probe
+# prunes the new era to exactly the probed directory while old-era
+# files are kept as candidates, and a keyed upsert spanning both eras
+# leaves single copies.
+# --------------------------------------------------------------------------
+@query(
+    "s39_txnlog_partition_evolution",
+    survey="beyond:txnlog,beyond:partition-evolution,S5",
+    priority=60,
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 10 = 0 THEN value + 1.0 ELSE value END
+               AS value,
+           TRUE AS evolve_was_metadata_only,
+           TRUE AS eras_read_as_one_table,
+           TRUE AS new_era_pruned_exactly,
+           TRUE AS old_era_kept_as_candidates,
+           TRUE AS cross_era_upsert_single_copy
+    FROM events
+    """,
+)
+def s39_txnlog_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txnlog import TxnLogTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="rqe-s39-")
+    t = TxnLogTable(spark, f"{root}/e", ev.schema, ["event_id"])
+    t.init(ev.filter(F.col("event_id") % 2 == 0).repartition(2))
+
+    before = set(t._live())
+    t.set_partitioning(["event_type"])
+    meta_only = set(t._live()) == before
+    assert meta_only, "spec evolution touched data files"
+
+    t.append(ev.filter(F.col("event_id") % 2 == 1).repartition(1))
+    one_table = t.read().count() == ev.count()
+    assert one_table, "mixed-era read lost rows"
+
+    data, _dvs = t._split_live()
+    old = {p for p, m in data.items() if not m.get("part")}
+    new = {p for p, m in data.items() if m.get("part")}
+    cands = set(t.scan_candidates("event_type", "click", "click"))
+    pruned_ok = (cands & new) and all(
+        "p_event_type=click" in p for p in (cands & new)
+    )
+    assert pruned_ok, "new era did not prune to the probed partition"
+    old_kept = old <= cands
+    assert old_kept, "old-era file wrongly pruned on the new column"
+
+    t.upsert(
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + F.lit(1.0)
+        )
+    )
+    dup = (
+        t.read()
+        .groupBy("event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    single = dup == 0 and t.read().count() == ev.count()
+    assert single, "cross-era upsert corrupted the table"
+
+    return t.read().select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit(meta_only).alias("evolve_was_metadata_only"),
+        F.lit(one_table).alias("eras_read_as_one_table"),
+        F.lit(bool(pruned_ok)).alias("new_era_pruned_exactly"),
+        F.lit(old_kept).alias("old_era_kept_as_candidates"),
+        F.lit(single).alias("cross_era_upsert_single_copy"),
+    )
