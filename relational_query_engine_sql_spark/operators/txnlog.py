@@ -539,9 +539,18 @@ class TxnLogTable(ParquetTable):
         # version-keyed COLUMN-MAPPING state cache (same immutability
         # argument as the snapshot/schema caches above)
         self._cmap_cache: dict[int, dict] = {}
+        # Validate only the CONSTRUCTOR-declared partitioning against
+        # the constructor-declared base schema. The partition_by
+        # property resolves the LOG's evolved spec once the caches
+        # above exist — a spec set later (set_partitioning) may name a
+        # column added via add_columns, which the base schema predates;
+        # validating the resolved spec here made every such table
+        # unopenable through the original constructor schema. The
+        # evolved spec is validated against the evolved schema at
+        # set_partitioning time.
         bad = [
             c
-            for c in self.partition_by
+            for c in (self.__dict__.get("_ctor_partition_by") or [])
             if c not in self._base_schema.fieldNames()
         ]
         if bad:
@@ -1628,7 +1637,15 @@ class TxnLogTable(ParquetTable):
         # through conform/physical-rename and lands IN the data files,
         # and the add-actions are flagged so lazy base-id assignment
         # (_row_id_bases) knows these files' ids are self-contained.
-        carry_rowid = (not dv) and (ROWID_COL in df.columns)
+        # ... but only when _row_id is NOT a declared table column: on
+        # a never-tracked table the name is unreserved, so a user
+        # column called _row_id must conform like any other column
+        # instead of being mistaken for a preserving rewrite
+        carry_rowid = (
+            (not dv)
+            and (ROWID_COL in df.columns)
+            and (ROWID_COL not in self.schema.fieldNames())
+        )
 
         def _prep(frame: DataFrame) -> DataFrame:
             if not carry_rowid:
@@ -2227,7 +2244,7 @@ class TxnLogTable(ParquetTable):
         self,
         op: str,
         doomed: list[str],
-        out: DataFrame,
+        out: DataFrame | list[DataFrame],
         extra: list[dict] | None = None,
         expected_version: int | None = None,
         rebase_bounds: dict | None = None,
@@ -2235,9 +2252,13 @@ class TxnLogTable(ParquetTable):
     ) -> int:
         """Copy-on-write commit: replace ``doomed`` files with ``out``
         (remove+add in ONE atomic log entry — readers never see a
-        half-applied mutation). ``extra`` actions (e.g. a DV shrink)
-        ride the same commit. ``expected_version`` must be the version
-        the caller's snapshot (doomed list, kept rows) was read at.
+        half-applied mutation). ``out`` may be a LIST of frames staged
+        as separate write jobs in the same commit — the id-preserving
+        mutations use this to land carried rows (materialized
+        ``_row_id``) and brand-new rows (lazy ids) atomically.
+        ``extra`` actions (e.g. a DV shrink) ride the same commit.
+        ``expected_version`` must be the version the caller's snapshot
+        (doomed list, kept rows) was read at.
 
         ``rebase_bounds`` (the incoming key bounds of a KEYED
         mutation) opts into file-disjoint conflict resolution: a CAS
@@ -2250,7 +2271,8 @@ class TxnLogTable(ParquetTable):
         delete) read EVERY live file, so they never pass bounds and
         keep strict raise-on-conflict."""
         extra = extra or []
-        adds = self._write_files(out)
+        outs = out if isinstance(out, list) else [out]
+        adds = [a for o in outs for a in self._write_files(o)]
         actions = [{"remove": {"path": p}} for p in doomed] + adds + extra
         # The rebase conflict set must cover EVERY file this commit
         # removes, not just the caller's doomed data files: ``extra``
@@ -2596,13 +2618,36 @@ class TxnLogTable(ParquetTable):
         base = self.current_version()
         incoming = self._conform(rows).dropDuplicates(self.keys)
         affected = self._affected(incoming, base)
-        kept = self._read_files_mor(affected, base).join(
-            incoming.select(self.keys), self.keys, "left_anti"
-        )
+        if self.row_tracking_enabled(base):
+            # Delta row-tracking semantics: matched rows KEEP their
+            # stable id through the rewrite (inherited via one keyed
+            # join against the affected region's ids); brand-new keys
+            # land in a separate non-materialized file set and get
+            # fresh lazy ids above the high-water mark.
+            olds = self._read_files_mor_with_row_ids(affected, base)
+            kept = olds.join(
+                incoming.select(self.keys), self.keys, "left_anti"
+            )
+            inc = incoming.join(
+                olds.select(*self.keys, ROWID_COL),
+                self.keys,
+                "left",
+            )
+            out: DataFrame | list[DataFrame] = [
+                kept.unionByName(
+                    inc.filter(F.col(ROWID_COL).isNotNull())
+                ),
+                inc.filter(F.col(ROWID_COL).isNull()).drop(ROWID_COL),
+            ]
+        else:
+            kept = self._read_files_mor(affected, base).join(
+                incoming.select(self.keys), self.keys, "left_anti"
+            )
+            out = kept.unionByName(incoming)
         self._rewrite(
             "upsert",
             affected,
-            kept.unionByName(incoming),
+            out,
             extra=self._dv_shrink_actions(incoming.select(*self.keys), base),
             expected_version=base,
             rebase_bounds=self._bounds(incoming),
@@ -2613,9 +2658,12 @@ class TxnLogTable(ParquetTable):
         affected = self._affected(keys_df, base)
         if not affected:
             return
-        out = self._read_files_mor(affected, base).join(
-            keys_df, self.keys, "left_anti"
+        src = (
+            self._read_files_mor_with_row_ids(affected, base)
+            if self.row_tracking_enabled(base)
+            else self._read_files_mor(affected, base)
         )
+        out = src.join(keys_df, self.keys, "left_anti")
         self._rewrite(
             "delete_keys",
             affected,
@@ -2692,7 +2740,15 @@ class TxnLogTable(ParquetTable):
         affected = self._files_matching(condition, base)
         if not affected:
             return
-        df = self._read_files_mor(affected, base)
+        # Row tracking: EVERY surviving row keeps its id through the
+        # copy-on-write rewrite — updated rows included (a Delta row id
+        # names the row, not the row version; lineage across an update
+        # is exactly what the id is for, change history is the CDF's)
+        df = (
+            self._read_files_mor_with_row_ids(affected, base)
+            if self.row_tracking_enabled(base)
+            else self._read_files_mor(affected, base)
+        )
         out = df.select(
             *[
                 F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -2719,9 +2775,12 @@ class TxnLogTable(ParquetTable):
         # keeps its row (SQL DELETE semantics) — matters exactly when
         # a rewritten file carries both matching and NULL-predicate
         # rows (same fix as ParquetTable.delete)
-        out = self._read_files_mor(affected, base).filter(
-            ~F.coalesce(condition, F.lit(False))
+        src = (
+            self._read_files_mor_with_row_ids(affected, base)
+            if self.row_tracking_enabled(base)
+            else self._read_files_mor(affected, base)
         )
+        out = src.filter(~F.coalesce(condition, F.lit(False)))
         self._rewrite("delete", affected, out, expected_version=base)
 
     def replace_where(self, rows: DataFrame, condition: Column) -> None:
@@ -2778,11 +2837,19 @@ class TxnLogTable(ParquetTable):
                     "replace_where: incoming keys collide with rows "
                     "outside the replaced region"
                 )
+        tracked = self.row_tracking_enabled(base)
         if affected:
-            kept = self._read_files_mor(affected, base).filter(
-                ~F.coalesce(condition, F.lit(False))
+            src = (
+                self._read_files_mor_with_row_ids(affected, base)
+                if tracked
+                else self._read_files_mor(affected, base)
             )
-            out = kept.unionByName(incoming)
+            kept = src.filter(~F.coalesce(condition, F.lit(False)))
+            # carried rows keep their ids (materialized write); the
+            # replacement region's rows are NEW rows — fresh lazy ids
+            out: DataFrame | list[DataFrame] = (
+                [kept, incoming] if tracked else kept.unionByName(incoming)
+            )
         else:
             out = incoming
         self._rewrite(
@@ -2808,10 +2875,31 @@ class TxnLogTable(ParquetTable):
         # affected region preserves merge semantics.
         base = self.current_version()
         affected = self._affected(source.select(*self.keys), base)
+        tracked = self.row_tracking_enabled(base)
+        if tracked:
+            # Row tracking: thread _row_id through merge_frame as an
+            # extra non-key schema field — matched/kept target rows
+            # pass theirs through, inserted source rows get NULL (the
+            # split below routes them to a fresh-id write)
+            import pyspark.sql.types as T
+
+            schema = T.StructType(
+                list(self.schema.fields)
+                + [T.StructField(ROWID_COL, T.LongType())]
+            )
+            target = self._read_files_mor_with_row_ids(affected, base)
+            # a source carrying a (user-supplied) _row_id column would
+            # be mistaken for an id assignment — ids are allocated by
+            # the table, never by callers
+            if ROWID_COL in source.columns:
+                source = source.drop(ROWID_COL)
+        else:
+            schema = self.schema
+            target = self._read_files_mor(affected, base)
         out = merge_frame(
-            self.schema,
+            schema,
             self.keys,
-            self._read_files_mor(affected, base),
+            target,
             source,
             update_assign,
             update_cond,
@@ -2828,7 +2916,7 @@ class TxnLogTable(ParquetTable):
         self._rewrite(
             "merge",
             affected,
-            out,
+            self._split_by_rowid(out) if tracked else out,
             extra=self._dv_shrink_actions(source.select(*self.keys), base),
             expected_version=base,
             rebase_bounds=self._bounds(source.select(*self.keys)),
@@ -2852,7 +2940,16 @@ class TxnLogTable(ParquetTable):
         base = self.current_version()
         data, dvs = self._split_live(base)
         live = list(data) + list(dvs)
-        df = self._read_files_mor(list(data), base)
+        # On a row-tracked table compaction MUST preserve ids (the
+        # min_writer=3 gate exists to keep unaware writers from
+        # breaking lineage — the aware writer can hardly break it
+        # itself): read with ids attached so the rewrite materializes
+        # them, exactly like compact_preserving_row_ids.
+        df = (
+            self.read_with_row_ids(base)
+            if self.row_tracking_enabled(base)
+            else self._read_files_mor(list(data), base)
+        )
         if zorder_by:
             # OPTIMIZE ZORDER: Morton-interleave N NUMERIC dims
             # (operators/layout.py) so each output file owns a small
@@ -2908,7 +3005,13 @@ class TxnLogTable(ParquetTable):
             return None
         total = sum(data[p]["rows"] or 0 for p in small)
         n_out = target_files or max(1, -(-total // max_rows))
-        df = self._read_files_mor(small, base)
+        # same id-preservation rule as compact(): bin-packed rows on a
+        # row-tracked table carry their ids into the rewritten files
+        df = (
+            self._read_files_mor_with_row_ids(small, base)
+            if self.row_tracking_enabled(base)
+            else self._read_files_mor(small, base)
+        )
         if self.partition_by:
             df = df.repartition(
                 n_out, *[F.col(c) for c in self.partition_by]
@@ -2917,6 +3020,79 @@ class TxnLogTable(ParquetTable):
             df = df.repartition(n_out)
         return self._rewrite(
             "compact_small", small, df, expected_version=base
+        )
+
+    def purge_deletion_vectors(self) -> int | None:
+        """Delta's ``REORG TABLE ... APPLY (PURGE)``: MATERIALIZE the
+        merge-on-read deletes — rewrite exactly the data files still
+        masked by a live deletion vector (minus their tombstoned rows)
+        and drop every DV file, all in one atomic commit. The third
+        leg of the MOR lifecycle (write DV → read-subtract → purge):
+        after it, no read pays the anti-join again and vacuum can
+        reclaim the purged bytes. Untouched files are kept BY IDENTITY
+        (affected-file discovery is stats/bloom-pruned, then confirmed
+        by one semi-joined metadata scan, so cost is O(masked files)
+        not O(table)); on a row-tracked table every surviving row
+        keeps its id (the rewrite reads with ids attached and
+        materializes them). Returns the committed version, or None
+        when the table has no live deletion vectors."""
+        base = self.current_version()
+        data, dvs = self._split_live(base)
+        if not dvs:
+            return None
+        from urllib.parse import unquote
+
+        tomb = self.spark.read.schema(self._dv_schema()).parquet(
+            *[os.path.join(self.path, p) for p in dvs]
+        )
+        # candidate files by stats/bloom overlap, then EXACT: which
+        # candidates actually hold a tombstoned row (same discovery
+        # shape as _files_matching — file names to the driver, no rows)
+        cand = self._affected(tomb, base)
+        hits: list[str] = []
+        if cand:
+            seen = set()
+            for r in (
+                # file name projected BEFORE the join: input_file_name
+                # is per-scan, and Spark refuses it above a two-source
+                # join
+                self._read_files(cand)
+                .select(
+                    *self.keys, F.input_file_name().alias("_f")
+                )
+                .join(F.broadcast(tomb), self.keys, "left_semi")
+                .select("_f")
+                .distinct()
+                .collect()
+            ):
+                f = unquote(r["_f"].split("?", 1)[0])
+                if f.startswith("file:"):
+                    f = "/" + f.split(":", 1)[1].lstrip("/")
+                seen.add(os.path.normpath(f))
+            root = os.path.normpath(os.path.abspath(self.path))
+            hits = [
+                p
+                for p in cand
+                if os.path.normpath(os.path.join(root, p)) in seen
+            ]
+        if not hits:
+            # every DV entry is inert (points at rewritten/removed
+            # files): dropping the tombstones is metadata-only
+            return self._commit(
+                "purge_dv",
+                [{"remove": {"path": p}} for p in dvs],
+                base,
+            )
+        src = (
+            self._read_files_mor_with_row_ids(hits, base)
+            if self.row_tracking_enabled(base)
+            else self._read_files_mor(hits, base)
+        )
+        return self._rewrite(
+            "purge_dv",
+            hits + list(dvs),
+            src,
+            expected_version=base,
         )
 
     # -- row tracking (Delta row tracking / Iceberg v3 row lineage) ----------
@@ -2937,9 +3113,14 @@ class TxnLogTable(ParquetTable):
     # (b) excludes those files from base assignment so the high-water
     # mark — and therefore every fresh id — is unaffected by however
     # many times the table is compacted. Copy-on-write mutations
-    # (update/merge/upsert) give REWRITTEN rows fresh ids, which is
-    # Delta's row-tracking semantics too (stable ids identify row
-    # VERSIONS; lineage across an update is the CDF's job). At 100 TB
+    # preserve ids the way Delta does: rows carried through a rewrite
+    # (kept, updated, or merge-matched) keep the id they were born
+    # with — update/delete read the affected region with ids attached
+    # and write it back materialized; upsert/merge inherit matched
+    # ids through one keyed join and split brand-new rows into a
+    # separate non-materialized file set so they take fresh lazy ids
+    # above the high-water mark (change HISTORY is the CDF's job; the
+    # id names the row itself). At 100 TB
     # the lazy walk is metadata-plane (one pass over log JSON, no data
     # reads); a production build would fold (bases, hwm) into the
     # periodic checkpoint exactly like the live-file set.
@@ -3015,23 +3196,19 @@ class TxnLogTable(ParquetTable):
                 hwm += add.get("rows") or 0
         return bases, hwm
 
-    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
-        """:meth:`read` plus the stable ``_row_id`` column. Files
-        written by a preserving rewrite carry the id physically (the
-        column is trusted over the lazy formula — this also self-heals
-        a restore that re-referenced materialized files without the
-        flag); fresh files compute base + _metadata.row_index with the
-        per-file base joined in from a broadcast map. Merge-on-read
-        deletion vectors subtract exactly as in :meth:`read`, so a
-        tombstoned row's id disappears with it."""
+    def _attach_row_ids(
+        self, data: dict[str, dict], version: int | None
+    ) -> DataFrame:
+        """Logical-schema read of the given data files with the stable
+        ``_row_id`` column attached (no DV subtraction — callers apply
+        it). Files written by a preserving rewrite carry the id
+        physically (the column is trusted over the lazy formula — this
+        also self-heals a restore that re-referenced materialized files
+        without the flag); fresh files compute base +
+        _metadata.row_index with the per-file base joined in from a
+        broadcast map."""
         import pyspark.sql.types as T
 
-        if not self.row_tracking_enabled(version):
-            raise RuntimeError(
-                "row tracking is not enabled on this table "
-                "(call enable_row_tracking() first)"
-            )
-        data, dvs = self._split_live(version)
         schema = self._schema_at(version)
         out_schema = T.StructType(
             list(schema.fields)
@@ -3059,30 +3236,80 @@ class TxnLogTable(ParquetTable):
         parts = []
         if fresh:
             bases, _ = self._row_id_bases(version)
-            # join key = the parquet part-file NAME: Spark part files
-            # embed a per-job uuid, so basenames are globally unique
-            bmap = self.spark.createDataFrame(
-                [(os.path.basename(p), bases[p]) for p in fresh],
-                "fname string, base long",
-            )
-            df = self.spark.read.schema(T.StructType(phys_fields)).parquet(
-                *[os.path.join(self.path, p) for p in fresh]
-            )
-            df = (
-                df.select(
-                    *logical_sel,
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ).alias("fname"),
-                    F.col("_metadata.row_index").alias("_ri"),
+            # Base-map join key: the basename alone is NOT unique on a
+            # partitioned table — one write job's task emits files
+            # named part-<split>-<job uuid>-c000 into EVERY partition
+            # directory it touches, so identical basenames coexist
+            # across p_*= dirs (the same trap _files_matching
+            # documents). The partition values are recorded in the log
+            # (each add's partitionValues) AND present in the data
+            # (files are self-contained), so (basename, partition
+            # values) is an exact equi-join key with no URI decoding
+            # and no suffix-match BNLJ. Files are grouped by their
+            # recorded spec — spec evolution leaves old-era files
+            # carrying old-era partitionValues — and each group joins
+            # on its own key set.
+            by_spec: dict[tuple, list[str]] = {}
+            for rel in fresh:
+                spec = tuple(sorted(data[rel].get("part") or {}))
+                by_spec.setdefault(spec, []).append(rel)
+            known = set(schema.fieldNames())
+            for spec, rels in sorted(by_spec.items()):
+                missing = [c for c in spec if c not in known]
+                if missing:
+                    raise RuntimeError(
+                        "row tracking: live file partitioned by "
+                        f"column(s) {missing} absent from the "
+                        "version's schema; cannot disambiguate its "
+                        "row-id base"
+                    )
+                rows = [
+                    (
+                        os.path.basename(p),
+                        *[
+                            (data[p].get("part") or {}).get(c)
+                            for c in spec
+                        ],
+                        bases[p],
+                    )
+                    for p in rels
+                ]
+                ddl = "fname string"
+                for i in range(len(spec)):
+                    ddl += f", _pv{i} string"
+                ddl += ", base long"
+                bmap = self.spark.createDataFrame(rows, ddl)
+                df = (
+                    self.spark.read.schema(T.StructType(phys_fields))
+                    .parquet(
+                        *[os.path.join(self.path, p) for p in rels]
+                    )
+                    .select(
+                        *logical_sel,
+                        F.element_at(
+                            F.split(
+                                F.col("_metadata.file_path"), "/"
+                            ),
+                            -1,
+                        ).alias("_fname"),
+                        F.col("_metadata.row_index").alias("_ri"),
+                    )
                 )
-                .join(F.broadcast(bmap), "fname")
-                .select(
-                    *[f.name for f in schema.fields],
-                    (F.col("base") + F.col("_ri")).alias(ROWID_COL),
+                cond = df["_fname"] == bmap["fname"]
+                for i, c in enumerate(spec):
+                    # the recorded value IS the write-time
+                    # cast-to-string of the column (hive escaping
+                    # already undone at record time), so a null-safe
+                    # string compare is exact
+                    cond = cond & (
+                        df[c].cast("string").eqNullSafe(bmap[f"_pv{i}"])
+                    )
+                parts.append(
+                    df.join(F.broadcast(bmap), cond).select(
+                        *[df[f.name] for f in schema.fields],
+                        (bmap["base"] + df["_ri"]).alias(ROWID_COL),
+                    )
                 )
-            )
-            parts.append(df)
         if mat:
             df = self.spark.read.schema(
                 T.StructType(
@@ -3093,6 +3320,46 @@ class TxnLogTable(ParquetTable):
         out = parts[0]
         for extra in parts[1:]:
             out = out.unionByName(extra)
+        return out
+
+    def _read_files_mor_with_row_ids(
+        self, relpaths: list[str], version: int | None = None
+    ) -> DataFrame:
+        """:meth:`_read_files_mor` with ``_row_id`` attached — the
+        id-preserving rewrites (update/delete/upsert/merge/compaction
+        on a row-tracked table) read their affected region through
+        this so surviving rows keep the ids they were born with."""
+        data, dvs = self._split_live(version)
+        df = self._attach_row_ids(
+            {p: data[p] for p in relpaths}, version
+        )
+        if dvs:
+            tomb = self.spark.read.schema(self._dv_schema()).parquet(
+                *[os.path.join(self.path, p) for p in dvs]
+            )
+            df = df.join(F.broadcast(tomb), self.keys, "left_anti")
+        return df
+
+    def _split_by_rowid(self, out: DataFrame) -> list[DataFrame]:
+        """Split a mixed rewrite frame into [carried rows (non-null
+        ``_row_id``, written materialized), new rows (null ``_row_id``,
+        written without the column so they take fresh lazy ids)]."""
+        return [
+            out.filter(F.col(ROWID_COL).isNotNull()),
+            out.filter(F.col(ROWID_COL).isNull()).drop(ROWID_COL),
+        ]
+
+    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """:meth:`read` plus the stable ``_row_id`` column. Merge-on-
+        read deletion vectors subtract exactly as in :meth:`read`, so
+        a tombstoned row's id disappears with it."""
+        if not self.row_tracking_enabled(version):
+            raise RuntimeError(
+                "row tracking is not enabled on this table "
+                "(call enable_row_tracking() first)"
+            )
+        data, dvs = self._split_live(version)
+        out = self._attach_row_ids(data, version)
         if dvs:
             tomb = self.spark.read.schema(self._dv_schema()).parquet(
                 *[os.path.join(self.path, p) for p in dvs]

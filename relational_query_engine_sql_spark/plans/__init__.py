@@ -500,6 +500,106 @@ ROUND8_PREFIX = ROUND8_QUEUE + [
 _unknown_r8 = [n for n in ROUND8_PREFIX if n not in all_queries()]
 assert not _unknown_r8, f"ROUND8 names not registered: {_unknown_r8}"
 
+# Round-9 queue: staging for queries added during round 9 (each
+# strict-sim green at sf0.001 + 0.01 + 0.1 before entering).
+ROUND9_QUEUE: list[str] = [
+    "s40_txnlog_dv_purge",  # REORG APPLY (PURGE), MOR third leg
+    "text_exact_substring_dedup",  # Lee et al. ExactSubstr islands
+]
+
+# Round-9 prefix, per the round-8 verdict: provenance is closed and
+# correctness fully green, so the window's job is FRESHNESS — the 56
+# registry names whose latest driver row still dates to r1–r2 (six
+# rounds of shared-module churn; the HLL episode proved sim-green can
+# hide driver-red). Order: never-checked queue first, then 3 family
+# reps (flagship canary + the two scenarios exercising this round's
+# row-tracking semantics changes), then the stale cohort OLDEST
+# FIRST (all 16 r1 rows, then 29 of the 40 r2 rows — mutation paths
+# touched this round first, then TPC-H, windows, streams, ext_*).
+# The 11 r2 rows that don't fit are pre-staged below for round 10.
+ROUND9_STALE_R1 = [
+    "j8_antijoin",
+    "o4_topk_then_asc",
+    "s1_scan_project",
+    "s2_point_lookup",
+    "s9_probe",
+    "sample_stable",
+    "sample_stratified",
+    "sql_api_exists",
+    "stats_bundle_cov_beta",
+    "stats_cached_cov_beta",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_counts",
+    "u1_linreg_fit",
+    "w1_single_series_returns",
+    "w2_returns_panel",
+]
+ROUND9_STALE_R2 = [
+    "s3_row_append",
+    "s4_insert_ignore",
+    "s6_conditional_update",
+    "s7_cascade_delete",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "w4_gap_fill",
+    "w5_rank_ties",
+    "f3_asof_today",
+    "j6_bucketed_fact_join",
+    "stream_join_attribution",
+    "stream_sliding_15m",
+    "sessionization",
+    "ev_user_activity",
+    "ext_array_agg",
+    "ext_cube",
+    "ext_distinct_agg",
+    "ext_first_last_value",
+    "ext_grouping_sets",
+    "ext_having",
+    "ext_json_extract",
+    "ext_lead_ntile",
+    "ext_moving_avg",
+    "ext_null_semantics",
+]
+# r2-stale rows that exceed the 50-name window — FIRST in line for
+# the round-10 rotation so the whole r1–r2 cohort is refreshed by
+# round-10 close.
+ROUND10_STALE_STAGED = [
+    "ext_percent_rank",
+    "ext_percentiles",
+    "ext_pivot",
+    "ext_range_frame",
+    "ext_salted_agg",
+    "ext_setops",
+    "mm_byte_histogram",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "mm_media_catalog",
+    "ann_bruteforce_topk",
+]
+ROUND9_PREFIX = (
+    ROUND9_QUEUE
+    + [
+        # family-representative insurance: the flagship/canary, plus
+        # the two txnlog scenarios sitting on this round's semantic
+        # changes (row-id preservation through COW rewrites; the
+        # constructor partition-spec validation fix)
+        "a1_pricing_summary",
+        "s38_txnlog_row_tracking",
+        "s13_txnlog_merge_mixed",
+    ]
+    + ROUND9_STALE_R1
+    + ROUND9_STALE_R2
+)
+_unknown_r9 = [n for n in ROUND9_PREFIX if n not in all_queries()]
+assert not _unknown_r9, f"ROUND9 names not registered: {_unknown_r9}"
+assert len(ROUND9_PREFIX) == 50, len(ROUND9_PREFIX)
+
 # Rotation self-advance: judged round N ⇒ current round is N+1.
 _ROTATIONS = {
     3: ROUND3_PREFIX,
@@ -508,8 +608,9 @@ _ROTATIONS = {
     6: ROUND6_PREFIX,
     7: ROUND7_PREFIX,
     8: ROUND8_PREFIX,
+    9: ROUND9_PREFIX,
 }
 _current = _judged_round() + 1
-set_rotation(_ROTATIONS.get(min(_current, 8), ROUND8_PREFIX))
+set_rotation(_ROTATIONS.get(min(_current, 9), ROUND9_PREFIX))
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]

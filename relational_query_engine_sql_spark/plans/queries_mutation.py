@@ -2729,3 +2729,146 @@ def s39_txnlog_partition_evolution(
         F.lit(old_kept).alias("old_era_kept_as_candidates"),
         F.lit(single).alias("cross_era_upsert_single_copy"),
     )
+
+
+# --------------------------------------------------------------------------
+# S40: DELETION-VECTOR PURGE (Delta's REORG TABLE ... APPLY (PURGE),
+# operators/txnlog.py purge_deletion_vectors). The third leg of the
+# merge-on-read lifecycle: write DV (delete_keys_deferred) →
+# read-subtract (every read anti-joins the tombstones) → PURGE
+# (rewrite ONLY the masked files minus their tombstoned rows, drop
+# every DV file, one atomic commit). The scenario builds a row-tracked
+# three-file table, tombstones two residue classes across two DV
+# commits, purges, and proves: reads identical pre/post (row ids
+# included — the purge rewrite materializes them), zero DV files
+# remain, the file that contained no masked row is kept BY IDENTITY,
+# and a second purge is a no-op. The oracle reconstructs every
+# surviving row's exact id from the same deterministic batch order
+# (s38's construction), so the hash pins id preservation through the
+# purge, not just the survivor set.
+# --------------------------------------------------------------------------
+_S40_SHIFT = 30_000_000
+
+
+@query(
+    "s40_txnlog_dv_purge",
+    survey="beyond:txnlog,beyond:row-tracking,S7",
+    priority=60,
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(MAX(s_suppkey) // 2 AS BIGINT) AS h FROM supplier
+    ),
+    b1 AS (
+        SELECT s_suppkey,
+               ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier WHERE s_suppkey <= (SELECT h FROM h)
+    ),
+    b2 AS (
+        SELECT s_suppkey,
+               (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier WHERE s_suppkey > (SELECT h FROM h)
+    ),
+    b3 AS (
+        SELECT s_suppkey + {_S40_SHIFT} AS s_suppkey,
+               (SELECT COUNT(*) FROM supplier)
+               + ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier
+        WHERE s_suppkey <= (SELECT h FROM h)
+          AND (s_suppkey + {_S40_SHIFT}) % 7 <> 0
+          AND (s_suppkey + {_S40_SHIFT}) % 11 <> 3
+    ),
+    unioned AS (
+        SELECT * FROM b1 WHERE s_suppkey % 7 <> 0 AND s_suppkey % 11 <> 3
+        UNION ALL
+        SELECT * FROM b2 WHERE s_suppkey % 7 <> 0 AND s_suppkey % 11 <> 3
+        UNION ALL
+        SELECT * FROM b3
+    )
+    SELECT s_suppkey, row_id,
+           TRUE AS reads_identical_pre_post,
+           TRUE AS zero_dvs_after_purge,
+           TRUE AS clean_file_kept_by_identity,
+           TRUE AS second_purge_noop
+    FROM unioned
+    """,
+)
+def s40_txnlog_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..operators.txnlog import ROWID_COL, TxnLogTable
+
+    src = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    h = src.agg(F.max("s_suppkey")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="rqe-s40-")
+    t = TxnLogTable(spark, f"{root}/s", src.schema, ["s_suppkey"])
+    t.enable_row_tracking()
+
+    def sorted1(df: DataFrame) -> DataFrame:
+        return df.repartition(1).sortWithinPartitions("s_suppkey")
+
+    t.init(sorted1(src.filter(F.col("s_suppkey") <= h)))
+    t.append(sorted1(src.filter(F.col("s_suppkey") > h)))
+    # third file: shifted keys avoiding BOTH tombstoned residues, so
+    # no DV ever masks it — the purge must keep it by identity
+    t.append(
+        sorted1(
+            src.filter(
+                (F.col("s_suppkey") <= h)
+                & ((F.col("s_suppkey") + _S40_SHIFT) % 7 != 0)
+                & ((F.col("s_suppkey") + _S40_SHIFT) % 11 != 3)
+            ).select(
+                (F.col("s_suppkey") + _S40_SHIFT).alias("s_suppkey"),
+                "s_name",
+                "s_acctbal",
+            )
+        )
+    )
+    with open(
+        t._log_path(t.current_version()), encoding="utf-8"
+    ) as fh:
+        clean_paths = {
+            a["add"]["path"]
+            for a in _json.load(fh)["actions"]
+            if "add" in a
+        }
+
+    # two MOR deletes -> two live DV files over batches 1-2
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 7 == 0).select("s_suppkey")
+    )
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 11 == 3).select("s_suppkey")
+    )
+    pre = {
+        r.s_suppkey: r[ROWID_COL]
+        for r in t.read_with_row_ids().collect()
+    }
+    assert t._split_live()[1], "scenario requires live DVs"
+
+    v = t.purge_deletion_vectors()
+    assert v is not None, "purge found nothing to do"
+    post_data, post_dvs = t._split_live()
+    zero_dvs = not post_dvs
+    assert zero_dvs, "DV files survived the purge"
+    post = {
+        r.s_suppkey: r[ROWID_COL]
+        for r in t.read_with_row_ids().collect()
+    }
+    identical = post == pre
+    assert identical, "purge changed the table's rows or ids"
+    kept = clean_paths <= set(post_data)
+    assert kept, "purge rewrote a file containing no masked row"
+    noop = t.purge_deletion_vectors() is None
+    assert noop, "second purge was not a no-op"
+
+    return t.read_with_row_ids().select(
+        "s_suppkey",
+        F.col(ROWID_COL).alias("row_id"),
+        F.lit(identical).alias("reads_identical_pre_post"),
+        F.lit(zero_dvs).alias("zero_dvs_after_purge"),
+        F.lit(kept).alias("clean_file_kept_by_identity"),
+        F.lit(noop).alias("second_purge_noop"),
+    )

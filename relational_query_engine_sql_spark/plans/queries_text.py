@@ -1912,3 +1912,154 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(nfc).cast("int").alias("len_nfc"),
         F.md5(F.encode(nfc, "UTF-8")).alias("nfc_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (beyond; the ExactSubstr method of
+# "Deduplicating Training Data Makes Language Models Better", Lee et
+# al. 2022, at 3-token granularity): a 3-gram occurring >= 2 times
+# across the corpus marks its positions duplicated; overlapping /
+# adjacent duplicated grams consolidate into MAXIMAL SPANS per
+# document (gaps-and-islands over token positions), and the per-doc
+# report drives the keep/trim/drop routing a training pipeline
+# applies. Differs from text_hot_span_scrub (coverage counting of
+# >=3-doc-hot grams) by span consolidation and within-corpus repeat
+# counting. All distributed set algebra: one gram-keyed aggregate
+# (map-side combinable), one semi-join, a per-document window
+# (bounded by document length — no global ordering), keyed rollups.
+# No suffix array needed: at fixed k the shingle-hash equi-join finds
+# exactly the >=k-token duplicated substrings, and island merging
+# reconstructs the maximal runs. At 100 TB the gram aggregate is the
+# only corpus-scale shuffle and it reduces to (gram, count) partials.
+# Decisions are integer-arithmetic (2*dup > n, 5*dup > n), so the
+# emitted frame is hash-exact by construction — no doubles.
+# --------------------------------------------------------------------------
+@query(
+    "text_exact_substring_dedup",
+    survey="beyond:exact-substring-dedup",
+    priority=60,
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS INT) AS start,
+               array_to_string(w[i:i+2], ' ') AS gram
+        FROM words, UNNEST(generate_series(1, LEN(w) - 2)) AS t(i)
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, start FROM grams JOIN dup USING (gram)
+    ),
+    flagged AS (
+        SELECT doc_id, start,
+               CASE WHEN start - LAG(start) OVER (
+                        PARTITION BY doc_id ORDER BY start) <= 3
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    islands AS (
+        SELECT doc_id, start,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, isl,
+               MAX(start) - MIN(start) + 3 AS span_len
+        FROM islands GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_dup_spans,
+               CAST(SUM(span_len) AS INT) AS dup_tokens,
+               CAST(MAX(span_len) AS INT) AS max_span_len
+        FROM spans GROUP BY doc_id
+    ),
+    base AS (
+        SELECT d.doc_id,
+               CAST(LEN(string_split_regex(trim(d.text), '\s+')) AS INT)
+                   AS n_tokens,
+               CAST(COALESCE(p.n_dup_spans, 0) AS INT) AS n_dup_spans,
+               CAST(COALESCE(p.dup_tokens, 0) AS INT) AS dup_tokens,
+               CAST(COALESCE(p.max_span_len, 0) AS INT) AS max_span_len
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT *,
+           CASE WHEN 2 * dup_tokens > n_tokens THEN 'drop'
+                WHEN 5 * dup_tokens > n_tokens THEN 'trim'
+                ELSE 'keep' END AS decision
+    FROM base
+    """,
+)
+def text_exact_substring_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..datapipe.textstats import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    w = docs.select(F.col("doc_id"), tokens("text").alias("w"))
+    n_tokens = w.select(
+        "doc_id", F.size("w").cast("int").alias("n_tokens")
+    )
+    idxs = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.array_join(F.slice("w", i, 3), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.start", "g.gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi").select("doc_id", "start")
+    win = Window.partitionBy("doc_id").orderBy("start")
+    flagged = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("start") - F.lag("start").over(win) <= 3, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum("brk").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        (F.max("start") - F.min("start") + F.lit(3)).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum("span_len").cast("int").alias("dup_tokens"),
+        F.max("span_len").cast("int").alias("max_span_len"),
+    )
+    out = n_tokens.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("max_span_len", F.lit(0)).alias("max_span_len"),
+    )
+    return out.withColumn(
+        "decision",
+        F.when(2 * F.col("dup_tokens") > F.col("n_tokens"), "drop")
+        .when(5 * F.col("dup_tokens") > F.col("n_tokens"), "trim")
+        .otherwise("keep"),
+    )

@@ -568,8 +568,20 @@ class TxnLogBatchReader(DataSourceReader):
                 "is not enabled on this table (at the requested "
                 "version)"
             )
+        declared = [f.name for f in schema.fields]
+        if self._rowids and "_row_id" not in declared:
+            raise ValueError(
+                "txnlog batch read: rowIds=true but the effective read "
+                "schema does not declare `_row_id` bigint — the reader "
+                "only appends the column the schema announces"
+            )
+        # strip _row_id from the physical projection ONLY when this
+        # reader synthesizes it: the name is reserved solely on
+        # row-tracked tables (enable_row_tracking refuses a clashing
+        # user column), so on any other table `_row_id` is an ordinary
+        # user column that must project through untouched
         self._want = [
-            f.name for f in schema.fields if f.name != "_row_id"
+            n for n in declared if not (self._rowids and n == "_row_id")
         ]
         self._arrow_types = _declared_arrow_types(schema)
         data, dvs = view.live_at(self.version)
@@ -980,11 +992,16 @@ class TxnLogStreamDataSource(DataSource):
             )
         import pyarrow.parquet as pq
 
+        # hide a physically materialized _row_id (preserving rewrites
+        # land it in the files) ONLY on a row-tracked table — on any
+        # other table the name is not reserved and a user column
+        # called _row_id must surface like every other column
+        tracked = bool(view.cmap_state(upto).get("row_tracking"))
         arrow = pq.read_schema(sample)
         cols = ", ".join(
             f"`{f.name}` {_arrow_field_ddl(f)}"
             for f in arrow
-            if f.name != "_row_id"
+            if not (tracked and f.name == "_row_id")
         )
         return cols + rid_suffix
 

@@ -144,3 +144,34 @@ def test_generated_partition_column_spec_evolution(
         .count()
     )
     assert dup == 0
+
+
+def test_reopen_with_ctor_schema_after_spec_on_added_column(
+    spark, sf_small, tmp_path
+):
+    """A spec set on a column added AFTER creation must not make the
+    table unopenable through the original constructor schema: init
+    validates only the constructor-declared partitioning against the
+    constructor-declared schema (the evolved spec was validated
+    against the evolved schema at set_partitioning time)."""
+    ev = _ev(spark, sf_small)
+    t = TxnLogTable(spark, str(tmp_path / "a"), ev.schema, ["event_id"])
+    t.init(ev.repartition(2))
+    t.add_columns({"era": "string"})
+    t.set_partitioning(["era"])
+    # reopen with the ORIGINAL schema (a second writer/session that
+    # predates the evolution) — this used to raise
+    # "partition_by not in schema"
+    t2 = TxnLogTable(spark, t.path, ev.schema, ["event_id"])
+    assert t2.partition_by == ["era"]
+    assert t2.read().count() == ev.count()
+    # and the resolved spec drives new writes
+    t2.append(
+        ev.select(
+            (F.col("event_id") + 5_000_000).alias("event_id"),
+            "ts",
+            "value",
+            "event_type",
+        ).withColumn("era", F.lit("new")).repartition(1)
+    )
+    assert t2.read().count() == 2 * ev.count()

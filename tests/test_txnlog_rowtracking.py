@@ -134,10 +134,11 @@ def test_time_travel_reads_that_versions_ids(tracked):
     assert set(_ids(t)) == {k for k in ids_v1 if k % 2 != 0}
 
 
-def test_cow_update_gives_rewritten_rows_fresh_ids(tracked):
-    """Delta row-tracking semantics: copy-on-write rewrites assign
-    fresh ids to the rewritten rows (stable ids name row VERSIONS);
-    rows in untouched files keep theirs."""
+def test_cow_update_preserves_every_row_id(tracked):
+    """Delta row-tracking semantics: a row id names the ROW, not the
+    row version — copy-on-write UPDATE preserves the id of every
+    surviving row, updated rows included (change history is the
+    CDF's job), and the high-water mark is untouched."""
     t, src, h = tracked
     before = _ids(t)
     _, hwm = t._row_id_bases()
@@ -146,11 +147,63 @@ def test_cow_update_gives_rewritten_rows_fresh_ids(tracked):
         {"s_acctbal": F.col("s_acctbal") + 1},
     )
     after = _ids(t)
-    assert set(after) == set(before)
-    touched = {k for k in after if k <= h}
-    untouched = set(after) - touched
-    assert all(after[k] >= hwm for k in touched)
-    assert all(after[k] == before[k] for k in untouched)
+    assert after == before
+    assert t._row_id_bases()[1] == hwm
+    # the rewritten files carry the ids physically
+    with open(t._log_path(t.current_version()), encoding="utf-8") as f:
+        entry = json.load(f)
+    adds = [a["add"] for a in entry["actions"] if "add" in a]
+    assert adds and all(a.get("rowid_materialized") for a in adds)
+
+
+def test_upsert_preserves_matched_ids_fresh_for_new(tracked):
+    """MERGE/upsert parity: matched keys keep their ids through the
+    rewrite; brand-new keys get fresh lazy ids above the high-water
+    mark; carried neighbours in rewritten files keep theirs."""
+    t, src, h = tracked
+    before = _ids(t)
+    _, hwm = t._row_id_bases()
+    rows = src.filter(F.col("s_suppkey") <= h).select(
+        "s_suppkey",
+        "s_name",
+        (F.col("s_acctbal") + 5).alias("s_acctbal"),
+    )
+    fresh = src.filter(F.col("s_suppkey") <= h).select(
+        (F.col("s_suppkey") + 50_000_000).alias("s_suppkey"),
+        "s_name",
+        "s_acctbal",
+    )
+    t.upsert(rows.unionByName(fresh))
+    after = _ids(t)
+    old = {k: v for k, v in after.items() if k < 50_000_000}
+    new = {k: v for k, v in after.items() if k >= 50_000_000}
+    assert old == before
+    assert new and all(v >= hwm for v in new.values())
+    assert len(set(after.values())) == len(after)
+
+
+def test_plain_compact_preserves_ids_on_tracked_table(tracked):
+    """compact()/compact_small() on a row-tracked table must preserve
+    ids exactly like compact_preserving_row_ids — the min_writer=3
+    gate exists so lineage can't be compacted away."""
+    t, src, h = tracked
+    before = _ids(t)
+    _, hwm = t._row_id_bases()
+    t.compact(2)
+    assert _ids(t) == before
+    assert t._row_id_bases()[1] == hwm
+    t.append(
+        src.filter(F.col("s_suppkey") <= h).select(
+            (F.col("s_suppkey") + 70_000_000).alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+        )
+    )
+    t.compact_small(10_000_000)
+    after = _ids(t)
+    assert {k: v for k, v in after.items() if k < 70_000_000} == before
+    fresh = [v for k, v in after.items() if k >= 70_000_000]
+    assert fresh and min(fresh) == hwm
     assert len(set(after.values())) == len(after)
 
 
@@ -366,3 +419,116 @@ def test_streaming_sink_rows_get_lazy_ids(spark, sf_small, tmp_path):
     batch1 = [v for k, v in ids.items() if k in first]
     batch2 = [v for k, v in ids.items() if k not in first]
     assert max(batch1) < min(batch2) or max(batch2) < min(batch1)
+
+
+def test_partitioned_table_ids_survive_basename_collision(
+    spark, sf_small, tmp_path
+):
+    """One task writing several hive partitions emits IDENTICAL
+    part-file basenames into different p_*= directories — the row-id
+    base map must key on (basename, partitionValues), not basename
+    alone, or every colliding file fans out to every base (duplicated
+    rows, wrong ids)."""
+    src = _src(spark, sf_small).withColumn(
+        "bucket", (F.col("s_suppkey") % 3).cast("int")
+    )
+    t = TxnLogTable(
+        spark,
+        str(tmp_path / "p"),
+        src.schema,
+        ["s_suppkey"],
+        partition_by=["bucket"],
+    )
+    t.enable_row_tracking()
+    # repartition(1): a single task writes ALL three partition dirs,
+    # so the three files share one basename
+    t.init(src.repartition(1))
+    n = src.count()
+    ids = _ids(t)
+    assert len(ids) == n
+    assert sorted(ids.values()) == list(range(n))
+    # a second single-task append repeats the collision in fresh dirs
+    t.append(
+        src.select(
+            (F.col("s_suppkey") + 90_000_000).alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+            "bucket",
+        ).repartition(1)
+    )
+    after = _ids(t)
+    assert len(after) == 2 * n
+    assert sorted(after.values()) == list(range(2 * n))
+    assert {k: v for k, v in after.items() if k < 90_000_000} == ids
+
+
+def test_format_reader_keeps_user_row_id_column_when_untracked(
+    spark, sf_small, tmp_path
+):
+    """On a table where row tracking was NEVER enabled, `_row_id` is
+    an ordinary user column — format reads must surface it, not strip
+    it (the name is only reserved at enable_row_tracking time)."""
+    src = _src(spark, sf_small).withColumn(
+        ROWID_COL, F.col("s_suppkey") * 10
+    )
+    t = TxnLogTable(
+        spark, str(tmp_path / "u"), src.schema, ["s_suppkey"]
+    )
+    t.init(_sorted1(src))
+    _register(spark)
+    got = (
+        spark.read.format("txnlog")
+        .option("path", t.path)
+        .load()
+    )
+    assert ROWID_COL in got.columns
+    vals = {r.s_suppkey: r[ROWID_COL] for r in got.collect()}
+    assert all(v == 10 * k for k, v in vals.items())
+
+
+def test_format_reader_rowids_requires_declared_schema(tracked, spark):
+    """rowIds=true with an explicit schema LACKING `_row_id` must fail
+    loudly instead of appending a column the declared schema doesn't
+    announce."""
+    t, src, _ = tracked
+    _register(spark)
+    with pytest.raises(Exception, match="_row_id"):
+        spark.read.format("txnlog").schema(src.schema).option(
+            "path", t.path
+        ).option("rowIds", "true").load().collect()
+
+
+def test_purge_dv_materializes_deletes_preserves_ids(tracked):
+    """REORG APPLY (PURGE): after the purge the table reads identically
+    (ids included), zero DV files remain, files with no masked rows
+    are kept BY IDENTITY, and a second purge is a no-op."""
+    t, src, h = tracked
+    # a third file whose keys avoid every tombstoned residue — it must
+    # survive the purge untouched
+    clean = src.filter(
+        (F.col("s_suppkey") <= h)
+        & ((F.col("s_suppkey") + 30_000_000) % 7 != 0)
+    ).select(
+        (F.col("s_suppkey") + 30_000_000).alias("s_suppkey"),
+        "s_name",
+        "s_acctbal",
+    )
+    t.append(_sorted1(clean))
+    with open(t._log_path(t.current_version()), encoding="utf-8") as f:
+        clean_paths = {
+            a["add"]["path"]
+            for a in json.load(f)["actions"]
+            if "add" in a
+        }
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 7 == 0).select("s_suppkey")
+    )
+    pre = _ids(t)
+    assert t._split_live()[1], "fixture must have live DVs"
+    v = t.purge_deletion_vectors()
+    assert v is not None
+    post_data, post_dvs = t._split_live()
+    assert not post_dvs
+    assert _ids(t) == pre
+    assert clean_paths <= set(post_data), "clean file was rewritten"
+    assert t.purge_deletion_vectors() is None

@@ -205,6 +205,48 @@ WHITELIST: set[tuple[str, str]] = {
 
 ROUND_AS = re.compile(r"\bround\([^\n]*?\)\s+AS\s+(\w+)#\d+", re.IGNORECASE)
 
+# FROZEN at round 9 — the complete inventory of computed DOUBLE
+# columns emitted without ANY rounding, each carrying a driver-green
+# hash row at freeze time (exact emissions: decimal-quantized sums
+# cast to double, integer-exact ratios of small counts, or values
+# asserted equal across engines in-plan). This set takes NO additions:
+# a NEW query emitting a computed un-rounded double hard-fails the
+# round-close gate until it rounds to a fixed scale on both sides or
+# integer-scales the emission (the HLL lesson, extended to doubles).
+LEGACY_RAW_DOUBLE: set[tuple[str, str]] = set()
+
+
+def _alias_exprs(plan: str) -> dict[str, str]:
+    """Output column name -> the textual expression aliased to it in
+    the analyzed plan: scan backwards from each ' AS name#' to the
+    enclosing top-level delimiter with bracket balance (plan nodes
+    print their output lists on one line)."""
+    out: dict[str, str] = {}
+    for m in re.finditer(r" AS (\w+)#\d+", plan):
+        nm = m.group(1)
+        i = m.start()
+        depth = 0
+        line_start = plan.rfind("\n", 0, i) + 1
+        j = i - 1
+        while j >= line_start:
+            ch = plan[j]
+            if ch in ")]":
+                depth += 1
+            elif ch in "([":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            j -= 1
+        out.setdefault(nm, plan[j + 1 : i].strip())
+    return out
+
+
+# a bare attribute reference (possibly with a type-suffix letter):
+# renames of raw passthrough columns are exact on both sides
+_ATTR_ONLY = re.compile(r"^\w+#\d+[A-Za-z]*$")
+
 
 def lint_one(spark, name: str, fn, sf_dir: str) -> list[str]:
     import pyspark.sql.types as T
@@ -238,14 +280,38 @@ def lint_one(spark, name: str, fn, sf_dir: str) -> list[str]:
                     "decimal path)"
                 )
     plan = df._jdf.queryExecution().analyzed().toString()
+    round_cols = set()
     for m in ROUND_AS.finditer(plan):
         col = m.group(1)
+        round_cols.add(col)
         if col in double_cols and (name, col) not in WHITELIST:
             findings.append(
                 f"{name}.{col}: round(<double>) emission — replace with "
                 "CAST(floor(x * 10^n + 0.5) AS BIGINT) in BOTH engines, "
                 "or whitelist with evidence"
             )
+    # Rule 4 (round-9 ratchet): a COMPUTED double emitted with no
+    # rounding anywhere in its expression. Exact-value emissions
+    # (decimal-quantized sums cast double) are grandfathered in
+    # LEGACY_RAW_DOUBLE with driver-green evidence; the set is frozen,
+    # so every new query must round or integer-scale.
+    exprs = _alias_exprs(plan)
+    for col in sorted(double_cols):
+        expr = exprs.get(col)
+        if (
+            expr is None  # pure passthrough, never aliased
+            or _ATTR_ONLY.fullmatch(expr)
+            or col in round_cols
+            or "round(" in expr.lower()
+        ):
+            continue
+        if (name, col) in LEGACY_RAW_DOUBLE:
+            continue
+        findings.append(
+            f"{name}.{col}: computed DOUBLE emitted un-rounded — HARD "
+            "FAIL (LEGACY_RAW_DOUBLE is frozen): round to a fixed "
+            "scale on BOTH sides or integer-scale the emission"
+        )
     return sorted(set(findings))
 
 
