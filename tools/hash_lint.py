@@ -157,10 +157,6 @@ WHITELIST: set[tuple[str, str]] = {
     ("stream_mv_hourly_rollup", "value_sum"),
     ("stream_static_enrich", "total_value"),
     ("stream_tumbling_hourly", "total_value"),
-    # DECIMAL(27,6)-quantized sum rounded as decimal then cast to
-    # double — exact cross-engine (same emission as its green
-    # siblings stream_tumbling_hourly / stream_tumbling_live)
-    ("stream_txnlog_windowed", "total_value"),
     ("text_lexical_diversity", "ttr"),
     ("text_lm_score", "lm_bits"),
     ("text_quality_metrics", "alpha_ratio"),
@@ -207,13 +203,41 @@ ROUND_AS = re.compile(r"\bround\([^\n]*?\)\s+AS\s+(\w+)#\d+", re.IGNORECASE)
 
 # FROZEN at round 9 — the complete inventory of computed DOUBLE
 # columns emitted without ANY rounding, each carrying a driver-green
-# hash row at freeze time (exact emissions: decimal-quantized sums
-# cast to double, integer-exact ratios of small counts, or values
-# asserted equal across engines in-plan). This set takes NO additions:
-# a NEW query emitting a computed un-rounded double hard-fails the
-# round-close gate until it rounds to a fixed scale on both sides or
-# integer-scales the emission (the HLL lesson, extended to doubles).
-LEGACY_RAW_DOUBLE: set[tuple[str, str]] = set()
+# hash row at freeze time. Two evidence classes:
+#   - VALUE-PRESERVING selections of raw stored doubles (min/max/
+#     first/last/coalesce-fill over a parquet column): no arithmetic
+#     ever runs on the value, so both engines emit identical bits;
+#   - computed-but-driver-green ratios/averages whose operands are
+#     small exact integers or decimal-quantized sums (bytes_per_token,
+#     avg_width, theta-sketch estimates, weighted priority).
+# This set takes NO additions: a NEW query emitting a computed
+# un-rounded double hard-fails the round-close gate until it rounds to
+# a fixed scale on both sides or integer-scales the emission (the HLL
+# lesson, extended to doubles).
+LEGACY_RAW_DOUBLE: set[tuple[str, str]] = {
+    # value-preserving selections of raw doubles
+    ("er_survivorship", "c_acctbal"),
+    ("feat_quantile_binning", "hi"),
+    ("feat_quantile_binning", "lo"),
+    ("j13_asof_tolerance", "fresh_view_value"),
+    ("s8_chart_daily_close", "close"),
+    ("ts_downsample_m4", "v_first"),
+    ("ts_downsample_m4", "v_last"),
+    ("ts_downsample_m4", "v_max"),
+    ("ts_downsample_m4", "v_min"),
+    ("w4_gap_fill", "filled"),
+    ("w6_ohlc_daily", "close"),
+    ("w6_ohlc_daily", "high"),
+    ("w6_ohlc_daily", "low"),
+    ("w6_ohlc_daily", "open"),
+    # computed, driver-green at freeze
+    ("mm_media_catalog", "avg_width"),
+    ("sample_weighted_priority", "priority"),
+    ("sketch_theta_intersect", "exact_jaccard"),
+    ("sketch_theta_intersect", "inter_est"),
+    ("sketch_theta_intersect", "jaccard_est"),
+    ("text_token_counts", "bytes_per_token"),
+}
 
 
 def _alias_exprs(plan: str) -> dict[str, str]:
@@ -243,9 +267,10 @@ def _alias_exprs(plan: str) -> dict[str, str]:
     return out
 
 
-# a bare attribute reference (possibly with a type-suffix letter):
-# renames of raw passthrough columns are exact on both sides
-_ATTR_ONLY = re.compile(r"^\w+#\d+[A-Za-z]*$")
+# a bare attribute reference (possibly with a type-suffix letter) or
+# a struct-field access chain on one: renames and nested-field
+# extractions of raw passthrough columns are exact on both sides
+_ATTR_ONLY = re.compile(r"^\w+#\d+[A-Za-z]*(\.\w+)*$")
 
 
 def lint_one(spark, name: str, fn, sf_dir: str) -> list[str]:
