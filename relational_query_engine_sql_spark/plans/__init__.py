@@ -505,6 +505,7 @@ assert not _unknown_r8, f"ROUND8 names not registered: {_unknown_r8}"
 ROUND9_QUEUE: list[str] = [
     "s40_txnlog_dv_purge",  # REORG APPLY (PURGE), MOR third leg
     "text_exact_substring_dedup",  # Lee et al. ExactSubstr islands
+    "text_bpe_merge_train",  # iterative BPE trainer, 3 merge rounds
 ]
 
 # Round-9 prefix, per the round-8 verdict: provenance is closed and
@@ -564,12 +565,12 @@ ROUND9_STALE_R2 = [
     "ext_json_extract",
     "ext_lead_ntile",
     "ext_moving_avg",
-    "ext_null_semantics",
 ]
 # r2-stale rows that exceed the 50-name window — FIRST in line for
 # the round-10 rotation so the whole r1–r2 cohort is refreshed by
 # round-10 close.
 ROUND10_STALE_STAGED = [
+    "ext_null_semantics",
     "ext_percent_rank",
     "ext_percentiles",
     "ext_pivot",

@@ -1075,3 +1075,206 @@ def sql_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RECURSIVE_HIER_SQL.format(supplier="rec_cte_supplier")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge TRAINING loop (beyond; the iterative half of the tokenizer
+# trainer — text_bpe_pair_freq is one round's pair table, this is the
+# actual loop): 3 rounds of (count adjacent symbol pairs weighted by
+# word frequency -> argmax with lexicographic tiebreak -> apply the
+# merge corpus-wide). The merge step — BPE's exhaustive LEFT-TO-RIGHT
+# NON-OVERLAPPING single pass — is pure window algebra: pair-match
+# flags, gaps-and-islands over consecutive matched positions, and
+# odd-offset parity inside each island picks exactly the merges a
+# sequential scanner would (an island of k consecutive (a,a) matches
+# merges at offsets 0,2,4...). No UDF, no driver-side vocabulary: the
+# chosen pair stays IN-PLAN as a 1-row broadcast, so the whole 3-round
+# loop is one lazy DataFrame program. Sharded the way real trainers
+# shard: by WORD — the corpus-scale shuffle collapses to the
+# vocabulary first (groupBy word), and every window is per-word
+# (bounded by word length). The DuckDB oracle unrolls the identical
+# three rounds as CTEs, so the hash pins the merge-rule CHOICES and
+# their frequencies, i.e. the training trajectory itself. All-integer/
+# string emission — hash-exact by construction.
+# --------------------------------------------------------------------------
+_BPE_ROUND_SQL = r"""
+p{r} AS (
+    SELECT sym AS l_sym, nxt AS r_sym, SUM(wc) AS freq FROM (
+        SELECT wc, sym,
+               LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM s{p}
+    ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+b{r} AS (
+    SELECT l_sym, r_sym, freq FROM p{r}
+    ORDER BY freq DESC, l_sym, r_sym LIMIT 1
+),
+m{r} AS (
+    SELECT w, wc, pos, sym, nxt,
+           COALESCE(sym = (SELECT l_sym FROM b{r})
+                    AND nxt = (SELECT r_sym FROM b{r}), FALSE) AS is_m
+    FROM (
+        SELECT w, wc, pos, sym,
+               LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM s{p}
+    )
+),
+g{r} AS (
+    SELECT *, CASE WHEN is_m THEN pos - ROW_NUMBER() OVER (
+                  PARTITION BY w, is_m ORDER BY pos) END AS grp
+    FROM m{r}
+),
+d{r} AS (
+    SELECT *, is_m AND (ROW_NUMBER() OVER (
+                  PARTITION BY w, grp ORDER BY pos) % 2 = 1) AS do_merge
+    FROM g{r}
+),
+k{r} AS (
+    SELECT w, wc, pos AS opos,
+           CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+    FROM (
+        SELECT *, COALESCE(LAG(do_merge) OVER (
+                      PARTITION BY w ORDER BY pos), FALSE) AS consumed
+        FROM d{r}
+    ) WHERE NOT consumed
+),
+s{r} AS (
+    SELECT w, wc,
+           CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY opos) AS INT)
+               AS pos,
+           sym
+    FROM k{r}
+)"""
+
+
+@query(
+    "text_bpe_merge_train",
+    survey="beyond:tokenizer-bpe,beyond:iterative",
+    priority=60,
+    oracle=r"""
+    WITH vocab AS (
+        SELECT w, COUNT(*) AS wc FROM (
+            SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents
+        ) GROUP BY w HAVING LEN(w) >= 2
+    ),
+    s0 AS (
+        SELECT w, wc, CAST(i AS INT) AS pos,
+               substr(w, CAST(i AS INT), 1) AS sym
+        FROM vocab, UNNEST(generate_series(1, LEN(w))) AS t(i)
+    ),
+    """
+    + ",\n    ".join(
+        _BPE_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3)
+    )
+    + r"""
+    SELECT 1 AS merge_round, l_sym, r_sym, CAST(freq AS BIGINT) AS freq
+    FROM b1
+    UNION ALL
+    SELECT 2, l_sym, r_sym, CAST(freq AS BIGINT) FROM b2
+    UNION ALL
+    SELECT 3, l_sym, r_sym, CAST(freq AS BIGINT) FROM b3
+    """,
+)
+def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.textstats import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    syms = vocab.select(
+        "w",
+        "wc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            )
+        ).alias("pos", "sym"),
+    )
+    wwin = W.partitionBy("w").orderBy("pos")
+    merges = []
+    for r in (1, 2, 3):
+        with_next = syms.withColumn("nxt", F.lead("sym").over(wwin))
+        pair_freq = (
+            with_next.filter(F.col("nxt").isNotNull())
+            .groupBy(
+                F.col("sym").alias("l_sym"), F.col("nxt").alias("r_sym")
+            )
+            .agg(F.sum("wc").alias("freq"))
+        )
+        best = (
+            pair_freq.orderBy(F.col("freq").desc(), "l_sym", "r_sym")
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_round"), "l_sym", "r_sym", "freq"
+            )
+        )
+        merges.append(best)
+        # the chosen pair rides in-plan as a 1-row broadcast — the
+        # loop never collects to the driver
+        m = with_next.crossJoin(
+            F.broadcast(
+                best.select(
+                    F.col("l_sym").alias("_a"), F.col("r_sym").alias("_b")
+                )
+            )
+        ).withColumn(
+            "is_m",
+            F.coalesce(
+                (F.col("sym") == F.col("_a"))
+                & (F.col("nxt") == F.col("_b")),
+                F.lit(False),
+            ),
+        )
+        m = m.withColumn(
+            "grp",
+            F.when(
+                F.col("is_m"),
+                F.col("pos")
+                - F.row_number().over(
+                    W.partitionBy("w", "is_m").orderBy("pos")
+                ),
+            ),
+        )
+        m = m.withColumn(
+            "do_merge",
+            F.col("is_m")
+            & (
+                F.row_number().over(
+                    W.partitionBy("w", "grp").orderBy("pos")
+                )
+                % 2
+                == 1
+            ),
+        )
+        m = m.withColumn(
+            "consumed",
+            F.coalesce(F.lag("do_merge").over(wwin), F.lit(False)),
+        )
+        kept = m.filter(~F.col("consumed")).select(
+            "w",
+            "wc",
+            F.col("pos").alias("opos"),
+            F.when(
+                F.col("do_merge"), F.concat("sym", "nxt")
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        syms = kept.select(
+            "w",
+            "wc",
+            F.row_number()
+            .over(W.partitionBy("w").orderBy("opos"))
+            .alias("pos"),
+            "sym",
+        )
+    out = merges[0]
+    for extra in merges[1:]:
+        out = out.unionByName(extra)
+    return out.select("merge_round", "l_sym", "r_sym", "freq")
