@@ -532,3 +532,84 @@ def test_purge_dv_materializes_deletes_preserves_ids(tracked):
     assert _ids(t) == pre
     assert clean_paths <= set(post_data), "clean file was rewritten"
     assert t.purge_deletion_vectors() is None
+
+
+def test_merge_preserves_ids_updates_keep_inserts_fresh(tracked):
+    """MERGE on a row-tracked table: updated and carried rows keep
+    their ids (threaded through merge_frame as an extra schema
+    field), deleted rows' ids vanish, inserted rows take fresh lazy
+    ids above the high-water mark."""
+    t, src, h = tracked
+    before = _ids(t)
+    _, hwm = t._row_id_bases()
+    source = (
+        src.filter(F.col("s_suppkey") <= h)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("s_acctbal") + 9).alias("s_acctbal"),
+        )
+        .unionByName(
+            src.filter(F.col("s_suppkey") <= h).select(
+                (F.col("s_suppkey") + 80_000_000).alias("s_suppkey"),
+                "s_name",
+                "s_acctbal",
+            )
+        )
+    )
+    t.merge(
+        source,
+        update_assign={"s_acctbal": F.col("_s_s_acctbal")},
+        delete_cond=F.col("s_suppkey") % 5 == 0,
+    )
+    after = _ids(t)
+    old = {k: v for k, v in after.items() if k < 80_000_000}
+    new = {k: v for k, v in after.items() if k >= 80_000_000}
+    # deleted: matched source rows with key%5==0
+    expect_old = {
+        k: v
+        for k, v in before.items()
+        if not (k <= h and k % 5 == 0)
+    }
+    assert old == expect_old
+    assert new and all(v >= hwm for v in new.values())
+    assert len(set(after.values())) == len(after)
+
+
+def test_partitioned_tracked_lifecycle_update_compact_purge(
+    spark, sf_small, tmp_path
+):
+    """Partitioned + row-tracked end-to-end: ids stay stable through
+    a predicate UPDATE, a compaction, an MOR delete, and a DV purge —
+    the composition the basename-collision bug would have corrupted
+    silently."""
+    src = _src(spark, sf_small).withColumn(
+        "bucket", (F.col("s_suppkey") % 3).cast("int")
+    )
+    t = TxnLogTable(
+        spark,
+        str(tmp_path / "pl"),
+        src.schema,
+        ["s_suppkey"],
+        partition_by=["bucket"],
+    )
+    t.enable_row_tracking()
+    t.init(src.repartition(1))
+    before = _ids(t)
+    _, hwm = t._row_id_bases()
+    t.update(
+        F.col("bucket") == 1,
+        {"s_acctbal": F.col("s_acctbal") + 1},
+    )
+    assert _ids(t) == before
+    t.compact(2)
+    assert _ids(t) == before
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 4 == 0).select("s_suppkey")
+    )
+    survivors = {k: v for k, v in before.items() if k % 4 != 0}
+    assert _ids(t) == survivors
+    assert t.purge_deletion_vectors() is not None
+    assert _ids(t) == survivors
+    assert not t._split_live()[1]
+    assert t._row_id_bases()[1] == hwm
