@@ -91,6 +91,7 @@ def test_rotation_prefixes_cover_whole_registry():
         | set(P.ROUND6_PREFIX)
         | set(P.ROUND7_PREFIX)
         | set(P.ROUND8_PREFIX)
+        | set(P.ROUND9_PREFIX)
     )
     orphans = set(P.all_queries()) - checked - staged
     assert not orphans, f"queries with no path to a driver row: {orphans}"
