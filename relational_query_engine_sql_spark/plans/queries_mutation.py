@@ -2872,3 +2872,116 @@ def s40_txnlog_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(kept).alias("clean_file_kept_by_identity"),
         F.lit(noop).alias("second_purge_noop"),
     )
+
+
+# --------------------------------------------------------------------------
+# S41: SNAPSHOT DIFF VIA STABLE ROW IDS (Iceberg v3 changelog-view /
+# Delta row-lineage shape): classify every row across two table
+# versions as inserted / deleted / updated / unchanged by FULL-OUTER
+# JOINING the two snapshots ON THE ROW ID — no CDF subscription
+# needed, just two time-travel reads. This is exactly what row-id
+# PRESERVATION through copy-on-write buys (round-9 semantics): an
+# UPDATE surfaces as one 'updated' row, not a spurious delete+insert
+# pair, because the rewritten row kept the id it was born with. The
+# oracle reconstructs the classification of every id from the same
+# deterministic batch construction as s38/s40, so the hash pins both
+# the id assignment AND the preserve-through-update semantics.
+# --------------------------------------------------------------------------
+_S41_SHIFT = 40_000_000
+
+
+@query(
+    "s41_txnlog_rowid_diff",
+    survey="beyond:txnlog,beyond:row-tracking,beyond:changelog",
+    priority=60,
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(MAX(s_suppkey) // 2 AS BIGINT) AS h FROM supplier
+    ),
+    b1 AS (
+        SELECT s_suppkey,
+               ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier WHERE s_suppkey <= (SELECT h FROM h)
+    ),
+    b2 AS (
+        SELECT s_suppkey,
+               (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier WHERE s_suppkey > (SELECT h FROM h)
+    ),
+    v1 AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+    b3 AS (
+        SELECT s_suppkey + {_S41_SHIFT} AS s_suppkey,
+               (SELECT COUNT(*) FROM supplier)
+               + ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        FROM supplier WHERE s_suppkey <= (SELECT h FROM h)
+    )
+    SELECT s_suppkey, row_id,
+           CASE WHEN s_suppkey % 7 = 3 THEN 'deleted'
+                WHEN s_suppkey % 5 = 0 THEN 'updated'
+                ELSE 'unchanged' END AS change
+    FROM v1
+    UNION ALL
+    SELECT s_suppkey, row_id, 'inserted' FROM b3
+    """,
+)
+def s41_txnlog_rowid_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txnlog import ROWID_COL, TxnLogTable
+
+    src = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    h = src.agg(F.max("s_suppkey")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="rqe-s41-")
+    t = TxnLogTable(spark, f"{root}/s", src.schema, ["s_suppkey"])
+    t.enable_row_tracking()
+
+    def sorted1(df: DataFrame) -> DataFrame:
+        return df.repartition(1).sortWithinPartitions("s_suppkey")
+
+    t.init(sorted1(src.filter(F.col("s_suppkey") <= h)))
+    t.append(sorted1(src.filter(F.col("s_suppkey") > h)))
+    v1 = t.current_version()
+
+    # the round-9 semantics under test: UPDATE preserves row ids, so
+    # the diff below sees ONE 'updated' row, never delete+insert
+    t.update(
+        F.col("s_suppkey") % 5 == 0,
+        {"s_acctbal": F.col("s_acctbal") + 1},
+    )
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 7 == 3).select("s_suppkey")
+    )
+    t.append(
+        sorted1(
+            src.filter(F.col("s_suppkey") <= h).select(
+                (F.col("s_suppkey") + _S41_SHIFT).alias("s_suppkey"),
+                "s_name",
+                "s_acctbal",
+            )
+        )
+    )
+    v2 = t.current_version()
+
+    old = t.read_with_row_ids(v1).select(
+        F.col(ROWID_COL).alias("row_id"),
+        F.col("s_suppkey").alias("_k1"),
+        F.col("s_acctbal").alias("_v1"),
+    )
+    new = t.read_with_row_ids(v2).select(
+        F.col(ROWID_COL).alias("row_id"),
+        F.col("s_suppkey").alias("_k2"),
+        F.col("s_acctbal").alias("_v2"),
+    )
+    diff = old.join(new, "row_id", "full_outer")
+    change = (
+        F.when(F.col("_k1").isNull(), "inserted")
+        .when(F.col("_k2").isNull(), "deleted")
+        .when(F.col("_v1") != F.col("_v2"), "updated")
+        .otherwise("unchanged")
+    )
+    return diff.select(
+        F.coalesce("_k2", "_k1").alias("s_suppkey"),
+        "row_id",
+        change.alias("change"),
+    )
