@@ -365,3 +365,44 @@ def theta_pair_overlap(sketches: DataFrame, k: int = 64) -> DataFrame:
         .otherwise(F.col("inter_k") / theta_frac)
         .alias("inter_est"),
     )
+
+
+def hll_group_sketches(
+    df: DataFrame, key: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HyperLogLog register tables: (group..., bucket, r) —
+    the hypertable-rollup primitive. Same portable rho construction
+    as :func:`hll_sketch` (string ops on the md5 hex, never
+    engine-private bit intrinsics), with the group columns carried
+    through, so ≤ HLL_M rows of state exist PER GROUP and per-group
+    sketches roll up to coarser grains by per-bucket max
+    (``sketch_hll_hourly_rollup`` hash-proves the law cross-engine)."""
+    parts = df.select(
+        *[F.col(c) for c in group_cols],
+        _key_hash(F.col(key)).alias("h"),
+    ).select(
+        *group_cols,
+        F.substring("h", 1, 2).alias("bucket"),
+        F.expr(
+            f"trim(LEADING '0' FROM substring(h, 3, {HLL_TAIL_HEX}))"
+        ).alias("stripped"),
+    )
+    first = F.substring(F.col("stripped"), 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    r = (
+        F.when(F.col("stripped") == "", F.lit(HLL_RHO_CAP))
+        .otherwise(
+            4 * (F.lit(HLL_TAIL_HEX) - F.length("stripped")) + extra + 1
+        )
+        .cast("int")
+    )
+    return (
+        parts.select(*group_cols, "bucket", r.alias("r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("r"))
+    )

@@ -507,6 +507,7 @@ ROUND9_QUEUE: list[str] = [
     "text_exact_substring_dedup",  # Lee et al. ExactSubstr islands
     "text_bpe_merge_train",  # iterative BPE trainer, 3 merge rounds
     "s41_txnlog_rowid_diff",  # snapshot diff via stable row ids
+    "sketch_hll_hourly_rollup",  # hypertable-rollup mergeability law
 ]
 
 # Round-9 prefix, per the round-8 verdict: provenance is closed and
@@ -564,12 +565,12 @@ ROUND9_STALE_R2 = [
     "ext_grouping_sets",
     "ext_having",
     "ext_json_extract",
-    "ext_lead_ntile",
 ]
 # r2-stale rows that exceed the 50-name window — FIRST in line for
 # the round-10 rotation so the whole r1–r2 cohort is refreshed by
 # round-10 close.
 ROUND10_STALE_STAGED = [
+    "ext_lead_ntile",
     "ext_moving_avg",
     "ext_null_semantics",
     "ext_percent_rank",

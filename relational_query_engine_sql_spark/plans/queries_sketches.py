@@ -848,3 +848,69 @@ def sketch_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in shard_masks[1:]:
         merged = merged.unionByName(m)
     return merged.distinct().orderBy("pos")
+
+
+# --------------------------------------------------------------------------
+# TIME-BUCKETED HLL ROLLUP (the hypertable / streaming-warehouse
+# continuous-aggregate shape): per-HOUR register tables of distinct
+# users, rolled up to DAILY registers by per-bucket max. The Spark
+# side deliberately goes THROUGH the hourly grain (group by day+hour,
+# then merge hours into days); the oracle computes the daily
+# registers DIRECTLY from the raw rows — a hash match therefore
+# proves the rollup law (merge-of-fine-grain == direct-coarse-grain)
+# cross-engine, which is the property that lets a 100 TB deployment
+# keep ≤256 rows of state per hour and answer any coarser
+# distinct-count without rescanning raw data. Registers only — the
+# all-integer emission class that survived the r6-r8 HLL-estimate
+# canonicalizer saga by construction.
+# --------------------------------------------------------------------------
+@query(
+    "sketch_hll_hourly_rollup",
+    survey="beyond:sketch-hll-merge,beyond:hypertable-rollup",
+    priority=60,
+    oracle="""
+    WITH keys AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    parts AS (
+        SELECT d, substr(h, 1, 2) AS bucket,
+               ltrim(substr(h, 3, 15), '0') AS stripped
+        FROM keys
+    ),
+    rho AS (
+        SELECT d, bucket,
+               CASE WHEN stripped = '' THEN 61
+                    ELSE 4 * (15 - length(stripped))
+                         + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                                WHEN substr(stripped, 1, 1) IN ('2', '3')
+                                    THEN 2
+                                WHEN substr(stripped, 1, 1)
+                                    IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1
+               END AS r
+        FROM parts
+    )
+    SELECT d, bucket, CAST(MAX(r) AS INT) AS r
+    FROM rho GROUP BY d, bucket
+    """,
+)
+def sketch_hll_hourly_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..datapipe.sketches import hll_group_sketches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "user_id",
+    )
+    hourly = hll_group_sketches(ev, "user_id", ["d", "hr"])
+    # rollup: hour -> day by per-bucket max (the mergeability law)
+    return (
+        hourly.groupBy("d", "bucket")
+        .agg(F.max("r").alias("r"))
+        .select("d", "bucket", "r")
+    )

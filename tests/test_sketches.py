@@ -251,3 +251,29 @@ def test_theta_zero_overlap_pair_survives_with_zero(spark):
     r = out[0]
     assert r["inter_k"] == 0
     assert r["jaccard_est"] == 0.0 and r["inter_est"] == 0.0
+
+
+def test_hll_group_rollup_equals_direct_coarse_grain(spark, sf_small):
+    """Hypertable-rollup law: per-hour register tables merged by
+    per-bucket max must equal the registers built directly at the
+    daily grain — in-engine twin of sketch_hll_hourly_rollup's
+    cross-engine hash proof."""
+    from relational_query_engine_sql_spark.datapipe.sketches import (
+        hll_group_sketches,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        F.to_date("ts").alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "user_id",
+    )
+    hourly = hll_group_sketches(ev, "user_id", ["d", "hr"])
+    rolled = (
+        hourly.groupBy("d", "bucket").agg(F.max("r").alias("r"))
+    )
+    direct = hll_group_sketches(ev, "user_id", ["d"])
+    assert rolled.exceptAll(direct).count() == 0
+    assert direct.exceptAll(rolled).count() == 0
+    # bounded state: at most 256 registers per day
+    per_day = rolled.groupBy("d").count().agg(F.max("count")).first()[0]
+    assert per_day <= 256
