@@ -133,3 +133,39 @@ def test_prior_bench_recovers_queries_from_truncated_tail(
         "a1_pricing_summary": 1.234,
         "j1_join_dims": 0.5,
     }
+
+
+def test_hash_lint_alias_parser_and_raw_double_rules():
+    """The round-9 ratchet's plan-text parser: alias extraction is
+    bracket-balanced, attribute renames and struct-field chains are
+    passthroughs, and the frozen legacy set refuses growth silently
+    (documented invariant: additions are prohibited)."""
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "hash_lint", os.path.join(here, "tools", "hash_lint.py")
+    )
+    hl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(hl)
+
+    plan = (
+        "Project [value#12 AS v#45, round(x#1, 2) AS r#46, "
+        "(a#2 / b#3) AS ratio#47, payload#9.price AS price#48, "
+        "coalesce(f(x#1, y#2), 0.0) AS filled#49]\n"
+        "+- Relation [value#12] parquet"
+    )
+    exprs = hl._alias_exprs(plan)
+    assert exprs["v"] == "value#12"
+    assert exprs["r"] == "round(x#1, 2)"
+    assert exprs["ratio"] == "(a#2 / b#3)"
+    assert exprs["price"] == "payload#9.price"
+    # bracket balance: the nested comma inside f(...) must not split
+    assert exprs["filled"] == "coalesce(f(x#1, y#2), 0.0)"
+    assert hl._ATTR_ONLY.fullmatch("value#12")
+    assert hl._ATTR_ONLY.fullmatch("value#12L")
+    assert hl._ATTR_ONLY.fullmatch("payload#9.price")
+    assert not hl._ATTR_ONLY.fullmatch("(a#2 / b#3)")
+    # the legacy set is frozen at its round-9 inventory size
+    assert len(hl.LEGACY_RAW_DOUBLE) == 20

@@ -613,3 +613,36 @@ def test_partitioned_tracked_lifecycle_update_compact_purge(
     assert _ids(t) == survivors
     assert not t._split_live()[1]
     assert t._row_id_bases()[1] == hwm
+
+
+def test_predicate_delete_preserves_survivor_ids(tracked):
+    """Predicate DELETE on a row-tracked table: survivors carried
+    through the copy-on-write rewrite keep their ids."""
+    t, src, h = tracked
+    before = _ids(t)
+    _, hwm = t._row_id_bases()
+    t.delete(F.col("s_suppkey") % 6 == 1)
+    after = _ids(t)
+    assert after == {k: v for k, v in before.items() if k % 6 != 1}
+    assert t._row_id_bases()[1] == hwm
+
+
+def test_replace_where_preserves_carried_ids_fresh_region(tracked):
+    """replaceWhere on a row-tracked table: rows carried from the
+    rewritten files keep their ids; the replacement region's rows are
+    NEW row identities with fresh lazy ids above the high-water
+    mark."""
+    t, src, h = tracked
+    before = _ids(t)
+    _, hwm = t._row_id_bases()
+    region = F.col("s_suppkey") <= h // 2
+    incoming = src.filter(region).select(
+        "s_suppkey", "s_name", (F.col("s_acctbal") * 0).alias("s_acctbal")
+    )
+    t.replace_where(incoming, region)
+    after = _ids(t)
+    carried = {k: v for k, v in after.items() if k > h // 2}
+    replaced = {k: v for k, v in after.items() if k <= h // 2}
+    assert carried == {k: v for k, v in before.items() if k > h // 2}
+    assert replaced and all(v >= hwm for v in replaced.values())
+    assert len(set(after.values())) == len(after)
