@@ -1649,3 +1649,98 @@ def stream_txnlog_rate_limit(
             F.lit(multi).alias("drain_took_multiple_batches"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# STREAMING SINK x ROW TRACKING composition: exactly-once sink commits
+# into a row-tracked table. Row ids are lazily LOG-derived (base =
+# running row total in commit order, id = base + in-file position,
+# operators/txnlog.py _row_id_bases), so the sink needs zero id
+# coordination: its commits are pure appends whose add actions carry
+# exact rowcounts — which is the whole allocator. The scenario streams
+# two file-source waves through ONE checkpoint into a row-tracked
+# table and proves: (1) ids are contiguous from zero after wave 1,
+# (2) wave-1 ids are UNCHANGED by the wave-2 commit and fresh ids
+# continue contiguously above the high-water mark, (3) replaying the
+# ENTIRE source through a fresh checkpoint with the same appId is a
+# wholesale no-op (txn markers) AND every id is byte-identical across
+# that restart — id stability across checkpoint replay, asserted
+# in-plan. At 100 TB this is the property that matters for a
+# 1000-executor ingest fleet: commit order IS the allocator, so no
+# id server, no per-row coordination, no hot key.
+# --------------------------------------------------------------------------
+@query(
+    "stream_txnlog_rowid_sink",
+    survey="beyond:txnlog,beyond:streaming-sink,beyond:row-tracking",
+    priority=60,
+    oracle="""
+    SELECT event_id, event_type, value,
+           TRUE AS ids_contiguous_from_zero,
+           TRUE AS wave1_ids_stable_after_wave2,
+           TRUE AS ids_stable_across_replay
+    FROM events WHERE event_id % 9 = 0
+    """,
+)
+def stream_txnlog_rowid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.txnlog import ROWID_COL, TxnLogTable
+    from ..sources.txnlog_stream import TxnLogStreamDataSource
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 9 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    root = tempfile.mkdtemp(prefix="rqe-txn-ridsink-")
+    t = TxnLogTable(spark, f"{root}/table", ev.schema, ["event_id"])
+    t.enable_row_tracking()  # BEFORE any data: min_writer=3, sink conforms
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{root}/src/c0")
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{root}/src/c*")
+            .writeStream.format("txnlog")
+            .option("path", f"{root}/table")
+            .option("checkpointLocation", ckpt)
+            .option("appId", "rid_ingest")
+            .option("keys", "event_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def snapshot() -> dict[int, int]:
+        return {
+            r.event_id: r[ROWID_COL]
+            for r in t.read_with_row_ids().collect()
+        }
+
+    run(f"{root}/ckpt")  # wave 1
+    ids1 = snapshot()
+    contiguous = set(ids1.values()) == set(range(len(ids1)))
+    assert contiguous, "wave-1 ids not contiguous from zero"
+
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{root}/src/c1")
+    run(f"{root}/ckpt")  # wave 2, same checkpoint: only the new file
+    ids2 = snapshot()
+    stable = all(ids2[k] == v for k, v in ids1.items()) and set(
+        ids2.values()
+    ) == set(range(len(ids2)))
+    assert stable, "wave-2 commit disturbed wave-1 ids or left a gap"
+
+    run(f"{root}/ckpt2")  # full replay, fresh checkpoint, same appId
+    ids3 = snapshot()
+    replay_stable = ids3 == ids2  # no-op commit AND identical ids
+    assert replay_stable, "replay duplicated rows or reassigned ids"
+
+    return t.read().select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit(contiguous).alias("ids_contiguous_from_zero"),
+        F.lit(stable).alias("wave1_ids_stable_after_wave2"),
+        F.lit(replay_stable).alias("ids_stable_across_replay"),
+    )
