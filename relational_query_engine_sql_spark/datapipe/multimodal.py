@@ -78,7 +78,17 @@ def media_catalog(media: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("payload")).alias("total_bytes"),
-            F.avg("meta.width").alias("avg_width"),
+            # integer-scaled exact emission (micro-width units): all
+            # operands are exact integers well under 2^53, so the
+            # scaled floor(x + 0.5) is bit-identical cross-engine —
+            # the r10 migration off LEGACY_RAW_DOUBLE
+            F.floor(
+                F.sum("meta.width") * F.lit(1000000.0)
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("avg_width_e6"),
             F.round(
                 F.sum(F.col("meta.duration_s").cast("decimal(27,6)")), 4
             )

@@ -603,6 +603,95 @@ _unknown_r9 = [n for n in ROUND9_PREFIX if n not in all_queries()]
 assert not _unknown_r9, f"ROUND9 names not registered: {_unknown_r9}"
 assert len(ROUND9_PREFIX) == 50, len(ROUND9_PREFIX)
 
+# Round-10 queue: staging for queries added during round 10 (each
+# strict-sim green at sf0.001 + 0.01 + 0.1 before entering).
+ROUND10_QUEUE: list[str] = [
+    "stream_txnlog_rowid_sink",  # sink x row-tracking composition
+]
+
+# Round-10 prefix, per the round-9 verdict: the engine is
+# feature-complete and fully green, so the window's job remains
+# FRESHNESS — clear the r2 remainder (ROUND10_STALE_STAGED) and the
+# highest-risk r3 rows, and refresh the six §2 reps whose latest green
+# dates to r7 so every §2 operator's newest driver check is ≤2 rounds
+# old at close. Order: queue, 2 family reps (flagship canary + the
+# row-tracking scenario sitting under this round's sink composition),
+# the 6 r7-stale §2 reps, the 14 staged r2 rows, then 27 r3 rows
+# chosen by risk: module churn first (txnlog maintenance, streaming),
+# then the TPC-H cohort, sources, search, and the legacy-double
+# migration row w6_ohlc_daily. The 13 r3 rows that don't fit are
+# pre-staged below for round 11 (ann_bruteforce_numpy/ann_kmeans_train
+# stay out: rows-only by declaration, their oracled companions carry
+# the check).
+ROUND10_R7_REPS = [
+    "o2_topk",  # O1/O2
+    "f4_ilike_search",  # F4
+    "e9_ledger_regex",  # E9
+    "u2_apply_trades",  # U2/A8, the trade-ledger heart
+    "src_csv_roundtrip",  # S8 analog
+    "s22_txnlog_restore",  # S10
+]
+ROUND10_STALE_R3 = [
+    "maintenance_compaction",  # txnlog module churned in r9
+    "mv_incremental_rollup",
+    "stream_dedup_ingest",  # streaming module churned in r9/r10
+    "stream_join_attribution_outer",
+    "j9_asof_join_purchase_view",
+    "j10_range_join_busy_windows",  # also: the r9 bench flag, retimed
+    "w6_ohlc_daily",  # legacy-double row (value-preserving selections)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "src_jsonl_roundtrip",
+    "src_orc_roundtrip",
+    "src_partitioned_pruning",
+    "search_bm25_topk",
+    "search_tfidf_terms",
+    "dedup_cluster_components",
+    "text_pii_redact",
+]
+# r3 rows that exceed the 50-name window — FIRST in line for round 11
+# (with the 45 r4 rows behind them).
+ROUND11_STALE_STAGED = [
+    "decontaminate_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
+    "dq_skew_profile",
+    "emb_quantize_int8",
+    "ext_correlated_scalar",
+    "ext_lateral_explode",
+    "ext_null_safe_join",
+    "ext_setops_all",
+    "ext_unpivot",
+    "sample_temperature_mix",
+    "text_chunk_windows",
+    "text_repetition_score",
+]
+ROUND10_PREFIX = (
+    ROUND10_QUEUE
+    + [
+        "a1_pricing_summary",  # flagship/canary
+        "s38_txnlog_row_tracking",  # row-tracking rep under r10's sink work
+    ]
+    + ROUND10_R7_REPS
+    + ROUND10_STALE_STAGED
+    + ROUND10_STALE_R3
+)
+_unknown_r10 = [n for n in ROUND10_PREFIX if n not in all_queries()]
+assert not _unknown_r10, f"ROUND10 names not registered: {_unknown_r10}"
+assert len(ROUND10_PREFIX) == 50, len(ROUND10_PREFIX)
+assert len(set(ROUND10_PREFIX)) == 50
+
 # Rotation self-advance: judged round N ⇒ current round is N+1.
 _ROTATIONS = {
     3: ROUND3_PREFIX,
@@ -612,8 +701,9 @@ _ROTATIONS = {
     7: ROUND7_PREFIX,
     8: ROUND8_PREFIX,
     9: ROUND9_PREFIX,
+    10: ROUND10_PREFIX,
 }
 _current = _judged_round() + 1
-set_rotation(_ROTATIONS.get(min(_current, 9), ROUND9_PREFIX))
+set_rotation(_ROTATIONS.get(min(_current, 10), ROUND10_PREFIX))
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]

@@ -43,7 +43,8 @@ from .registry import query
     SELECT media_type,
            COUNT(*) AS n,
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           AVG(width) AS avg_width,
+           CAST(FLOOR(SUM(width) * 1000000.0 / COUNT(*) + 0.5)
+                AS BIGINT) AS avg_width_e6,
            CAST(ROUND(SUM(CAST(duration_s AS DECIMAL(27,6))), 4)
                 AS DOUBLE) AS total_duration_s
     FROM media

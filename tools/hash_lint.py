@@ -230,8 +230,9 @@ LEGACY_RAW_DOUBLE: set[tuple[str, str]] = {
     ("w6_ohlc_daily", "high"),
     ("w6_ohlc_daily", "low"),
     ("w6_ohlc_daily", "open"),
-    # computed, driver-green at freeze
-    ("mm_media_catalog", "avg_width"),
+    # computed, driver-green at freeze (shrinking: migrate to rounded
+    # emissions as their rows rotate through a driver window —
+    # mm_media_catalog.avg_width migrated r10)
     ("sample_weighted_priority", "priority"),
     ("sketch_theta_intersect", "exact_jaccard"),
     ("sketch_theta_intersect", "inter_est"),
