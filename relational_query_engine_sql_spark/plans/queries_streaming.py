@@ -1254,21 +1254,35 @@ def stream_txnlog_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"txn_win_{uuid.uuid4().hex[:8]}"
 
     def run_once():
-        q = (
-            tumbling_aggregate(
-                spark.readStream.format("txnlog")
-                .option("path", f"{root}/t")
-                .load(),
-                window="1 hour",
+        # State-store partitioning is fixed by the FIRST run against a
+        # checkpoint, so size it to the state, not the session default:
+        # the aggregation key space is n_hours x n_event_types (dozens
+        # of groups at any SF), and each state partition costs a
+        # store open/commit PER micro-batch — 32 empty-ish stores were
+        # pure per-trigger latency (the r9 bench flag). 8 keeps every
+        # group hot while cutting the fixed per-batch cost ~3x; a
+        # production deployment sizes this to key cardinality the same
+        # way.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                tumbling_aggregate(
+                    spark.readStream.format("txnlog")
+                    .option("path", f"{root}/t")
+                    .load(),
+                    window="1 hour",
+                )
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         return sum(p["numInputRows"] for p in q.recentProgress)
 
     run_once()  # wave 1 builds the window state
