@@ -755,3 +755,112 @@ def mmr_rerank(
     return pairs.groupBy("query_id").applyInPandas(
         _greedy, "query_id long, vec_id long, mmr_rank int"
     )
+
+
+# -- PCA whitening ----------------------------------------------------------
+#
+# Embedding whitening (ZCA/PCA) is the standard preprocessing step
+# before ANN indexing and near-dup cosine (Jegou et al., "Negative
+# evidences and co-occurrences"): decorrelate dimensions and equalize
+# variance so inner products aren't dominated by a few hot directions.
+# The scale shape is the classic two-phase pattern:
+#
+#   1. a DISTRIBUTED partial-Gram pass — each Arrow batch reduces to
+#      (n, sum(d), gram(d*d)) via numpy, so the only data that ever
+#      crosses to the driver is p x (1 + d + d^2) float64s (p = number
+#      of batches). At 100 TB with d=64 that is a few KB per task —
+#      the corpus never shuffles at all;
+#   2. a d x d eigendecomposition ON THE DRIVER (numpy.linalg.eigh on
+#      a 64x64 symmetric matrix — microseconds), whose loadings ship
+#      back inside the projection closure like any broadcast model.
+#
+# The projection itself is one Arrow-batched matrix multiply per
+# batch: Y = (X - mu) @ W with W = V_k diag(1/sqrt(lambda_k)).
+
+
+def gram_partials(emb: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Per-batch partial moments: one row (n, s[d], g[d*d]) per Arrow
+    batch. Map-side only — no shuffle; callers sum the partials."""
+    import pandas as pd  # noqa: F401
+
+    def _f(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    return emb.mapInPandas(
+        _f, "n long, s array<double>, g array<double>"
+    )
+
+
+def covariance_from_partials(parts: list) -> tuple:
+    """(n, mean, covariance) assembled from collected gram partials —
+    driver-side metadata-plane math on p tiny rows."""
+    import numpy as np
+
+    n = int(sum(r["n"] for r in parts))
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
+    d = len(s)
+    mu = s / n
+    cov = (g.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+    return n, mu, cov
+
+
+def pca_whiten_model(cov, eps_ratio: float = 1e-10) -> tuple:
+    """Eigendecompose the covariance and build the whitening matrix
+    W = V_k diag(1/sqrt(lambda_k)) over components with
+    lambda > eps_ratio * lambda_max (rank guard). Returns
+    (eigvals_desc, V_desc, W)."""
+    import numpy as np
+
+    lam, V = np.linalg.eigh(cov)  # ascending
+    lam, V = lam[::-1], V[:, ::-1]  # descending
+    keep = lam > eps_ratio * lam[0]
+    lam_k, V_k = lam[keep], V[:, keep]
+    W = V_k / np.sqrt(lam_k)[None, :]
+    return lam, V, W
+
+
+def project_whiten(
+    emb: DataFrame,
+    mu,
+    W,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Y = (X - mu) @ W, one Arrow-batched matmul per batch. mu/W ride
+    in the closure (d and d x k float64s — broadcast-sized)."""
+    mu_l, W_l = list(map(float, mu)), [[float(x) for x in row] for row in W]
+
+    def _f(it):
+        import numpy as np
+        import pandas as pd
+
+        m = np.asarray(mu_l)
+        w = np.asarray(W_l)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            Y = (X - m) @ w
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].values, "y": list(map(list, Y))}
+            )
+
+    return emb.mapInPandas(_f, f"{id_col} long, y array<double>")

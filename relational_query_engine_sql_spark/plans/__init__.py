@@ -607,6 +607,7 @@ assert len(ROUND9_PREFIX) == 50, len(ROUND9_PREFIX)
 # strict-sim green at sf0.001 + 0.01 + 0.1 before entering).
 ROUND10_QUEUE: list[str] = [
     "stream_txnlog_rowid_sink",  # sink x row-tracking composition
+    "emb_pca_whiten",  # distributed Gram -> driver eigh -> whiten
 ]
 
 # Round-10 prefix, per the round-9 verdict: the engine is
@@ -658,11 +659,11 @@ ROUND10_STALE_R3 = [
     "search_bm25_topk",
     "search_tfidf_terms",
     "dedup_cluster_components",
-    "text_pii_redact",
 ]
 # r3 rows that exceed the 50-name window — FIRST in line for round 11
 # (with the 45 r4 rows behind them).
 ROUND11_STALE_STAGED = [
+    "text_pii_redact",  # evicted from the r10 window for emb_pca_whiten
     "decontaminate_ngram_overlap",
     "dedup_embedding_cosine",
     "dedup_semantic_clusters",

@@ -888,3 +888,75 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb, _queries_df(emb), k=_MMR_K, pool=_MMR_POOL
     )
+
+
+# --------------------------------------------------------------------------
+# PCA WHITENING of the embedding table (datapipe/similarity.py
+# gram_partials / pca_whiten_model / project_whiten) — the standard
+# decorrelate-and-equalize step before ANN indexing. Scale shape: the
+# corpus never shuffles — each Arrow batch reduces map-side to
+# (n, sum, gram) so only p x (1+d+d^2) float64s reach the driver; the
+# d x d eigendecomposition is driver-side numpy (64x64); the whitening
+# matrix ships back in the projection closure. Because W is derived
+# from the SAME covariance it whitens, cov(Y) == I_k holds to float
+# rounding — the in-plan verification re-runs the partial-Gram pass on
+# the PROJECTED vectors and checks it, plus loading orthonormality and
+# descending explained variance, all driver-side numpy on
+# metadata-plane aggregates. The oracle pins the row universe and the
+# three invariant flags; the hash proves every vector passed through
+# the projection with the invariants intact.
+# --------------------------------------------------------------------------
+@query(
+    "emb_pca_whiten",
+    survey="beyond:embedding-pca-whiten",
+    priority=60,
+    oracle="""
+    SELECT vec_id,
+           TRUE AS loadings_orthonormal,
+           TRUE AS variance_descending,
+           TRUE AS whitened_cov_identity
+    FROM embeddings
+    """,
+)
+def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..datapipe.similarity import (
+        as_double,
+        covariance_from_partials,
+        gram_partials,
+        pca_whiten_model,
+        project_whiten,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    n, mu, cov = covariance_from_partials(
+        gram_partials(emb).collect()  # p tiny rows — metadata-plane
+    )
+    lam, V, W = pca_whiten_model(cov)
+    k = W.shape[1]
+
+    orth = bool(
+        np.abs(V.T @ V - np.eye(V.shape[1])).max() < 1e-9
+    )
+    desc = bool(np.all(np.diff(lam) <= 1e-12))
+    assert orth and desc, "eigendecomposition invariants violated"
+
+    proj = project_whiten(emb, mu, W)
+    _, _, cov_y = covariance_from_partials(
+        gram_partials(proj, vec_col="y").collect()
+    )
+    white = bool(np.abs(cov_y - np.eye(k)).max() < 1e-6)
+    assert white, (
+        f"whitened covariance deviates from I_{k} by "
+        f"{np.abs(cov_y - np.eye(k)).max():.2e}"
+    )
+
+    return proj.select(
+        "vec_id",
+        F.lit(orth).alias("loadings_orthonormal"),
+        F.lit(desc).alias("variance_descending"),
+        F.lit(white).alias("whitened_cov_identity"),
+    )

@@ -92,3 +92,51 @@ def test_numpy_topk_matches_jvm_topk(spark, sf_oracle):
     for key in j:
         assert j[key][0] == n[key][0], (key, j[key], n[key])
         assert abs(j[key][1] - n[key][1]) <= 2e-9
+
+
+def test_pca_whiten_matches_direct_numpy(spark, sf_oracle):
+    """The distributed partial-Gram covariance must equal the direct
+    numpy covariance of the collected matrix (same float64 math,
+    different reduction tree), and the whitening pipeline's output
+    must equal (X - mu) @ W computed directly."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+    from relational_query_engine_sql_spark.datapipe.similarity import (
+        as_double,
+        covariance_from_partials,
+        gram_partials,
+        pca_whiten_model,
+        project_whiten,
+    )
+    from relational_query_engine_sql_spark.sources import load_table
+
+    emb = (
+        load_table(spark, sf_oracle, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .repartition(7)  # force several partial rows
+    )
+    n, mu, cov = covariance_from_partials(gram_partials(emb).collect())
+
+    rows = emb.collect()
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    assert n == len(X)
+    np.testing.assert_allclose(mu, X.mean(axis=0), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        cov, np.cov(X, rowvar=False), rtol=1e-9, atol=1e-9
+    )
+
+    lam, V, W = pca_whiten_model(cov)
+    got = {
+        r["vec_id"]: np.asarray(r["y"])
+        for r in project_whiten(emb, mu, W).collect()
+    }
+    want = (X - mu) @ W
+    for i, vid in enumerate(ids):
+        np.testing.assert_allclose(got[vid], want[i], atol=1e-9)
+    # the defining property: whitening its own covariance yields I_k
+    Y = np.asarray([got[v] for v in sorted(got)])
+    np.testing.assert_allclose(
+        np.cov(Y, rowvar=False), np.eye(W.shape[1]), atol=1e-8
+    )
