@@ -187,6 +187,7 @@ LATENCY_BOUND = frozenset(
         "s29_txnlog_partition_stream",
         "stream_txnlog_windowed",
         "stream_txnlog_sink",
+        "stream_txnlog_rowid_sink",
         "stream_txnlog_join",
         "stream_session_live",
         "stream_cdc_apply",

@@ -92,6 +92,7 @@ def test_rotation_prefixes_cover_whole_registry():
         | set(P.ROUND7_PREFIX)
         | set(P.ROUND8_PREFIX)
         | set(P.ROUND9_PREFIX)
+        | set(P.ROUND10_PREFIX)
     )
     orphans = set(P.all_queries()) - checked - staged
     assert not orphans, f"queries with no path to a driver row: {orphans}"
@@ -167,5 +168,10 @@ def test_hash_lint_alias_parser_and_raw_double_rules():
     assert hl._ATTR_ONLY.fullmatch("value#12L")
     assert hl._ATTR_ONLY.fullmatch("payload#9.price")
     assert not hl._ATTR_ONLY.fullmatch("(a#2 / b#3)")
-    # the legacy set is frozen at its round-9 inventory size
-    assert len(hl.LEGACY_RAW_DOUBLE) == 20
+    # the legacy set only SHRINKS from its round-9 freeze (20): each
+    # migration to a rounded/integer-scaled emission removes its entry
+    # when the row rotates through a driver window (mm_media_catalog.
+    # avg_width migrated r10)
+    assert len(hl.LEGACY_RAW_DOUBLE) <= 20
+    assert len(hl.LEGACY_RAW_DOUBLE) == 19  # bump DOWN per migration
+    assert ("mm_media_catalog", "avg_width") not in hl.LEGACY_RAW_DOUBLE
