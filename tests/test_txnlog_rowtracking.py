@@ -646,3 +646,51 @@ def test_replace_where_preserves_carried_ids_fresh_region(tracked):
     assert carried == {k: v for k, v in before.items() if k > h // 2}
     assert replaced and all(v >= hwm for v in replaced.values())
     assert len(set(after.values())) == len(after)
+
+
+def test_sink_written_ids_survive_mor_delete_and_preserving_compact(
+    spark, sf_small, tmp_path
+):
+    """Composition: rows ingested through the STREAMING SINK into a
+    row-tracked table behave exactly like batch-appended rows under
+    the id-preserving mutations — a MOR delete keeps survivor ids and
+    a preserving compaction keeps both ids and the high-water mark.
+    (The registry row stream_txnlog_rowid_sink pins ingest-side
+    stability; this pins the downstream mutation contract.)"""
+    from relational_query_engine_sql_spark.sources.txnlog_stream import (
+        TxnLogStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnLogStreamDataSource)
+    src = _src(spark, sf_small)
+    root = str(tmp_path / "sunk")
+    t = TxnLogTable(spark, f"{root}/table", src.schema, ["s_suppkey"])
+    t.enable_row_tracking()
+    src.write.parquet(f"{root}/src/c0")
+    q = (
+        spark.readStream.schema(src.schema)
+        .parquet(f"{root}/src/c*")
+        .writeStream.format("txnlog")
+        .option("path", f"{root}/table")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .option("appId", "t_ingest")
+        .option("keys", "s_suppkey")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    before = _ids(t)
+    assert set(before.values()) == set(range(len(before)))
+
+    t.delete_keys_deferred(
+        src.filter(F.col("s_suppkey") % 5 == 0).select("s_suppkey")
+    )
+    after_del = _ids(t)
+    assert set(after_del) == {k for k in before if k % 5 != 0}
+    assert all(after_del[k] == before[k] for k in after_del)
+
+    _, hwm = t._row_id_bases()
+    t.compact_preserving_row_ids(1)
+    assert _ids(t) == after_del
+    assert t._row_id_bases()[1] == hwm
