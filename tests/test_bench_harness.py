@@ -175,3 +175,35 @@ def test_hash_lint_alias_parser_and_raw_double_rules():
     assert len(hl.LEGACY_RAW_DOUBLE) <= 20
     assert len(hl.LEGACY_RAW_DOUBLE) == 19  # bump DOWN per migration
     assert ("mm_media_catalog", "avg_width") not in hl.LEGACY_RAW_DOUBLE
+
+
+def test_retime_suspects_union_covers_fallback_only_names():
+    """A steal-window spike in a query ABSENT from the (truncated)
+    driver prior must still earn a retime when the committed
+    bench_full.json fallback carries its timing — under the
+    fallback's OWN canary-derived VM factor."""
+    timings = {"a": 8.4, "b": 2.0, "c": 0.9}
+    prior = {  # driver artifact: truncated, knows only b
+        "queries": {"b": 1.9},
+        "canary": {"best": 0.3},
+    }
+    fallback = {  # committed bench_full.json: knows a and c
+        "queries": {"a": 2.5, "c": 0.85},
+        "canary": {"best": 0.3},
+    }
+    got = bench._retime_suspects(
+        timings, prior, vm_factor=1.0, fallback=fallback,
+        canary_first=0.3,
+    )
+    assert got == {"a"}  # b within noise, c tiny delta, a spiked
+    # a 2x-slow host (canary 0.6 vs committed 0.3) halves the
+    # adjusted timing: 8.4/2 = 4.2 vs 2.5 prior still suspects `a`,
+    # but a 4x-slow host (adj 2.1) clears it
+    assert bench._retime_suspects(
+        timings, None, 1.0, fallback, canary_first=0.6
+    ) == {"a"}
+    assert bench._retime_suspects(
+        timings, None, 1.0, fallback, canary_first=1.2
+    ) == set()
+    # no fallback, no prior -> nothing to suspect
+    assert bench._retime_suspects(timings, None, 1.0, None, 0.3) == set()
