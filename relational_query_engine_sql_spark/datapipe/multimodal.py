@@ -78,10 +78,12 @@ def media_catalog(media: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("payload")).alias("total_bytes"),
-            # integer-scaled exact emission (micro-width units): all
-            # operands are exact integers well under 2^53, so the
-            # scaled floor(x + 0.5) is bit-identical cross-engine —
-            # the r10 migration off LEGACY_RAW_DOUBLE
+            # integer-scaled emission (micro-width units), the r10
+            # migration off LEGACY_RAW_DOUBLE. Exactness bound: the
+            # scaled product SUM(width) * 1e6 is exactly representable
+            # only while SUM(width) <= 2^53/1e6 ≈ 9.0e9 (plenty at any
+            # test SF; beyond it the division is still deterministic
+            # cross-engine, merely not exact-integer)
             F.floor(
                 F.sum("meta.width") * F.lit(1000000.0)
                 / F.count(F.lit(1))

@@ -811,7 +811,14 @@ def covariance_from_partials(parts: list) -> tuple:
     driver-side metadata-plane math on p tiny rows."""
     import numpy as np
 
+    if not parts:
+        raise ValueError("covariance_from_partials: no partials (empty input)")
     n = int(sum(r["n"] for r in parts))
+    if n < 2:
+        raise ValueError(
+            f"covariance_from_partials: need n >= 2 rows for the unbiased "
+            f"covariance, got n={n}"
+        )
     s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
     g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
     d = len(s)
@@ -829,6 +836,12 @@ def pca_whiten_model(cov, eps_ratio: float = 1e-10) -> tuple:
 
     lam, V = np.linalg.eigh(cov)  # ascending
     lam, V = lam[::-1], V[:, ::-1]  # descending
+    if lam[0] <= 0:
+        raise ValueError(
+            "pca_whiten_model: largest eigenvalue is non-positive "
+            f"({lam[0]!r}) — embeddings are constant/degenerate, no "
+            "whitening direction exists"
+        )
     keep = lam > eps_ratio * lam[0]
     lam_k, V_k = lam[keep], V[:, keep]
     W = V_k / np.sqrt(lam_k)[None, :]
@@ -860,7 +873,7 @@ def project_whiten(
             )
             Y = (X - m) @ w
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col].values, "y": list(map(list, Y))}
+                {id_col: pdf[id_col].values, "y": list(map(list, Y))}
             )
 
     return emb.mapInPandas(_f, f"{id_col} long, y array<double>")

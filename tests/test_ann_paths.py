@@ -140,3 +140,36 @@ def test_pca_whiten_matches_direct_numpy(spark, sf_oracle):
     np.testing.assert_allclose(
         np.cov(Y, rowvar=False), np.eye(W.shape[1]), atol=1e-8
     )
+
+def test_pca_whiten_guards_and_id_col(spark):
+    """Degenerate-input guards (empty partials, n < 2, constant
+    embeddings) raise clear ValueErrors, and project_whiten emits the
+    caller's id_col name (round-10 advice: the pandas column name must
+    follow the parameter, not hardcode 'vec_id')."""
+    import numpy as np
+    import pytest
+
+    from relational_query_engine_sql_spark.datapipe.similarity import (
+        covariance_from_partials,
+        pca_whiten_model,
+        project_whiten,
+    )
+
+    with pytest.raises(ValueError, match="no partials"):
+        covariance_from_partials([])
+    with pytest.raises(ValueError, match="n >= 2"):
+        covariance_from_partials([{"n": 1, "s": [1.0], "g": [1.0]}])
+    with pytest.raises(ValueError, match="constant/degenerate"):
+        pca_whiten_model(np.zeros((3, 3)))
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 1.0])],
+        "doc_id long, v array<double>",
+    )
+    out = project_whiten(
+        emb, np.array([0.0, 0.0]), np.eye(2), id_col="doc_id"
+    )
+    assert out.columns == ["doc_id", "y"]
+    got = {r["doc_id"]: r["y"] for r in out.collect()}
+    assert sorted(got) == [1, 2, 3]
+    np.testing.assert_allclose(got[3], [3.0, 1.0], atol=1e-12)
