@@ -918,3 +918,56 @@ def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("st1", "st2"))
         ).alias("ov_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# J18 — 2-D skyline (Pareto frontier): the parts no other part beats on
+# BOTH price (minimize) and size (maximize). The relational semantics
+# are the NOT EXISTS dominance anti-join — quadratic if planned
+# naively — executed here as the two-phase distributed skyline
+# (operators/skyline.py): map-side local-pareto prefilter (zero
+# shuffle, kills ~all rows), then an exact frontier pass over the
+# surviving distinct prices + a broadcast join back to restore full
+# rows. Exact-duplicate (price, size) pairs don't dominate each other,
+# so every copy of a frontier point is returned — matching NOT EXISTS.
+# The oracle uses the group-max/window formulation (O(n log n) in
+# DuckDB); tests/test_skyline.py additionally pins equality against
+# the brute-force NOT EXISTS on small data, so both independent
+# formulations agree. All output columns are raw passthroughs — no
+# float rounding needed.
+# --------------------------------------------------------------------------
+@query(
+    "j18_skyline_pareto",
+    survey="beyond:skyline-pareto",
+    priority=60,
+    oracle="""
+    WITH g AS (
+        SELECT p_retailprice AS price, MAX(p_size) AS msize
+        FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        GROUP BY p_retailprice
+    ),
+    k AS (
+        SELECT price, msize,
+               MAX(msize) OVER (
+                   ORDER BY price ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev
+        FROM g
+    ),
+    sky AS (
+        SELECT price, msize FROM k WHERE prev IS NULL OR msize > prev
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+    FROM part p
+    JOIN sky s
+      ON p.p_retailprice = s.price AND p.p_size = s.msize
+    """,
+)
+def j18_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    return skyline(part, lo="p_retailprice", hi="p_size")

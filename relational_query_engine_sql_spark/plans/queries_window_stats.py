@@ -1175,3 +1175,142 @@ def w12_pattern_rising_runs(
         )
         .filter(F.col("n_rising_runs") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test per event_type: the
+# distribution-free companion to dq_psi_drift (PSI needs binning; KS
+# compares the full empirical CDFs). Eras split at the global time
+# midpoint like PSI. D = sup_x |F_base(x) − F_cur(x)| — computed
+# exactly in INTEGER arithmetic: with cumulative counts cb, cc at each
+# distinct value, D = max|cb·n_cur − cc·n_base| / (n_base·n_cur), so
+# both engines agree bit-for-bit on ks_num, and D ships integer-scaled
+# (ks_d_e6 = floor(1e6·D), exact BIGINT floor-division — no float path
+# at all). Scale shape: one (type, value) pre-agg
+# collapses the stream to distinct values BEFORE the per-type cumsum
+# window, so window state is bounded by value cardinality, not row
+# count; era totals broadcast. For unbounded-cardinality continuous
+# values at 100 TB, quantize values first (the PSI edges) or replace
+# the per-type window with a range-partitioned prefix-sum — the
+# pre-agg keyed by (type, value) is the only corpus-scale shuffle.
+# Products stay in BIGINT (|cum| ≤ n, so |cb·n_cur| ≤ n_base·n_cur —
+# fine through ~3·10⁹ rows per era-pair; cast to DECIMAL(38,0) past
+# that).
+# --------------------------------------------------------------------------
+@query(
+    "stats_ks_drift",
+    survey="beyond:ks-drift",
+    priority=60,
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS tmid_us
+        FROM events
+    ),
+    tagged AS (
+        SELECT e.event_type, e.value,
+               CASE WHEN epoch_us(e.ts) < b.tmid_us
+                    THEN 'base' ELSE 'cur' END AS era
+        FROM events e CROSS JOIN bounds b
+        WHERE e.value IS NOT NULL
+    ),
+    tot AS (
+        SELECT event_type,
+               SUM(CASE WHEN era = 'base' THEN 1 ELSE 0 END) AS n_base,
+               SUM(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM tagged GROUP BY event_type
+        HAVING n_base > 0 AND n_cur > 0
+    ),
+    pv AS (
+        SELECT event_type, value,
+               SUM(CASE WHEN era = 'base' THEN 1 ELSE 0 END) AS b,
+               SUM(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS c
+        FROM tagged GROUP BY event_type, value
+    ),
+    cum AS (
+        SELECT event_type,
+               SUM(b) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cb,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cc
+        FROM pv
+    ),
+    num AS (
+        SELECT c.event_type,
+               MAX(ABS(c.cb * t.n_cur - c.cc * t.n_base)) AS ks_num
+        FROM cum c JOIN tot t USING (event_type)
+        GROUP BY c.event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n_base AS BIGINT) AS n_base,
+           CAST(t.n_cur AS BIGINT) AS n_cur,
+           CAST(n.ks_num AS BIGINT) AS ks_num,
+           CAST((n.ks_num * 1000000) // (t.n_base * t.n_cur)
+                AS BIGINT) AS ks_d_e6
+    FROM num n JOIN tot t USING (event_type)
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+        ).alias("tmid_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        F.when(F.unix_micros("ts") < F.col("tmid_us"), "base")
+        .otherwise("cur")
+        .alias("era"),
+    )
+    tot = (
+        tagged.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("era") == "base", 1).otherwise(0)).alias(
+                "n_base"
+            ),
+            F.sum(F.when(F.col("era") == "cur", 1).otherwise(0)).alias(
+                "n_cur"
+            ),
+        )
+        .filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
+    )
+    pv = tagged.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("era") == "base", 1).otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("era") == "cur", 1).otherwise(0)).alias("c"),
+    )
+    w = W.partitionBy("event_type").orderBy("value").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = pv.select(
+        "event_type",
+        F.sum("b").over(w).alias("cb"),
+        F.sum("c").over(w).alias("cc"),
+    )
+    num = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cb") * F.col("n_cur")
+                    - F.col("cc") * F.col("n_base")
+                )
+            ).alias("ks_num")
+        )
+    )
+    return num.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.col("ks_num").cast("bigint").alias("ks_num"),
+        # integer-scaled emission (micro-D units): floor division of
+        # exact BIGINTs — bit-identical cross-engine, no float path
+        F.expr("ks_num * 1000000 div (n_base * n_cur)")
+        .cast("bigint")
+        .alias("ks_d_e6"),
+    )
