@@ -693,6 +693,90 @@ assert not _unknown_r10, f"ROUND10 names not registered: {_unknown_r10}"
 assert len(ROUND10_PREFIX) == 50, len(ROUND10_PREFIX)
 assert len(set(ROUND10_PREFIX)) == 50
 
+# Round-11 queue: staging for queries added during round 11 (each
+# strict-sim green at sf0.001 + 0.01 + 0.1 before entering).
+ROUND11_QUEUE: list[str] = [
+    "j18_skyline_pareto",  # two-phase distributed Pareto frontier
+    "stats_ks_drift",  # integer-exact two-sample KS per event_type
+]
+
+# Round-11 prefix: freshness again — the engine stays feature-complete
+# and fully green (round-10 verdict), so the window clears the r3
+# remainder (ROUND11_STALE_STAGED, 14 names) and 32 of the 45 r4-stale
+# rows, picked risk-first: rows in modules churned this round
+# (datapipe/similarity → emb_truncate_renorm; multimodal →
+# mm_resize_images; window-stats → w7/w8/w9/ts_anomaly; joins →
+# j11/j13), then txnlog/streaming/sketch/graph/recursive-SQL state
+# machines, then text/search/sample/ev. The 13 r4 rows that don't fit
+# are the lowest-risk pure-SQL-surface aggregates (ext_* scalar rows,
+# dq counts, simple samplers) — staged below for round 12, which
+# clears the r4 cohort entirely. Reps: the flagship canary plus
+# emb_pca_whiten (sits directly on this round's advice-fix churn in
+# datapipe/similarity.py).
+ROUND11_STALE_R4 = [
+    "cdc_snapshot_diff",
+    "dedup_ngram_containment",
+    "emb_truncate_renorm",
+    "ev_funnel_steps",
+    "ev_retention_cohorts",
+    "ev_transition_matrix",
+    "graph_pagerank_fixed",
+    "j11_fuzzy_name_match",
+    "j13_asof_tolerance",
+    "maintenance_analyze_stats",
+    "maintenance_zorder_layout",
+    "mm_resize_images",
+    "pack_context_windows",
+    "s10_time_travel",
+    "s11_merge_mixed",
+    "sample_negative_pairs",
+    "search_phrase_match",
+    "sketch_cms_heavy_hitters",
+    "sketch_cms_merge",
+    "sketch_kmv_merge",
+    "sql_api_report",
+    "sql_recursive_hierarchy",
+    "src_schema_evolution",
+    "stream_mv_hourly_rollup",
+    "stream_trending_topk",
+    "text_boilerplate_lines",
+    "text_ngram_topk",
+    "text_word_entropy",
+    "ts_anomaly_zscore",
+    "w7_ewma_value",
+    "w8_running_distinct_types",
+    "w9_time_weighted_avg",
+]
+# r4 rows that exceed the 50-name window — FIRST in line for round 12.
+ROUND12_STALE_STAGED = [
+    "a9_contribution_share",
+    "batch_by_length",
+    "dq_fk_orphans",
+    "dq_freshness_lag",
+    "ext_cume_nth",
+    "ext_date_parts",
+    "ext_exists_flag",
+    "ext_filtered_agg",
+    "ext_histogram_buckets",
+    "ext_mode_deterministic",
+    "feat_winsorize",
+    "sample_per_group_k",
+    "split_stratified_exact",
+]
+ROUND11_PREFIX = (
+    ROUND11_QUEUE
+    + [
+        "a1_pricing_summary",  # flagship/canary
+        "emb_pca_whiten",  # rep on this round's similarity.py churn
+    ]
+    + ROUND11_STALE_STAGED
+    + ROUND11_STALE_R4
+)
+_unknown_r11 = [n for n in ROUND11_PREFIX if n not in all_queries()]
+assert not _unknown_r11, f"ROUND11 names not registered: {_unknown_r11}"
+assert len(ROUND11_PREFIX) == 50, len(ROUND11_PREFIX)
+assert len(set(ROUND11_PREFIX)) == 50
+
 # Rotation self-advance: judged round N ⇒ current round is N+1.
 _ROTATIONS = {
     3: ROUND3_PREFIX,
@@ -703,8 +787,9 @@ _ROTATIONS = {
     8: ROUND8_PREFIX,
     9: ROUND9_PREFIX,
     10: ROUND10_PREFIX,
+    11: ROUND11_PREFIX,
 }
 _current = _judged_round() + 1
-set_rotation(_ROTATIONS.get(min(_current, 10), ROUND10_PREFIX))
+set_rotation(_ROTATIONS.get(min(_current, 11), ROUND11_PREFIX))
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]

@@ -93,6 +93,7 @@ def test_rotation_prefixes_cover_whole_registry():
         | set(P.ROUND8_PREFIX)
         | set(P.ROUND9_PREFIX)
         | set(P.ROUND10_PREFIX)
+        | set(P.ROUND11_PREFIX)
     )
     orphans = set(P.all_queries()) - checked - staged
     assert not orphans, f"queries with no path to a driver row: {orphans}"
