@@ -877,3 +877,54 @@ def project_whiten(
             )
 
     return emb.mapInPandas(_f, f"{id_col} long, y array<double>")
+
+
+def nearest_centroid_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """One Lloyd ASSIGNMENT step under the IVF probe metric: recompute
+    each bucket's mean vector and reassign every vector to its
+    COSINE-nearest centroid — the same rule ``ivf_topk`` probes with,
+    so the rebuilt index is Voronoi-consistent with the search. This
+    is how an IVF index is refreshed after a projection
+    (``project_whiten``) moves the corpus to a new space: centroids
+    seeded from the existing buckets, assignment redone in the space
+    that will actually be searched. Returns (id_col, bucket_col).
+
+    Scale: the centroid aggregate shuffles k x dim rows (broadcast-
+    sized); the reassignment is a broadcast cross join reduced in-task
+    by the argmax struct-min — one pass over the corpus, no
+    corpus-scale shuffle (cf. datapipe/kmeans.py, same shape under
+    squared-L2).
+    """
+    pos = emb.select(
+        F.col(bucket_col).alias("_b"), F.posexplode(F.col(vec_col))
+    ).toDF("_b", "pos", "val")
+    cvec = (
+        pos.groupBy("_b", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("_b")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    )
+    scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cvec)).select(
+        id_col,
+        F.struct(
+            # negate: struct-min == cosine argmax; round first so
+            # ulp drift can't flip an assignment, _b breaks ties
+            (-F.round(cosine(F.col(vec_col), F.col("cv")), 9)).alias("nc"),
+            F.col("_b").alias("b"),
+        ).alias("_s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min("_s").alias("_s"))
+        .select(id_col, F.col("_s.b").alias(bucket_col))
+    )

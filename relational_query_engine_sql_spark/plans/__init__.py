@@ -698,6 +698,8 @@ assert len(set(ROUND10_PREFIX)) == 50
 ROUND11_QUEUE: list[str] = [
     "j18_skyline_pareto",  # two-phase distributed Pareto frontier
     "stats_ks_drift",  # integer-exact two-sample KS per event_type
+    "text_bpe_encode",  # trained merges applied: tokenize-and-count
+    "eval_whiten_ann_recall",  # whitening composed with IVF search
 ]
 
 # Round-11 prefix: freshness again — the engine stays feature-complete
@@ -707,7 +709,7 @@ ROUND11_QUEUE: list[str] = [
 # (datapipe/similarity → emb_truncate_renorm; multimodal →
 # mm_resize_images; window-stats → w7/w8/w9/ts_anomaly; joins →
 # j11/j13), then txnlog/streaming/sketch/graph/recursive-SQL state
-# machines, then text/search/sample/ev. The 13 r4 rows that don't fit
+# machines, then text/search/sample/ev. The r4 rows that don't fit
 # are the lowest-risk pure-SQL-surface aggregates (ext_* scalar rows,
 # dq counts, simple samplers) — staged below for round 12, which
 # clears the r4 cohort entirely. Reps: the flagship canary plus
@@ -718,7 +720,6 @@ ROUND11_STALE_R4 = [
     "dedup_ngram_containment",
     "emb_truncate_renorm",
     "ev_funnel_steps",
-    "ev_retention_cohorts",
     "ev_transition_matrix",
     "graph_pagerank_fixed",
     "j11_fuzzy_name_match",
@@ -743,13 +744,19 @@ ROUND11_STALE_R4 = [
     "text_ngram_topk",
     "text_word_entropy",
     "ts_anomaly_zscore",
-    "w7_ewma_value",
     "w8_running_distinct_types",
     "w9_time_weighted_avg",
 ]
 # r4 rows that exceed the 50-name window — FIRST in line for round 12.
+# ev_retention_cohorts and w7_ewma_value were evicted mid-round-11 to
+# make room for text_bpe_encode + eval_whiten_ann_recall in the queue;
+# both were in the round-10 judge's 10-row strict-sim spot-check
+# (VERDICT.md) and came back strict-green, so they are the
+# lowest-risk rows in the cohort to defer one round.
 ROUND12_STALE_STAGED = [
     "a9_contribution_share",
+    "ev_retention_cohorts",
+    "w7_ewma_value",
     "batch_by_length",
     "dq_fk_orphans",
     "dq_freshness_lag",

@@ -1146,12 +1146,9 @@ s{r} AS (
     FROM k{r}
 )"""
 
-
-@query(
-    "text_bpe_merge_train",
-    survey="beyond:tokenizer-bpe,beyond:iterative",
-    priority=60,
-    oracle=r"""
+# Shared vocab CTE prefix for the BPE oracles: corpus -> (word, count)
+# -> per-position symbol table s0. Matches _bpe_syms below exactly.
+_BPE_VOCAB_SQL = r"""
     WITH vocab AS (
         SELECT w, COUNT(*) AS wc FROM (
             SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
@@ -1164,19 +1161,15 @@ s{r} AS (
         FROM vocab, UNNEST(generate_series(1, LEN(w))) AS t(i)
     ),
     """
-    + ",\n    ".join(
-        _BPE_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3)
-    )
-    + r"""
-    SELECT 1 AS merge_round, l_sym, r_sym, CAST(freq AS BIGINT) AS freq
-    FROM b1
-    UNION ALL
-    SELECT 2, l_sym, r_sym, CAST(freq AS BIGINT) FROM b2
-    UNION ALL
-    SELECT 3, l_sym, r_sym, CAST(freq AS BIGINT) FROM b3
-    """,
-)
-def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _bpe_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collapsed to the vocabulary, exploded to one row per
+    (word, position, symbol) — the working state both the trainer and
+    the encoder iterate on. The only corpus-scale shuffle in either
+    query is the groupBy(word) here; everything after operates on
+    vocabulary-sized data with per-word (bounded-by-word-length)
+    windows."""
     from ..datapipe.textstats import tokens
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
@@ -1186,7 +1179,7 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wc"))
         .filter(F.length("w") >= 2)
     )
-    syms = vocab.select(
+    return vocab.select(
         "w",
         "wc",
         F.posexplode(
@@ -1196,9 +1189,22 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "sym"),
     )
+
+
+def _bpe_rounds(
+    syms: DataFrame, rounds: tuple = (1, 2, 3)
+) -> tuple[DataFrame, list]:
+    """Run the BPE merge loop: per round, count adjacent symbol pairs
+    (weighted by word frequency), pick the argmax pair with a
+    lexicographic tiebreak, and apply it corpus-wide in BPE's
+    exhaustive left-to-right non-overlapping single pass (window
+    algebra: match flags -> gaps-and-islands -> odd-offset parity).
+    The chosen pair rides in-plan as a 1-row broadcast — the loop
+    never collects to the driver. Returns (final symbol state, list of
+    1-row best-pair DataFrames, one per round)."""
     wwin = W.partitionBy("w").orderBy("pos")
     merges = []
-    for r in (1, 2, 3):
+    for r in rounds:
         with_next = syms.withColumn("nxt", F.lead("sym").over(wwin))
         pair_freq = (
             with_next.filter(F.col("nxt").isNotNull())
@@ -1215,8 +1221,6 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         merges.append(best)
-        # the chosen pair rides in-plan as a 1-row broadcast — the
-        # loop never collects to the driver
         m = with_next.crossJoin(
             F.broadcast(
                 best.select(
@@ -1274,7 +1278,78 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos"),
             "sym",
         )
+    return syms, merges
+
+
+@query(
+    "text_bpe_merge_train",
+    survey="beyond:tokenizer-bpe,beyond:iterative",
+    priority=60,
+    oracle=_BPE_VOCAB_SQL
+    + ",\n    ".join(
+        _BPE_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3)
+    )
+    + r"""
+    SELECT 1 AS merge_round, l_sym, r_sym, CAST(freq AS BIGINT) AS freq
+    FROM b1
+    UNION ALL
+    SELECT 2, l_sym, r_sym, CAST(freq AS BIGINT) FROM b2
+    UNION ALL
+    SELECT 3, l_sym, r_sym, CAST(freq AS BIGINT) FROM b3
+    """,
+)
+def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merges = _bpe_rounds(_bpe_syms(spark, sf_dir))
     out = merges[0]
     for extra in merges[1:]:
         out = out.unionByName(extra)
     return out.select("merge_round", "l_sym", "r_sym", "freq")
+
+
+# --------------------------------------------------------------------------
+# BPE ENCODE (beyond; closes the tokenizer loop): apply the trained
+# merge table to SEGMENT the corpus and emit the resulting token
+# frequency table — the tokenize-and-count pass that precedes every
+# data-mix decision in a training pipeline. Key observation: applying
+# merges in rank order, one exhaustive left-to-right pass each, IS the
+# trainer's working-state update — merges concatenate and never
+# delete, so a later merge can never create a new adjacency for an
+# earlier pair, and one pass per rank is exact BPE encoding. The
+# encoder therefore shares _bpe_rounds with the trainer: after the
+# final round the symbol state IS the segmentation, and the token
+# table is one vocabulary-sized groupBy(symbol) away. No merge table
+# ever reaches the driver — the learned pairs stay in-plan as 1-row
+# broadcasts. Scale: identical to training (the corpus-scale shuffle
+# is the vocabulary collapse; windows are per-word, bounded by word
+# length; the final groupBy carries |vocab segments| rows) plus one
+# map-side-combinable aggregate. The DuckDB oracle unrolls the same
+# three rounds and aggregates the same final state, so the hash pins
+# the full segmentation — not just the merge choices. All-integer/
+# string emission.
+# --------------------------------------------------------------------------
+@query(
+    "text_bpe_encode",
+    survey="beyond:tokenizer-bpe",
+    priority=60,
+    oracle=_BPE_VOCAB_SQL
+    + ",\n    ".join(
+        _BPE_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3)
+    )
+    + r"""
+    SELECT sym AS token,
+           CAST(SUM(wc) AS BIGINT) AS token_count,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+    FROM s3
+    GROUP BY sym
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    syms, _ = _bpe_rounds(_bpe_syms(spark, sf_dir))
+    return (
+        syms.select(F.col("sym").alias("token"), "wc", "w")
+        .groupBy("token")
+        .agg(
+            F.sum("wc").cast("long").alias("token_count"),
+            F.countDistinct("w").cast("long").alias("n_words"),
+        )
+    )

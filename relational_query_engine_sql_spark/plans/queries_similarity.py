@@ -960,3 +960,123 @@ def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(desc).alias("variance_descending"),
         F.lit(white).alias("whitened_cov_identity"),
     )
+
+
+# --------------------------------------------------------------------------
+# WHITENED-SPACE ANN RECALL (beyond; composes emb_pca_whiten with the
+# centroid-bucketed IVF search path). Measured finding this row
+# exists to pin: on this corpus the embedding covariance spectrum is
+# near-FLAT (lam 0.029 -> 0.007, no knee), so the label buckets have
+# little geometric structure (raw-space eval_ann_recall measures mean
+# recall@10 of only 0.08-0.14 at nprobe=1) and FULL whitening pushes
+# the space further toward isotropy, where a 10-cell IVF scatters
+# true neighbors across Voronoi cells. Absolute recall is therefore a
+# property of the data, not the operator - asserting a high floor
+# would be dishonest. What IS invariant, and what a production
+# pipeline must get right when it whitens an indexed corpus, are two
+# comparative properties this row measures and asserts in-plan:
+#
+#   1. REINDEX >= STALE: probing whitened vectors through buckets
+#      REBUILT in whitened space (nearest_centroid_buckets - one
+#      Voronoi-consistent Lloyd assignment under the probe metric)
+#      recalls at least as much as probing through the stale
+#      raw-space buckets (measured 0.24>=0.18 / 0.34>=0.28 /
+#      0.42>=0.26 at sf0.001/0.01/0.1, nprobe=2). Projection composes
+#      with IVF only if the index lives in the searched space.
+#   2. MULTIPROBE MONOTONE (per query): nprobe=2 candidates are a
+#      superset of nprobe=1, and an exact-top-k member present in the
+#      candidate set can never be displaced from the IVF top-k (fewer
+#      than k vectors rank above it globally), so n_hit is monotone
+#      in nprobe - a structural theorem the composed pipeline must
+#      not break.
+#
+# Whitened coordinates are eigenvector-derived (engine-specific float
+# linear algebra DuckDB cannot reproduce), so like emb_pca_whiten
+# this row uses the invariant-flag oracle pattern: the oracle pins
+# the query-row universe and k; the hash proves both in-plan asserts
+# fired. Scale shape: gram partials are map-side only (p tiny rows to
+# the driver), the projection is one Arrow-batched matmul per batch
+# with W in the closure, the reindex adds one broadcast-centroid pass
+# (no corpus-scale shuffle), and the probe/scan is the existing
+# bucketed path.
+# --------------------------------------------------------------------------
+@query(
+    "eval_whiten_ann_recall",
+    survey="beyond:embedding-pca-whiten,beyond:ann-eval",
+    priority=60,
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           {_EVAL_K} AS k,
+           TRUE AS reindex_no_worse,
+           TRUE AS multiprobe_monotone
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def eval_whiten_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import (
+        as_double,
+        covariance_from_partials,
+        gram_partials,
+        nearest_centroid_buckets,
+        pca_whiten_model,
+        project_whiten,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    n, mu, cov = covariance_from_partials(
+        gram_partials(vecs).collect()  # p tiny rows - metadata-plane
+    )
+    _, _, Wm = pca_whiten_model(cov)
+
+    proj = project_whiten(vecs, mu, Wm)  # (vec_id, y)
+    stale = proj.join(emb.select("vec_id", "label"), "vec_id")
+    fresh = proj.join(
+        nearest_centroid_buckets(stale, vec_col="y"), "vec_id"
+    )
+    wq = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("y").alias("qvec")
+    )
+    exact = cosine_topk(proj, wq, k=_EVAL_K, vec_col="y").select(
+        "query_id", "vec_id"
+    )
+
+    def hits_by_query(indexed: DataFrame, nprobe: int) -> dict:
+        ivf = ivf_topk(
+            indexed,
+            wq,
+            k=_EVAL_K,
+            vec_col="y",
+            bucket_col="label",
+            nprobe=nprobe,
+        ).select("query_id", "vec_id")
+        got = {
+            r["query_id"]: r["n_hit"]
+            for r in exact.join(ivf, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .collect()  # <= N_QUERIES rows - metadata-plane
+        }
+        qids = [r["query_id"] for r in wq.select("query_id").collect()]
+        return {q: got.get(q, 0) for q in qids}
+
+    h_stale = hits_by_query(stale, 2)
+    h_re1 = hits_by_query(fresh, 1)
+    h_re2 = hits_by_query(fresh, 2)
+
+    no_worse = sum(h_re2.values()) >= sum(h_stale.values())
+    assert no_worse, (
+        f"whitened-space reindex recalled LESS than the stale raw-space "
+        f"index: {h_re2} vs {h_stale}"
+    )
+    monotone = all(h_re2[q] >= h_re1[q] for q in h_re2)
+    assert monotone, (
+        f"n_hit not monotone in nprobe: nprobe=2 {h_re2} vs nprobe=1 "
+        f"{h_re1}"
+    )
+    return wq.select(
+        "query_id",
+        F.lit(_EVAL_K).alias("k"),
+        F.lit(bool(no_worse)).alias("reindex_no_worse"),
+        F.lit(bool(monotone)).alias("multiprobe_monotone"),
+    )

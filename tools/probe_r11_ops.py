@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from relational_query_engine_sql_spark.plans import all_queries
 from relational_query_engine_sql_spark.session import get_spark
 
-NAMES = ["j18_skyline_pareto", "stats_ks_drift"]
+NAMES = sys.argv[1:] or ["j18_skyline_pareto", "stats_ks_drift"]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
