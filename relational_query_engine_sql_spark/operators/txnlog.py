@@ -59,6 +59,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import math
 import os
 import shutil
 import time
@@ -1608,6 +1609,136 @@ class TxnLogTable(ParquetTable):
 
     # -- write mechanics ----------------------------------------------------
 
+    def _driver_stat_rows(
+        self,
+        leaves: list[str],
+        schema,
+        stat_cols: list[str],
+        want_bloom: bool,
+    ) -> list[dict] | None:
+        """Per-file stats rows computed driver-side via pyarrow — the
+        small-commit fast path of :meth:`_write_files`. Returns rows
+        shaped exactly like the Spark aggregate's output ("_f" file
+        URI, "_rows", "_mn{i}"/"_mx{i}" per stat column, "_bp{j}" raw
+        16-bit bloom probe slices), or None when ineligible (files
+        above the size gate, a stat column type whose collected value
+        the pyarrow path can't reproduce bit-for-bit, or pyarrow
+        unavailable) — the caller then runs the distributed pass.
+
+        Value parity with the Spark aggregate, column type by type:
+        ints/strings/floats/dates/Decimals collect to the same Python
+        objects pyarrow's ``as_py`` yields; timestamps are normalized
+        to naive-UTC (the session timezone is pinned UTC, so Spark
+        collects naive-UTC datetimes); float NaN follows Spark's
+        ordering (NaN greatest: max is NaN when any value is NaN, min
+        ignores NaN unless all are); string comparison is code-point
+        order on both sides (UTF-8 byte order == code-point order).
+        Bloom slices reuse the md5(str(key)) form that
+        ``_bloom_positions_py`` already pins as hash-identical to the
+        executor-side ``md5(cast(key as string))`` for the
+        ``_BLOOM_KEY_TYPES`` gate that ``want_bloom`` implies."""
+        if not leaves:
+            return []
+        limit = int(
+            os.environ.get(
+                "SPARK_GRAFT_TXNLOG_DRIVER_STATS_MAX_BYTES",
+                str(32 * 1024 * 1024),
+            )
+        )
+        try:
+            if sum(os.path.getsize(f) for f in leaves) > limit:
+                return None
+        except OSError:
+            return None
+        base = {
+            f.name: f.dataType.simpleString().split("(")[0]
+            for f in schema.fields
+        }
+        if any(base.get(c) not in _STATS_COL_TYPES for c in stat_cols):
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        # ROW gate on top of the byte gate: the bloom slices cost one
+        # Python md5 per distinct key (~3 us measured at 2 probes) and
+        # min/max collection ~0.5 s per 1M values per column, so past
+        # ~100-400k rows the driver loop exceeds the ~0.5 s Spark job
+        # it replaces — and 32 MB of parquet can hold millions of int
+        # keys. Footer-only read (no data pages), so the gate is ~free.
+        try:
+            total_rows = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in leaves
+            )
+        except Exception:
+            return None
+        row_limit = int(
+            os.environ.get(
+                "SPARK_GRAFT_TXNLOG_DRIVER_STATS_MAX_ROWS",
+                str(100_000 if want_bloom else 400_000),
+            )
+        )
+        if total_rows > row_limit:
+            return None
+        import hashlib
+        from urllib.parse import quote
+
+        k0 = self.keys[0]
+        cols = list(dict.fromkeys(stat_cols + ([k0] if want_bloom else [])))
+
+        def _norm(v):
+            # tz-aware (parquet TIMESTAMP adjusted-to-UTC) -> the
+            # naive-UTC datetime Spark collects under the UTC session
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                return v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return v
+
+        rows: list[dict] = []
+        for path in leaves:
+            try:
+                tbl = pq.read_table(path, columns=cols)
+            except Exception:
+                return None  # unreadable/odd file: let Spark decide
+            if tbl.num_rows == 0:
+                continue  # the Spark aggregate emits no group either
+            row: dict = {
+                "_f": "file:" + quote(path),
+                "_rows": tbl.num_rows,
+            }
+            for i, c in enumerate(stat_cols):
+                vals = [
+                    _norm(v) for v in tbl.column(c).to_pylist()
+                    if v is not None
+                ]
+                if not vals:
+                    row[f"_mn{i}"] = None
+                    row[f"_mx{i}"] = None
+                elif base[c] in ("float", "double"):
+                    nn = [v for v in vals if not math.isnan(v)]
+                    # Spark orders NaN greatest: max is NaN when any
+                    # NaN exists; min ignores NaN unless all are NaN
+                    row[f"_mn{i}"] = min(nn) if nn else float("nan")
+                    row[f"_mx{i}"] = (
+                        float("nan") if len(nn) < len(vals) else max(nn)
+                    )
+                else:
+                    row[f"_mn{i}"] = min(vals)
+                    row[f"_mx{i}"] = max(vals)
+            if want_bloom:
+                slices: list[set] = [set() for _ in range(BLOOM_PROBES)]
+                for v in set(tbl.column(k0).to_pylist()):
+                    if v is None:
+                        continue
+                    h = hashlib.md5(str(_norm(v)).encode()).hexdigest()
+                    for j in range(BLOOM_PROBES):
+                        slices[j].add(int(h[4 * j : 4 * j + 4], 16))
+                for j in range(BLOOM_PROBES):
+                    row[f"_bp{j}"] = sorted(slices[j])
+            rows.append(row)
+        return rows
+
     def _write_files(
         self, df: DataFrame, dv: bool = False
     ) -> list[dict]:
@@ -1762,38 +1893,54 @@ class TxnLogTable(ParquetTable):
                     F.expr(f"cast(not (`{gn}` <=> ({ge})) as int)")
                 ).alias(f"_gv{gi}")
             )
-        if parted:
-            # read the explicit LEAF file list: a directory read would
-            # partition-infer the p_<col>= dirs into extra columns
-            leaves = [
-                os.path.join(dp, fn)
-                for dp, _, fns in os.walk(out_dir)
-                for fn in fns
-                if fn.endswith(".parquet")
-            ]
-            stat_src = (
-                self.spark.read.schema(schema).parquet(*leaves)
-                if leaves
-                else self.spark.createDataFrame([], schema)
-            )
-        else:
-            stat_src = self.spark.read.schema(schema).parquet(out_dir)
-        for lg, ph in cmap.items():
-            # CHECK expressions name LOGICAL columns; alias them onto
-            # the physical-named stats frame (a logical name never
-            # shadows another column's physical name — excluded at
-            # rename time)
-            if ph != lg:
-                stat_src = stat_src.withColumn(lg, F.col(ph))
-        if want_bloom:
-            stat_src = stat_src.withColumn(
-                "_md5k", F.expr(f"md5(cast(`{k0}` as string))")
-            )
+        # explicit LEAF file list (a directory read on a partitioned
+        # write would partition-infer the p_<col>= dirs into extra
+        # columns; the fast path below needs the list either way)
+        leaves = [
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(out_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        ]
+        # SMALL-COMMIT FAST PATH: when the freshly-written files are
+        # tiny (metadata-scale) and carry no CHECK/GENERATED
+        # validation, per-file stats + bloom slices are computed
+        # driver-side from the parquet files via pyarrow instead of a
+        # Spark aggregate job — same values, ~50x less wall per commit
+        # (a 1k-row commit's stats job costs ~0.6 s of pure job-launch
+        # overhead; the pyarrow read is ~5 ms). At production scale a
+        # commit blows the size gate immediately and the distributed
+        # stats pass below runs unchanged.
         stat_rows = (
-            stat_src.groupBy(F.input_file_name().alias("_f"))
-            .agg(*aggs)
-            .collect()
+            None
+            if (active or gencols)
+            else self._driver_stat_rows(leaves, schema, stat_cols, want_bloom)
         )
+        if stat_rows is None:
+            if parted:
+                stat_src = (
+                    self.spark.read.schema(schema).parquet(*leaves)
+                    if leaves
+                    else self.spark.createDataFrame([], schema)
+                )
+            else:
+                stat_src = self.spark.read.schema(schema).parquet(out_dir)
+            for lg, ph in cmap.items():
+                # CHECK expressions name LOGICAL columns; alias them
+                # onto the physical-named stats frame (a logical name
+                # never shadows another column's physical name —
+                # excluded at rename time)
+                if ph != lg:
+                    stat_src = stat_src.withColumn(lg, F.col(ph))
+            if want_bloom:
+                stat_src = stat_src.withColumn(
+                    "_md5k", F.expr(f"md5(cast(`{k0}` as string))")
+                )
+            stat_rows = (
+                stat_src.groupBy(F.input_file_name().alias("_f"))
+                .agg(*aggs)
+                .collect()
+            )
         for ci, (cn, ce) in enumerate(sorted(active.items())):
             bad = sum(r[f"_cv{ci}"] or 0 for r in stat_rows)
             if bad:
@@ -2054,6 +2201,7 @@ class TxnLogTable(ParquetTable):
         incoming_keys: DataFrame,
         version: int | None = None,
         use_bloom: bool = True,
+        bounds: dict | None = None,
     ) -> list[str]:
         """Relpaths of files live at ``version`` whose key ranges can
         contain any incoming key — the file-skipping step, now over
@@ -2071,8 +2219,11 @@ class TxnLogTable(ParquetTable):
         contents — a file holding an incoming key always probes
         positive (no false negatives), so the rewrite set still covers
         every row that must move. ``use_bloom=False`` exposes the
-        range-only behavior (probes/audits)."""
-        bounds = self._bounds(incoming_keys)
+        range-only behavior (probes/audits). ``bounds`` lets a caller
+        that already aggregated the incoming bounds share them (one
+        Spark job instead of two per keyed mutation)."""
+        if bounds is None:
+            bounds = self._bounds(incoming_keys)
         if bounds is None:
             return []
         data, _ = self._split_live(version)
@@ -2617,7 +2768,14 @@ class TxnLogTable(ParquetTable):
     def upsert(self, rows: DataFrame) -> None:
         base = self.current_version()
         incoming = self._conform(rows).dropDuplicates(self.keys)
-        affected = self._affected(incoming, base)
+        # one bounds aggregate shared by the affected-file pruning and
+        # the rebase bounds (was two identical Spark jobs per upsert)
+        bounds = self._bounds(incoming)
+        affected = (
+            self._affected(incoming, base, bounds=bounds)
+            if bounds is not None
+            else []
+        )
         if self.row_tracking_enabled(base):
             # Delta row-tracking semantics: matched rows KEEP their
             # stable id through the rewrite (inherited via one keyed
@@ -2650,12 +2808,19 @@ class TxnLogTable(ParquetTable):
             out,
             extra=self._dv_shrink_actions(incoming.select(*self.keys), base),
             expected_version=base,
-            rebase_bounds=self._bounds(incoming),
+            rebase_bounds=bounds,
         )
 
     def delete_keys(self, keys_df: DataFrame) -> None:
         base = self.current_version()
-        affected = self._affected(keys_df, base)
+        # one bounds aggregate shared by the affected-file pruning and
+        # the rebase bounds (was two identical Spark jobs per delete)
+        bounds = self._bounds(keys_df)
+        affected = (
+            self._affected(keys_df, base, bounds=bounds)
+            if bounds is not None
+            else []
+        )
         if not affected:
             return
         src = (
@@ -2669,7 +2834,7 @@ class TxnLogTable(ParquetTable):
             affected,
             out,
             expected_version=base,
-            rebase_bounds=self._bounds(keys_df),
+            rebase_bounds=bounds,
         )
 
     def delete_keys_deferred(self, keys_df: DataFrame) -> None:
