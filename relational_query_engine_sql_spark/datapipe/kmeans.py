@@ -53,6 +53,31 @@ def train_kmeans(
     ``cluster`` is the seed ordinal (0..k-1); ``dist`` the squared L2
     distance to the final centroid.
     """
+    return train_kmeans_multi(emb, k, (iters,), id_col, vec_col)[iters]
+
+
+def train_kmeans_multi(
+    emb: DataFrame,
+    k: int = 10,
+    iters: tuple[int, ...] = (5,),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, DataFrame]:
+    """Assignments after EACH requested round count, from ONE shared
+    Lloyd trajectory: ``{i: assignments-after-i-rounds for i in iters}``.
+
+    Seeding is deterministic and the update step is a fixed aggregate,
+    so the trajectory through round max(iters) is the same frames a
+    separate ``train_kmeans(iters=i)`` run would walk — the snapshots
+    are value-identical to independent runs while sharing every seed /
+    assign / update pass (an invariant probe comparing 1-round vs
+    3-round inertia pays 1 trajectory instead of 2; pinned in
+    tests/test_kmeans.py). Intermediate snapshots are localCheckpointed
+    because the following round's update re-reads them.
+    """
+    targets = sorted({int(i) for i in iters})
+    if not targets or targets[0] < 0:
+        raise ValueError(f"round counts must be >= 0: {iters}")
     v = emb.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -68,8 +93,25 @@ def train_kmeans(
 
     pos = v.select("id", F.posexplode("v")).toDF("id", "pos", "val")
 
-    for _ in range(iters):
-        assigned = _assign(v, centroids)
+    out: dict[int, DataFrame] = {}
+    # the assignment against the CURRENT centroids, when a snapshot
+    # already built it — the next round's update reuses it instead of
+    # re-running the broadcast-assign pass
+    carried: DataFrame | None = None
+
+    def snapshot(r: int) -> None:
+        nonlocal carried
+        fin = _assign(v, centroids)
+        if r < targets[-1]:
+            fin = fin.localCheckpoint(eager=True)
+            carried = fin
+        out[r] = fin.select(F.col("id").alias(id_col), "cluster", "dist")
+
+    if targets[0] == 0:
+        snapshot(0)
+    for r in range(1, targets[-1] + 1):
+        assigned = carried if carried is not None else _assign(v, centroids)
+        carried = None
         centroids = (
             assigned.select("id", "cluster")
             .join(pos, "id")
@@ -84,8 +126,9 @@ def train_kmeans(
             )
             .localCheckpoint(eager=True)
         )
-    final = _assign(v, centroids)
-    return final.select(F.col("id").alias(id_col), "cluster", "dist")
+        if r in targets:
+            snapshot(r)
+    return out
 
 
 def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -893,10 +893,52 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    # edges+outw are read every superstep: pin once
-    edges2 = edges.join(outw, "src").localCheckpoint(eager=True)
-    n_nodes = nodes.count()  # scalar of a tiny distinct — metadata-plane
+    edges2 = edges.join(outw, "src")
+    node_list = sorted(
+        r["node"] for r in nodes.collect()
+    )  # event-type vocabulary — tiny at any SF
+    n_nodes = len(node_list)
     teleport = (15 * _PRW_SCALE) // (100 * n_nodes)
+    # The HEAVY pass is the edge aggregation above (one shuffle over
+    # the full events table). The graph it produces is the event-type
+    # TRANSITION graph — node count is the categorical vocabulary and
+    # the edge table is <= vocab², i.e. metadata-plane at any data
+    # scale. Running the 10-superstep rank loop driver-side over that
+    # collected edge table (guide §1.2: the distributed loop was ~30
+    # Spark jobs of pure launch overhead routing a handful of rows) is
+    # EXACT: the fixed-point arithmetic is all-integer, so Python //
+    # reproduces Spark's DECIMAL div bit-for-bit, order-independent.
+    # A vocabulary explosion falls back to the keyed-join loop below —
+    # same arithmetic, unchanged results.
+    import os as _os
+
+    edge_cap = int(
+        _os.environ.get("SPARK_GRAFT_PAGERANK_DRIVER_MAX_EDGES", "100000")
+    )
+    erows = (
+        [
+            (r["src"], r["dst"], int(r["w"]), int(r["wout"]))
+            for r in edges2.collect()
+        ]
+        if n_nodes * n_nodes <= edge_cap
+        else None
+    )
+    if erows is not None:
+        rank = {n: _PRW_SCALE // n_nodes for n in node_list}
+        for _ in range(_PRW_ITERS):
+            s: dict[str, int] = {}
+            for src, dst, w, wout in erows:
+                s[dst] = s.get(dst, 0) + (85 * rank[src] * w) // (
+                    100 * wout
+                )
+            rank = {n: teleport + s.get(n, 0) for n in node_list}
+        out = spark.createDataFrame(
+            [(n, rank[n]) for n in node_list],
+            "node string, rank_e12 long",
+        )
+        return out.orderBy(F.desc("rank_e12"), "node")
+    # distributed superstep loop (vocabulary too large to collect)
+    edges2 = edges2.localCheckpoint(eager=True)
     ranks = nodes.select(
         "node",
         F.lit(_PRW_SCALE // n_nodes).cast("bigint").alias("r"),

@@ -681,13 +681,20 @@ def eval_numpy_jvm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def eval_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..datapipe.kmeans import train_kmeans
+    from ..datapipe.kmeans import train_kmeans_multi
     from ..sources import spread
 
     emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
     n_emb = emb.count()
-    one = train_kmeans(emb, k=10, iters=1).localCheckpoint(eager=True)
-    three = train_kmeans(emb, k=10, iters=3).localCheckpoint(eager=True)
+    # ONE shared Lloyd trajectory for both round counts (the 1-round
+    # and 3-round runs walk identical frames under the deterministic
+    # md5 seeding, so two independent trainings were pure duplicate
+    # work — guide §1.2: don't compute things twice). Snapshots are
+    # value-identical to separate train_kmeans calls (pinned in
+    # tests/test_kmeans.py::test_multi_matches_independent_runs).
+    snaps = train_kmeans_multi(emb, k=10, iters=(1, 3))
+    one = snaps[1].localCheckpoint(eager=True)
+    three = snaps[3].localCheckpoint(eager=True)
     i1 = one.agg(F.sum("dist")).first()[0]
     i3, n3, k3 = three.agg(
         F.sum("dist"), F.count(F.lit(1)), F.countDistinct("cluster")
@@ -1029,17 +1036,29 @@ def eval_whiten_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, _, Wm = pca_whiten_model(cov)
 
-    proj = project_whiten(vecs, mu, Wm)  # (vec_id, y)
-    stale = proj.join(emb.select("vec_id", "label"), "vec_id")
+    # The whitened projection is an Arrow-batched mapInPandas pass;
+    # uncached it would recompute for EVERY downstream action (three
+    # IVF probes + the exact top-k + two index builds ≈ 8 passes).
+    # Persisting the (vec_id, y) intermediate — guide §5, reuse that
+    # outweighs memory pressure; n x d doubles, corpus-scale but
+    # column-pruned — turns those into one projection pass total. Same
+    # for the two index frames and the exact top-k, each reused by
+    # every probe below. (Intermediates built inside the timed query;
+    # bench clears them between queries.)
+    proj = project_whiten(vecs, mu, Wm).persist()  # (vec_id, y)
+    stale = proj.join(emb.select("vec_id", "label"), "vec_id").persist()
     fresh = proj.join(
         nearest_centroid_buckets(stale, vec_col="y"), "vec_id"
-    )
+    ).persist()
     wq = proj.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("y").alias("qvec")
     )
-    exact = cosine_topk(proj, wq, k=_EVAL_K, vec_col="y").select(
-        "query_id", "vec_id"
+    exact = (
+        cosine_topk(proj, wq, k=_EVAL_K, vec_col="y")
+        .select("query_id", "vec_id")
+        .persist()
     )
+    qids = [r["query_id"] for r in wq.select("query_id").collect()]
 
     def hits_by_query(indexed: DataFrame, nprobe: int) -> dict:
         ivf = ivf_topk(
@@ -1057,7 +1076,6 @@ def eval_whiten_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_hit"))
             .collect()  # <= N_QUERIES rows - metadata-plane
         }
-        qids = [r["query_id"] for r in wq.select("query_id").collect()]
         return {q: got.get(q, 0) for q in qids}
 
     h_stale = hits_by_query(stale, 2)

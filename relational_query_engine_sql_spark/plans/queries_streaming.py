@@ -24,6 +24,35 @@ from .numeric import money_sum
 from .registry import query
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int | None = None):
+    """Pin shuffle partitions around a LIVE stream execution.
+
+    State-store partitioning is fixed by the FIRST run against a
+    checkpoint, so size it to the state, not the session default: the
+    stateful operators here key on dozens-to-hundreds of groups at any
+    SF, and each state partition costs a store open/commit PER
+    micro-batch (a stream-stream join runs FOUR stores per partition).
+    32 empty-ish stores were pure per-trigger latency — the r9 bench
+    flag on stream_txnlog_windowed, fixed by this pin; this helper
+    extends the same fix to every stateful live-stream row. A
+    production deployment sizes this to state-key cardinality the same
+    way ($SPARK_GRAFT_STREAM_SHUFFLE, default 8)."""
+    import os
+
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @query(
     "stream_tumbling_hourly",
     survey="streaming:tumbling",
@@ -917,19 +946,22 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import read_events_stream
 
     name = f"tumbling_live_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_aggregate(read_events_stream(spark, sf_dir), window="1 hour")
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="rqe-stream-live-"),
+    with _stream_shuffle(spark):
+        q = (
+            tumbling_aggregate(
+                read_events_stream(spark, sf_dir), window="1 hour"
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="rqe-stream-live-"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     assert q.lastProgress is not None, "stream produced no progress"
     return spark.table(name)
 
@@ -972,19 +1004,20 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import read_events_stream
 
     name = f"join_live_{uuid.uuid4().hex[:8]}"
-    q = (
-        purchase_click_attribution(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="rqe-stream-join-live-"),
+    with _stream_shuffle(spark):
+        q = (
+            purchase_click_attribution(read_events_stream(spark, sf_dir))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="rqe-stream-join-live-"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     assert q.lastProgress is not None, "stream produced no progress"
     return spark.table(name)
 
@@ -1423,19 +1456,22 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import read_events_stream, sessionized_stream
 
     name = f"session_live_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionized_stream(read_events_stream(spark, sf_dir), gap="30 minutes")
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="rqe-stream-session-"),
+    with _stream_shuffle(spark):
+        q = (
+            sessionized_stream(
+                read_events_stream(spark, sf_dir), gap="30 minutes"
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="rqe-stream-session-"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     assert q.lastProgress is not None, "stream produced no progress"
     return spark.table(name)
 
@@ -1518,23 +1554,24 @@ def stream_txnlog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parquet sink: the append-mode file sink supports checkpoint
         # recovery (the memory sink does not), and its manifest makes
         # the two runs' outputs one exactly-once result set
-        q = (
-            interval_attribution(
-                spark.readStream.format("txnlog")
-                .option("path", f"{root}/buys")
-                .load(),
-                spark.readStream.format("txnlog")
-                .option("path", f"{root}/clicks")
-                .load(),
+        with _stream_shuffle(spark):
+            q = (
+                interval_attribution(
+                    spark.readStream.format("txnlog")
+                    .option("path", f"{root}/buys")
+                    .load(),
+                    spark.readStream.format("txnlog")
+                    .option("path", f"{root}/clicks")
+                    .load(),
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", f"{root}/sink")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", f"{root}/sink")
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         return sum(p["numInputRows"] for p in q.recentProgress)
 
     run_once()  # wave 1 builds join state on both sides

@@ -5,7 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from relational_query_engine_sql_spark.datapipe.kmeans import train_kmeans
+from relational_query_engine_sql_spark.datapipe.kmeans import (
+    train_kmeans,
+    train_kmeans_multi,
+)
 from relational_query_engine_sql_spark.sources import load_table
 
 
@@ -48,6 +51,18 @@ def test_kmeans_inertia_improves_over_seed_assignment(spark):
     inertia0 = seed.agg(F.sum("dist")).collect()[0][0]
     inertia3 = trained.agg(F.sum("dist")).collect()[0][0]
     assert inertia3 < inertia0
+
+
+def test_multi_matches_independent_runs(spark):
+    """Shared-trajectory snapshots are VALUE-identical (ids, clusters
+    and float dists) to separate train_kmeans runs — the optimization
+    that lets an invariant probe pay one trajectory instead of two."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    snaps = train_kmeans_multi(emb, k=10, iters=(1, 3))
+    for i in (1, 3):
+        want = sorted(map(tuple, train_kmeans(emb, k=10, iters=i).collect()))
+        got = sorted(map(tuple, snaps[i].collect()))
+        assert got == want, f"iters={i} snapshot drifted"
 
 
 def test_kmeans_seed_determinism(spark):

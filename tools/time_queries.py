@@ -27,9 +27,12 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-warm", action="store_true")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra k=v Spark conf (repeatable)")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="time_queries")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(app_name="time_queries", extra_conf=extra or None)
     plans.get("a1_pricing_summary").fn(spark, args.sf).count()
     spark.range(64).repartition(64).mapInPandas(
         lambda it: it, "id long").count()
