@@ -37,26 +37,41 @@ def _key_hash(key: Column) -> Column:
     return F.md5(key.cast("string"))
 
 
-def cms_build(df: DataFrame, key: str) -> DataFrame:
+def cms_build(
+    df: DataFrame, key: str, weight: str | None = None
+) -> DataFrame:
     """Count-Min sketch of the frequency of ``key``: one row per
     (hash-row, bucket) cell with the total count landing there.
 
     The output is at most CMS_DEPTH × CMS_WIDTH rows regardless of
     input size — the whole sketch broadcasts.
+
+    ``weight``: when the caller already holds a per-key count table
+    (one row per distinct key + its count), pass the count column
+    here — the cell total is then SUM(weight) instead of COUNT(*),
+    an identical integer (sum of per-key counts landing in a bucket
+    = rows landing there), and the raw table is not re-scanned.
     """
     rows = F.explode(
         F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
     ).alias("i")
-    cells = df.select(_key_hash(F.col(key)).alias("h")).select(
-        "h", rows
+    cols = [_key_hash(F.col(key)).alias("h")] + (
+        [F.col(weight).alias("_w")] if weight else []
+    )
+    cells = df.select(*cols).select("*", rows)
+    agg = (
+        F.sum("_w").alias("cnt")
+        if weight
+        else F.count(F.lit(1)).alias("cnt")
     )
     return (
         cells.select(
             "i",
             F.expr("substring(h, 1 + 2*i, 2)").alias("bucket"),
+            *(["_w"] if weight else []),
         )
         .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg)
     )
 
 

@@ -36,8 +36,72 @@ state survives executor loss.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Edge-count gate for the driver-side union-find fast path. Near-dup
+# edge sets are usually tiny relative to the corpus (pairs only exist
+# where documents actually collide), but they are still data-plane:
+# at 100 TB they can be billions of rows, so the driver path is
+# GATED — above the gate the distributed loop below runs unchanged.
+# 500k edges ≈ 8 MB of long pairs, well under any driver budget.
+# Read at call time so tests (and deployments) can retune per run.
+def _driver_max_edges() -> int:
+    return int(
+        os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "500000")
+    )
+
+
+_INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list — exact min-label.
+
+    Python int comparison is identical to Spark's integral-type
+    ordering, and "minimum node id per component" has a unique answer,
+    so the result is bit-for-bit the distributed loop's fixpoint. The
+    caller gates on edge count and integral node types.
+    """
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    a_vals = pdf["a"].tolist()
+    b_vals = pdf["b"].tolist()
+    for a, b in zip(a_vals, b_vals):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # Root the larger id under the smaller: the root of every
+            # tree is then the component minimum by construction.
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    nodes = set(a_vals)
+    nodes.update(b_vals)
+    ntype = edges.schema["a"].dataType
+    # nullable=True mirrors the distributed loop's output schema
+    # (groupBy keys / least-coalesce over parquet-sourced ids are
+    # nullable); the focused test pins schema equality between paths.
+    schema = T.StructType(
+        [
+            T.StructField("node", ntype, True),
+            T.StructField("label", ntype, True),
+        ]
+    )
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def connected_components(
@@ -66,6 +130,25 @@ def connected_components(
         # reads edges, not the generator DAG.
         .localCheckpoint(eager=True)
     )
+    # Driver fast path (§1.2 step 1: remove whole Spark jobs): each
+    # loop round below costs ~2 actions of fixed job latency however
+    # small the graph, and dedup graphs at bench scale are a few
+    # hundred edges. When the (checkpointed) edge list is small and
+    # integrally typed, collect it and run union-find on the driver —
+    # exact same min-labels, zero loop jobs. The count is one cheap
+    # job over the already-materialized checkpoint; above the gate
+    # (or for non-integral node ids) the distributed loop runs as
+    # before.
+    ntype = e.schema["a"].dataType
+    gate = _driver_max_edges()
+    if (
+        gate > 0
+        and isinstance(ntype, _INTEGRAL)
+        and e.schema["b"].dataType == ntype
+        and e.count() <= gate
+    ):
+        return _driver_components(e)
+
     # Symmetrize once so one join per round propagates both directions.
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))

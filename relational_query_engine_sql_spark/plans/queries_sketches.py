@@ -48,12 +48,16 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth — the audit view of sketch quality. The sketch itself
     shuffles ≤1 024 cells however large lineitem is."""
     li = load_table(spark, sf_dir, "lineitem")
-    sketch = cms_build(li, "l_partkey")
     exact = (
         li.groupBy(F.col("l_partkey").alias("k"))
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .localCheckpoint(eager=True)  # probed by the estimate AND re-joined
     )
+    # Build the sketch FROM the per-key counts (SUM(exact_cnt) per
+    # cell == COUNT(*) of raw rows per cell, exactly): one lineitem
+    # scan for the whole query instead of two, and the explode×4
+    # fans out |distinct keys| rows, not |lineitem|.
+    sketch = cms_build(exact, "k", weight="exact_cnt")
     est = cms_estimate(exact.select("k"), sketch, "k")
     return (
         exact.join(est, "k")

@@ -41,6 +41,63 @@ def test_cc_long_chain_converges(spark):
     assert len(rows) == n + 1
 
 
+def test_cc_driver_path_matches_distributed(spark, monkeypatch):
+    """The gated driver-side union-find must be bit-identical to the
+    distributed loop — rows AND schema — and each gate setting must
+    route to the path it names (spied via _driver_components)."""
+    from relational_query_engine_sql_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        # two cliques, a chain bridging into one of them, a self-loop,
+        # an isolated pair, and duplicate/reversed edges
+        [(5, 9), (9, 5), (5, 7), (7, 9), (1, 2), (2, 3), (3, 5),
+         (20, 21), (30, 30), (40, 41), (41, 42), (40, 42)],
+        "src long, dst long",
+    )
+    calls = []
+    real = graph._driver_components
+    monkeypatch.setattr(
+        graph,
+        "_driver_components",
+        lambda e: calls.append(1) or real(e),
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "0")
+    dist = graph.connected_components(edges)
+    dist_rows = sorted((r["node"], r["label"]) for r in dist.collect())
+    assert calls == []  # gate 0 → distributed loop
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "500000")
+    drv = graph.connected_components(edges)
+    drv_rows = sorted((r["node"], r["label"]) for r in drv.collect())
+    assert calls == [1]  # small integral edge list → driver path
+
+    assert drv_rows == dist_rows
+    assert drv.schema == dist.schema
+
+
+def test_cc_driver_gate_falls_back_when_exceeded(spark, monkeypatch):
+    from relational_query_engine_sql_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    calls = []
+    real = graph._driver_components
+    monkeypatch.setattr(
+        graph,
+        "_driver_components",
+        lambda e: calls.append(1) or real(e),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "2")
+    got = {
+        (r["node"], r["label"])
+        for r in graph.connected_components(edges).collect()
+    }
+    assert calls == []  # 3 edges > gate 2 → distributed
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 # -- banded range join ------------------------------------------------------
 
 

@@ -59,6 +59,22 @@ def test_cms_sketch_is_mergeable(spark, sf_small):
     assert diff == 0
 
 
+def test_cms_weighted_build_equals_raw_build(spark, sf_small):
+    """Building the sketch from a per-key count table (weight path,
+    used by sketch_cms_heavy_hitters to avoid a second raw scan) must
+    produce cell-for-cell the same sketch as the raw-row build."""
+    li = load_table(spark, sf_small, "lineitem")
+    raw = cms_build(li, "l_partkey")
+    counts = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    weighted = cms_build(counts, "k", weight="c")
+    diff = (
+        weighted.exceptAll(raw).count() + raw.exceptAll(weighted).count()
+    )
+    assert diff == 0
+
+
 def test_kmv_estimate_accuracy(spark, sf_small):
     li = load_table(spark, sf_small, "lineitem")
     truth = li.select("l_partkey").distinct().count()
