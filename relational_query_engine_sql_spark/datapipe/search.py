@@ -60,20 +60,55 @@ def bm25_topk(
     that match at least one query term.
     """
     toks = tokens_long(docs, id_col, text_col)
-    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    # ONE aggregate computes document length AND the per-query-term
+    # counts together (the measured plan of the dl/tf/df/stats chain
+    # held FOUR independent tokenize subtrees — scan+explode per
+    # branch; guide §1.2: don't re-derive what one pass can carry).
+    # The result is one row per document — metadata-plane at any
+    # corpus size — so the lineage cut that lets stats and the term
+    # unpivot share it is cheap everywhere.
+    per_doc = (
+        toks.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.count(F.when(F.col("term") == t, F.lit(1))).alias(
+                    f"_tf_{i}"
+                )
+                for i, t in enumerate(query_terms)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
+    # Unpivot the per-term counts back to the (doc, term, tf) posting
+    # shape the scorer uses; tf > 0 keeps exactly the pairs the old
+    # filter-then-count produced.
     tf = (
-        toks.filter(F.col("term").isin(query_terms))
-        .groupBy("doc", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(
+            "doc",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(query_terms)
+                    ]
+                )
+            ).alias("kv"),
+        )
+        .select("doc", "dl", "kv.term", "kv.tf")
+        .filter(F.col("tf") > 0)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc",
@@ -172,7 +207,16 @@ def tfidf_topk_terms(
     difference between engines' ln() cannot reorder the top-k.
     """
     toks = tokens_long(docs, id_col, text_col).filter(F.col("term") != "")
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregate and the scorer; column pruning
+    # gives the two branches different scan schemas, so ReusedExchange
+    # never fires and the corpus tokenized TWICE (measured: 4 explode
+    # subtrees in the plan). Materializing the postings once is the
+    # inverted-index build every search system persists anyway.
+    tf = (
+        toks.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -483,7 +527,15 @@ def hashed_chunk_retrieval(
             F.split(F.lower(F.trim(F.col("chunk_text"))), r"\s+")
         ).alias("term"),
     )
-    cvec = hashed_tf_sparse(toks, [id_col, "chunk_id"])
+    # cvec feeds the norm aggregate AND the dot-product join; the two
+    # branches prune different columns, so without a lineage cut the
+    # whole chunk→tokenize→hash subtree runs twice (measured: 12
+    # explode subtrees in the plan). One materialization of the sparse
+    # index — (chunk, bucket, w), bounded by chunks × HASH_DIM — is
+    # the index build a retrieval system persists anyway.
+    cvec = hashed_tf_sparse(toks, [id_col, "chunk_id"]).localCheckpoint(
+        eager=True
+    )
     spark = docs.sparkSession
     qtoks = spark.range(1).select(
         F.explode(
