@@ -55,6 +55,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources import load_table, spread
 from .registry import query
@@ -62,6 +63,41 @@ from .registry import query
 # --------------------------------------------------------------------------
 # Recursive hierarchy: iterative frontier loop vs WITH RECURSIVE.
 # --------------------------------------------------------------------------
+
+
+def _driver_hierarchy_depths(spark: SparkSession, sup: DataFrame) -> DataFrame:
+    """BFS over the collected (s_suppkey, parent) pairs — the exact
+    integer twin of the distributed frontier loop: seeds are the
+    s_suppkey = 0 rows, children are s_suppkey > 0 rows keyed by their
+    parent value, and a node whose parent chain passes through a
+    missing intermediate is orphaned by both paths. Caller gates on
+    row count."""
+    children: dict[int, list[int]] = {}
+    seed: list[int] = []
+    for r in sup.collect():
+        k = r["s_suppkey"]
+        if k == 0:
+            seed.append(k)
+        elif k > 0:
+            children.setdefault(r["parent"], []).append(k)
+    out_rows: list[tuple[int, int]] = [(k, 0) for k in seed]
+    frontier_keys = seed
+    depth = 0
+    while frontier_keys:
+        depth += 1
+        frontier_keys = [
+            c for k in frontier_keys for c in children.get(k, ())
+        ]
+        out_rows.extend((c, depth) for c in frontier_keys)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "s_suppkey", sup.schema["s_suppkey"].dataType, True
+            ),
+            T.StructField("depth", T.IntegerType(), True),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
 
 
 @query(
@@ -95,6 +131,25 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.floor(F.col("s_suppkey") / 2).cast("long").alias("parent"),
     )
+    # Driver fast path (§1.2 step 1, same gate pattern as
+    # operators/graph.py connected_components and graph_pagerank):
+    # the distributed frontier loop costs 2 Spark jobs per level —
+    # measured 35 jobs total at sf0.1 for a ~2k-row derived tree,
+    # i.e. pure job-launch latency. The node table is (key, parent)
+    # long pairs; when it is small enough to collect, run the exact
+    # same BFS driver-side — all-integer, so the depths are
+    # bit-identical and level membership is the same data-driven
+    # reachability (missing intermediate nodes still orphan their
+    # subtree). Above the gate the keyed-join loop below runs
+    # unchanged, so a genuinely large hierarchy keeps the scale path.
+    import os as _os
+
+    cap = int(
+        _os.environ.get("SPARK_GRAFT_HIERARCHY_DRIVER_MAX_ROWS", "250000")
+    )
+    n_rows = sup.count()  # metadata-only parquet count, one cheap job
+    if n_rows <= cap:
+        return _driver_hierarchy_depths(spark, sup)
     frontier = sup.filter(F.col("s_suppkey") == 0).select(
         "s_suppkey", F.lit(0).alias("depth")
     )
@@ -477,6 +532,46 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # edges read 5x: pin them once
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     n = deg.count()
+    # Driver fast path (§1.2 step 1, same gate as graph_pagerank /
+    # connected_components): the graph is a derived key-mod graph —
+    # ≤ _TRI_NODES² edges at any data scale — and the distributed loop
+    # costs ~3 Spark jobs per iteration of pure launch latency. The
+    # per-edge arithmetic (r/d division, damp·sum + teleport) is the
+    # same IEEE double ops driver-side; summation order is arbitrary
+    # in BOTH engines already (hash-aggregate partial order vs
+    # DuckDB's recursive CTE order) and the query rounds to 6 dp
+    # before emitting, which is what makes the cross-engine hash
+    # stable — the driver loop sums in sorted edge order, one more
+    # arbitrary-but-fixed order under the same rounding. The final
+    # rounding stays IN SPARK (F.round is HALF_UP; Python round is
+    # not). Above the gate the keyed-join loop runs unchanged.
+    import os as _os
+
+    edge_cap = int(
+        _os.environ.get("SPARK_GRAFT_PAGERANK_DRIVER_MAX_EDGES", "100000")
+    )
+    if n * n <= edge_cap:
+        erows = sorted(
+            (r["a"], r["b"], r["d"])
+            for r in sym.join(deg, "a").collect()
+        )
+        rank = {a: 1.0 / n for a, _, _ in erows}
+        teleport = (1 - _PR_DAMP) / n
+        for _ in range(_PR_ITERS):
+            s: dict = {}
+            for a, b, d in erows:
+                if a in rank:
+                    s[b] = s.get(b, 0.0) + rank[a] / d
+            rank = {b: teleport + _PR_DAMP * v for b, v in s.items()}
+        atype = sym.schema["a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", atype, True),
+                T.StructField("r", T.DoubleType(), True),
+            ]
+        )
+        out = spark.createDataFrame(sorted(rank.items()), schema)
+        return out.select("node", F.round("r", 6).alias("rank"))
     ranks = deg.select("a", F.lit(1.0 / n).alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (

@@ -29,6 +29,62 @@ def test_recursive_hierarchy_depth_closed_form(spark, sf_small):
         assert r["depth"] == want, (k, r["depth"], want)
 
 
+def test_hierarchy_driver_path_matches_distributed(spark, sf_small, monkeypatch):
+    """The gated driver-side BFS must match the distributed frontier
+    loop bit-for-bit (all-integer depths), with the spy asserting each
+    gate setting routes to the path it names."""
+    from relational_query_engine_sql_spark.plans import queries_advanced as qa
+
+    calls = []
+    real = qa._driver_hierarchy_depths
+    monkeypatch.setattr(
+        qa,
+        "_driver_hierarchy_depths",
+        lambda s, d: calls.append(1) or real(s, d),
+    )
+    fn = plans.get("sql_recursive_hierarchy").fn
+
+    monkeypatch.setenv("SPARK_GRAFT_HIERARCHY_DRIVER_MAX_ROWS", "0")
+    dist = fn(spark, sf_small)
+    dist_rows = sorted(
+        (r["s_suppkey"], r["depth"]) for r in dist.collect()
+    )
+    assert calls == []  # gate 0 → distributed loop
+
+    monkeypatch.setenv("SPARK_GRAFT_HIERARCHY_DRIVER_MAX_ROWS", "250000")
+    drv = fn(spark, sf_small)
+    drv_rows = sorted((r["s_suppkey"], r["depth"]) for r in drv.collect())
+    assert calls == [1]  # small table → driver BFS
+
+    assert drv_rows == dist_rows
+    assert [(f.name, f.dataType) for f in drv.schema] == [
+        (f.name, f.dataType) for f in dist.schema
+    ]
+
+
+def test_pagerank_fixed_driver_path_matches_distributed(
+    spark, sf_small, monkeypatch
+):
+    """The gated driver-side float loop must reproduce the distributed
+    keyed-join loop's ROUNDED ranks (the query's observable — both
+    paths sum in an arbitrary-but-fixed order under 6 dp rounding,
+    exactly the property the cross-engine oracle already relies on)."""
+    fn = plans.get("graph_pagerank_fixed").fn
+
+    monkeypatch.setenv("SPARK_GRAFT_PAGERANK_DRIVER_MAX_EDGES", "0")
+    dist = fn(spark, sf_small)
+    dist_rows = sorted((r["node"], r["rank"]) for r in dist.collect())
+
+    monkeypatch.setenv("SPARK_GRAFT_PAGERANK_DRIVER_MAX_EDGES", "100000")
+    drv = fn(spark, sf_small)
+    drv_rows = sorted((r["node"], r["rank"]) for r in drv.collect())
+
+    assert drv_rows == dist_rows
+    assert [(f.name, f.dataType) for f in drv.schema] == [
+        (f.name, f.dataType) for f in dist.schema
+    ]
+
+
 def test_triangle_count_matches_local_enumeration(spark, sf_small):
     """Pin the oriented-wedge join against a driver-side brute force
     over the same (small) derived edge set."""
