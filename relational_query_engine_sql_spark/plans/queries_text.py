@@ -1433,7 +1433,14 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.pipeline import clean_corpus
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    surv = clean_corpus(docs).join(
+    # surv feeds BOTH the chunk counter and the final rollup; without
+    # a lineage cut the whole clean_corpus subtree (quality regexes,
+    # language vote, md5 dedup groupBy) runs twice. Pin only the tiny
+    # (doc_id, n_tokens) gate verdict — the survivor TEXT re-joins
+    # from the parquet scan per branch (a cheap columnar read; a
+    # measured text-carrying checkpoint cost more than the second
+    # scan it saved).
+    surv = clean_corpus(docs).localCheckpoint(eager=True).join(
         docs.select("doc_id", "text", "lang"), "doc_id"
     )
     n_chunks = (

@@ -930,20 +930,42 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread BEFORE the ×B replicate explode — the single-file local
     # scan would otherwise hash 5M weight rows on one core
     ev = spread(load_table(spark, sf_dir, "events"), spark)
-    reps = ev.select("event_id", "value").crossJoin(
-        F.broadcast(
-            spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
-        )
-    )
-    h = F.md5(
+    # The replicate hash depends only on ⌊b/8⌋, so hashing after a ×B
+    # explode computed each md5 EIGHT times (guide §1.2: per-task work
+    # after the shape is right). Explode by hash GROUP instead — one
+    # md5 per (event, group) — then fan each group out to its 8
+    # replicate ids; h, slice4, u and w are byte-identical.
+    groups = _BOOT_B // 8 + (1 if _BOOT_B % 8 else 0)
+    h_of_g = F.md5(
         F.concat(
             F.lit("boot|"),
             F.col("event_id").cast("string"),
             F.lit("|"),
-            F.floor(F.col("b") / 8).cast("long").cast("string"),
+            F.col("g").cast("long").cast("string"),
         )
     )
-    slice4 = F.substring(h, (F.col("b") % 8) * 4 + 1, 4)
+    reps = (
+        ev.select("event_id", "value")
+        .crossJoin(
+            F.broadcast(
+                spark.range(groups).select(
+                    F.col("id").cast("int").alias("g")
+                )
+            )
+        )
+        .select("value", "g", h_of_g.alias("h"))
+        .select(
+            "value",
+            "h",
+            F.explode(
+                F.sequence(
+                    F.col("g") * 8,
+                    F.least(F.col("g") * 8 + 7, F.lit(_BOOT_B - 1)),
+                )
+            ).alias("b"),
+        )
+    )
+    slice4 = F.substring(F.col("h"), (F.col("b") % 8) * 4 + 1, 4)
     u = (F.conv(slice4, 16, 10).cast("double") + 0.5) / 65536.0
     w = F.lit(8)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
