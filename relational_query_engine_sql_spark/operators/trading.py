@@ -142,7 +142,11 @@ def apply_trades(
         "_min_sell",
         F.coalesce("_h_sh", F.lit(0)).alias("_h_sh"),
         F.coalesce("_h_avg", F.lit(0.0)).alias("_h_avg"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ pos feeds the closed-form branch AND the stateful-key probe; it
+    # is one row per POSITION (not per trade), so the cut is metadata-
+    # scale and saves re-running the trade aggregate + full-outer join
+    # per branch.
     # NULL-safe qualification: positions with no sells (or no buys)
     # trivially have no BUY-after-SELL interleaving.
     interleaved = (
@@ -168,6 +172,14 @@ def apply_trades(
         F.lit(0).alias("rejected"),
     )
     bad_keys = pos.filter(stateful).select("portfolioid", "symbol")
+    # Typical batches (sorted imports, end-of-day files) have ZERO
+    # stateful positions; the probe is one cheap scan of the
+    # checkpointed position table, and skipping the fold removes the
+    # whole Arrow/applyInPandas subtree (and its extra holdings+trades
+    # scans) from the executed plan (guide §4: eliminate the Python
+    # boundary when built-ins cover the case).
+    if bad_keys.isEmpty():
+        return closed
     folded = _apply_trades_fold(
         holdings.join(bad_keys, ["portfolioid", "symbol"], "left_semi"),
         trades.join(bad_keys, ["portfolioid", "symbol"], "left_semi"),

@@ -889,7 +889,12 @@ def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import interval_overlap_join
     from ..streaming.events import sessionize_batch
 
-    sess = sessionize_batch(load_table(spark, sf_dir, "events"))
+    # sess feeds BOTH sides of the banded self-join; without a cut the
+    # sessionize windows (lag + running sum + group) run twice. The
+    # session table is one row per session — tiny relative to events.
+    sess = sessionize_batch(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint(eager=True)
     a = sess.select(
         F.col("user_id").alias("u1"),
         F.col("session_id").alias("s1"),
