@@ -11,7 +11,7 @@ the only wide stage — sees only survivors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized
@@ -51,7 +51,14 @@ def clean_corpus(
     hashed = voted.select(
         F.col(id_col), "n_tokens", F.md5(normalized(text_col)).alias("h")
     )
-    keepers = hashed.groupBy("h").agg(F.min(id_col).alias(id_col))
-    return hashed.join(keepers, [id_col, "h"], "left_semi").select(
-        id_col, "n_tokens"
+    # min-id-per-hash as a window over ONE shuffle keyed by h: the old
+    # groupBy + left-semi join evaluated the whole gated subtree
+    # (quality regexes, language vote, md5) twice — once per join
+    # side. Same survivor set (a row survives iff its id is the
+    # group minimum), one pass, no join.
+    keep_w = Window.partitionBy("h")
+    return (
+        hashed.withColumn("_min_id", F.min(id_col).over(keep_w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .select(id_col, "n_tokens")
     )
