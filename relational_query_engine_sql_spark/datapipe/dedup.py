@@ -79,6 +79,54 @@ def shingles(
     )
 
 
+def bucket_pairs(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str = "id",
+    d1: str = "d1",
+    d2: str = "d2",
+) -> DataFrame:
+    """All (d1 < d2) id pairs per key bucket via ONE exchange.
+
+    The classic formulation self-joins the bucket table on the key,
+    which shuffles the same rows twice (the two sides project the id
+    under different names, so their exchanges are not identical and
+    ReusedExchange never fires) and still needs a third exchange for
+    any downstream per-pair aggregate. One groupBy(key) + sorted
+    collect_list + in-array pair explode emits the IDENTICAL pair
+    multiset from a single exchange of the bucket table (§2.3/§2.4):
+    per bucket the sorted id array [x1 < x2 < ... < xm] expands to the
+    m(m-1)/2 pairs (xi, xj), i < j — exactly the join's d1 < d2 output.
+
+    Requires ids to be unique within a bucket (true for distinct
+    (id, shingle) rows and for one-row-per-(doc, band) band keys) —
+    a duplicated id would emit a d1 = d2 pair the join would drop.
+    Skew note: a bucket of m ids emits m(m-1)/2 pairs either way — the
+    self-join also lands a hot key in a single task; callers cap
+    degenerate buckets (max_shingle_df / max_bucket_size) as before.
+    """
+    ids = F.sort_array(F.collect_list(id_col))
+    g = (
+        rows.groupBy(*keys)
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            # elements strictly after position i (slice is 1-based and
+            # truncates at the end, so size(_ids) is a safe length)
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias(d1), y.alias(d2)),
+            ),
+        )
+    )
+    return g.select(F.explode(pairs).alias("_p")).select(
+        f"_p.{d1}", f"_p.{d2}"
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame,
     threshold: float,
@@ -122,23 +170,32 @@ def jaccard_pairs(
     if counts is None:
         counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
-    a = sh.select(F.col("id").alias("d1"), "sh")
-    b = sh.select(F.col("id").alias("d2"), "sh")
     if candidates is not None:
         # LSH path: restrict BOTH shingle sides to docs that appear in a
         # candidate pair before the self-join — the intersection is only
         # computed for the (tiny) candidate set, never all-pairs. This is
         # what keeps verification sub-quadratic at scale.
-        a = a.join(candidates.select("d1").distinct(), "d1", "left_semi")
-        b = b.join(candidates.select("d2").distinct(), "d2", "left_semi")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    if candidates is not None:
-        common = common.join(candidates, ["d1", "d2"], "left_semi")
+        a = sh.select(F.col("id").alias("d1"), "sh").join(
+            candidates.select("d1").distinct(), "d1", "left_semi"
+        )
+        b = sh.select(F.col("id").alias("d2"), "sh").join(
+            candidates.select("d2").distinct(), "d2", "left_semi"
+        )
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .join(candidates, ["d1", "d2"], "left_semi")
+        )
+    else:
+        # Exact path: per-shingle in-array pair explode — one exchange
+        # of the shingle table instead of the self-join's two (§2.3).
+        common = (
+            bucket_pairs(sh, ["sh"], "id")
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
 
     n1 = counts.select(F.col("id").alias("d1"), F.col("n").alias("n1"))
     n2 = counts.select(F.col("id").alias("d2"), F.col("n").alias("n2"))
@@ -242,14 +299,10 @@ def lsh_candidates(
             .select("band", "key")
         )
         all_bands = all_bands.join(ok, ["band", "key"], "left_semi")
-    a = all_bands.select(F.col("id").alias("d1"), "band", "key")
-    b_ = all_bands.select(F.col("id").alias("d2"), "band", "key")
-    return (
-        a.join(b_, ["band", "key"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
+    # Per-bucket in-array pair explode — one exchange of the band-key
+    # table instead of the self-join's two (§2.3); the bucket-size cap
+    # above still bounds the per-bucket m(m-1)/2 expansion.
+    return bucket_pairs(all_bands, ["band", "key"], "id").distinct()
 
 
 def minhash_lsh_dedup(
@@ -350,15 +403,14 @@ def containment_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     would come from LSH exactly as the Jaccard path does.
     Output: (d1, d2, containment) with containment >= threshold.
     """
-    # sh feeds counts + both self-join sides — same lineage cut as the
-    # exact jaccard path
+    # sh feeds counts + the pair-explode branch — same lineage cut as
+    # the exact jaccard path
     sh = sh.localCheckpoint(eager=True)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("d1"), "sh")
-    b = sh.select(F.col("id").alias("d2"), "sh")
+    # per-shingle in-array pair explode — one exchange, not a two-sided
+    # self-join shuffle (§2.3); see bucket_pairs
     common = (
-        a.join(b, "sh")
-        .filter(F.col("d1") < F.col("d2"))
+        bucket_pairs(sh, ["sh"], "id")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -417,6 +417,16 @@ def _snapshot(table: ParquetTable, df: DataFrame, scratch_root: str) -> DataFram
     return table.spark.read.schema(df.schema).parquet(path)
 
 
+def _subtree_paths(spec: CascadeSpec) -> list[str]:
+    """Every table path reachable from a cascade spec (for the sibling
+    disjointness check below)."""
+    out: list[str] = []
+    for child, _fk_maps, grandchildren in spec:
+        out.append(child.path)
+        out.extend(_subtree_paths(grandchildren))
+    return out
+
+
 def cascade_delete_keys(
     table: ParquetTable,
     keys_df: DataFrame,
@@ -425,11 +435,22 @@ def cascade_delete_keys(
 ) -> None:
     """Delete ``table`` rows matching ``keys_df`` (on table.keys),
     depth-first cascading into ``children`` before touching this level
-    so every child computes its doomed set against pre-delete data."""
+    so every child computes its doomed set against pre-delete data.
+
+    Sibling subtrees touch disjoint tables in the common case (one FK
+    tree), so they are processed CONCURRENTLY (guide §2.6): each
+    sibling's snapshot + rewrite are independent Spark jobs whose wall
+    is mostly job-launch/commit latency at bench scale, and on a
+    cluster the overlap back-fills executors idled by each sibling's
+    task tail. If any table path appears in two sibling subtrees the
+    loop falls back to the original serial order (a shared table's
+    pre-delete read would otherwise race a sibling's rewrite)."""
     own_scratch = _scratch_root is None
     scratch = _scratch_root or tempfile.mkdtemp(prefix="rqe-cascade-")
     try:
-        for child, fk_maps, grandchildren in children:
+
+        def one_child(spec) -> None:
+            child, fk_maps, grandchildren = spec
             doomed_child = None
             for m in fk_maps:
                 probe = keys_df.select(
@@ -449,6 +470,21 @@ def cascade_delete_keys(
                 grandchildren,
                 _scratch_root=scratch,
             )
+
+        sib_paths = [_subtree_paths([c]) for c in children]
+        flat = [p for ps in sib_paths for p in ps]
+        disjoint = len(flat) == len(set(flat))
+        if len(children) > 1 and disjoint:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(4, len(children))
+            ) as pool:
+                # list() propagates the first exception, like the loop
+                list(pool.map(one_child, children))
+        else:
+            for spec in children:
+                one_child(spec)
         table.delete_keys(keys_df)
     finally:
         if own_scratch:

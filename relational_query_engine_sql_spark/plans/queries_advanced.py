@@ -755,13 +755,16 @@ def reco_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # consumed by n/support/both join sides
     )
+    from ..datapipe.dedup import bucket_pairs
+
     n = li.agg(F.countDistinct("o").alias("n_orders"))
     support = li.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    a = li.select("o", F.col("p").alias("p1"))
-    b = li.select("o", F.col("p").alias("p2"))
+    # per-order in-array pair explode — one exchange of the basket
+    # table instead of the self-join's two-sided shuffle (§2.3); the
+    # per-bucket fan-out stays bounded by basket size² exactly as the
+    # join's was (p is unique per order after the distinct above)
     pairs = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
+        bucket_pairs(li, ["o"], "p", d1="p1", d2="p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _RECO_MIN_SUPPORT)
