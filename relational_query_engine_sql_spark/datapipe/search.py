@@ -59,6 +59,13 @@ def bm25_topk(
     Output: (doc_id, score, rnk) for the k best-scoring documents
     that match at least one query term.
     """
+    # Dedupe at entry (input-order stable): the per-term unpivot below
+    # emits one (doc, term, tf) row per LIST OCCURRENCE, so a repeated
+    # query term would double its df and sum its score contribution
+    # twice, where a groupBy(doc, term) formulation (and the SQL
+    # IN-list oracle) is duplicate-insensitive. Registered call sites
+    # already pass distinct terms; this pins the library contract.
+    query_terms = list(dict.fromkeys(query_terms))
     toks = tokens_long(docs, id_col, text_col)
     # ONE aggregate computes document length AND the per-query-term
     # counts together (the measured plan of the dl/tf/df/stats chain

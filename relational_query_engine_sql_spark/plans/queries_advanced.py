@@ -50,6 +50,7 @@ detection, histograms, and LLM context packing.
 
 from __future__ import annotations
 
+import os as _os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,8 +143,6 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reachability (missing intermediate nodes still orphan their
     # subtree). Above the gate the keyed-join loop below runs
     # unchanged, so a genuinely large hierarchy keeps the scale path.
-    import os as _os
-
     cap = int(
         _os.environ.get("SPARK_GRAFT_HIERARCHY_DRIVER_MAX_ROWS", "250000")
     )
@@ -545,8 +544,6 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arbitrary-but-fixed order under the same rounding. The final
     # rounding stays IN SPARK (F.round is HALF_UP; Python round is
     # not). Above the gate the keyed-join loop runs unchanged.
-    import os as _os
-
     edge_cap = int(
         _os.environ.get("SPARK_GRAFT_PAGERANK_DRIVER_MAX_EDGES", "100000")
     )
@@ -1008,8 +1005,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reproduces Spark's DECIMAL div bit-for-bit, order-independent.
     # A vocabulary explosion falls back to the keyed-join loop below —
     # same arithmetic, unchanged results.
-    import os as _os
-
     edge_cap = int(
         _os.environ.get("SPARK_GRAFT_PAGERANK_DRIVER_MAX_EDGES", "100000")
     )

@@ -685,7 +685,6 @@ def eval_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import spread
 
     emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    n_emb = emb.count()
     # ONE shared Lloyd trajectory for both round counts (the 1-round
     # and 3-round runs walk identical frames under the deterministic
     # md5 seeding, so two independent trainings were pure duplicate
@@ -693,12 +692,27 @@ def eval_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value-identical to separate train_kmeans calls (pinned in
     # tests/test_kmeans.py::test_multi_matches_independent_runs).
     snaps = train_kmeans_multi(emb, k=10, iters=(1, 3))
-    one = snaps[1].localCheckpoint(eager=True)
-    three = snaps[3].localCheckpoint(eager=True)
-    i1 = one.agg(F.sum("dist")).first()[0]
-    i3, n3, k3 = three.agg(
-        F.sum("dist"), F.count(F.lit(1)), F.countDistinct("cluster")
-    ).first()
+    # snaps[1] is already checkpointed INSIDE the trainer (it carries
+    # into round 2), and snaps[3] feeds exactly one aggregate — a
+    # second checkpoint of either was a redundant full-copy job each.
+    # The three terminal actions are independent: overlap them (§2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_n = pool.submit(emb.count)
+        f_i1 = pool.submit(snaps[1].agg(F.sum("dist")).first)
+        f_i3 = pool.submit(
+            snaps[3]
+            .agg(
+                F.sum("dist"),
+                F.count(F.lit(1)),
+                F.countDistinct("cluster"),
+            )
+            .first
+        )
+        n_emb = f_n.result()
+        i1 = f_i1.result()[0]
+        i3, n3, k3 = f_i3.result()
     return spark.createDataFrame(
         [
             (
@@ -1078,9 +1092,24 @@ def eval_whiten_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         return {q: got.get(q, 0) for q in qids}
 
-    h_stale = hits_by_query(stale, 2)
-    h_re1 = hits_by_query(fresh, 1)
-    h_re2 = hits_by_query(fresh, 2)
+    # The three probes are independent reads of the persisted frames
+    # (each ends in its own <= N_QUERIES-row collect), so overlap them
+    # (guide §2.6): actions are only sequential because driver code
+    # calls them sequentially, and each probe's task tail otherwise
+    # leaves the executors idle. Concurrent first-touch of a lazily
+    # persisted frame is safe — the block manager computes each cached
+    # partition once and blocks the other thread on the block lock.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_stale = pool.submit(hits_by_query, stale, 2)
+        f_re1 = pool.submit(hits_by_query, fresh, 1)
+        f_re2 = pool.submit(hits_by_query, fresh, 2)
+        h_stale, h_re1, h_re2 = (
+            f_stale.result(),
+            f_re1.result(),
+            f_re2.result(),
+        )
 
     no_worse = sum(h_re2.values()) >= sum(h_stale.values())
     assert no_worse, (
