@@ -1657,25 +1657,36 @@ def stream_txnlog_rate_limit(
     t.init(wave1)
 
     batch_rows: list[int] = []
+
+    def sink_batch(df, _b):
+        # persist: the sink write and the row count would otherwise
+        # each re-read the micro-batch from the source (§5 — reuse
+        # beats recompute for a frame consumed exactly twice)
+        df.persist()
+        df.write.mode("append").parquet(f"{root}/sink")
+        batch_rows.append(df.count())
+        df.unpersist()
+
     q = (
         spark.readStream.format("txnlog")
         .option("path", f"{root}/t")
         .option("maxFilesPerTrigger", "2")
         .load()
-        .writeStream.foreachBatch(
-            lambda df, b: (
-                df.write.mode("append").parquet(f"{root}/sink"),
-                batch_rows.append(df.count()),
-            )
-        )
+        .writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", f"{root}/ckpt")
+        # NOTE (r12): a 1 s trigger was A/B'd and is SLOWER (13.0 vs
+        # 10.0 s min-of-3) — the drain then starts mid-append and takes
+        # 4 one-file batches instead of 2 two-file batches, and batch
+        # cost dominates the gap. The 2 s gap stays.
         .trigger(processingTime="2 seconds")
         .start()
     )
     q.processAllAvailable()  # catch-up (unbounded by design)
     n_catchup = len(batch_rows)
-    for c in chunks:  # four 1-file commits across the trigger gaps
-        if c.take(1):
+    for rows, c in zip(chunk_rows, chunks):
+        # four 1-file commits across the trigger gaps (chunk_rows
+        # already counted each chunk — no extra emptiness probe job)
+        if rows:
             t.append(c)
     n_files = sum(1 for n in chunk_rows if n)
     q.processAllAvailable()
