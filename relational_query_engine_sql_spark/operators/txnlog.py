@@ -2188,7 +2188,11 @@ class TxnLogTable(ParquetTable):
         for i, k in enumerate(cols):
             aggs.append(F.min(k).alias(f"_lo{i}"))
             aggs.append(F.max(k).alias(f"_hi{i}"))
-        row = incoming_keys.agg(*aggs).first()
+        # collect()[0], not first(): the aggregate yields exactly one
+        # row, and executeTake's incremental partition scan launches a
+        # second Spark job whenever the first partition probe comes up
+        # empty (measured: 2 jobs per keyed mutation's bounds probe)
+        row = incoming_keys.agg(*aggs).collect()[0]
         if all(row[f"_lo{i}"] is None for i in range(len(cols))):
             return None
         return {
@@ -2246,7 +2250,7 @@ class TxnLogTable(ParquetTable):
                 .collect()
             )
             if len(sample) <= BLOOM_AFFECTED_LIMIT:
-                vals = [r[k0] for r in sample]
+                vals = [r[0] for r in sample]
                 resolved = {
                     p: self._resolve_bloom(p, data[p].get("bloom"))
                     for p in cands
@@ -2767,12 +2771,17 @@ class TxnLogTable(ParquetTable):
 
     def upsert(self, rows: DataFrame) -> None:
         base = self.current_version()
-        incoming = self._conform(rows).dropDuplicates(self.keys)
+        conformed = self._conform(rows)
+        incoming = conformed.dropDuplicates(self.keys)
         # one bounds aggregate shared by the affected-file pruning and
-        # the rebase bounds (was two identical Spark jobs per upsert)
-        bounds = self._bounds(incoming)
+        # the rebase bounds (was two identical Spark jobs per upsert).
+        # Probe the PRE-dedup frame: duplicates change neither min/max
+        # nor the distinct key sample, and skipping the dropDuplicates
+        # wrapper keeps both probe plans a single narrow stage (no
+        # keyed dedup shuffle inside a metadata-sized aggregate).
+        bounds = self._bounds(conformed)
         affected = (
-            self._affected(incoming, base, bounds=bounds)
+            self._affected(conformed, base, bounds=bounds)
             if bounds is not None
             else []
         )
