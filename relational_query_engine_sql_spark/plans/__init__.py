@@ -784,6 +784,83 @@ assert not _unknown_r11, f"ROUND11 names not registered: {_unknown_r11}"
 assert len(ROUND11_PREFIX) == 50, len(ROUND11_PREFIX)
 assert len(set(ROUND11_PREFIX)) == 50
 
+# Round-12 prefix: RISK-FIRST, per the round-11 verdict (item 2) — the
+# pre-staged low-risk r4 remainder is demoted and the window is re-cut
+# onto the queries whose code actually changed in rounds 11-12, so the
+# driver's oracle re-checks the changed code, not the safest rows:
+#   - the 22 round-11-touched rows the r11 window missed (u2/j17/
+#     search/bootstrap/corpus/er/CC-gate consumers/pagerank/stream
+#     pins/txnlog stats-gate reps, as listed in VERDICT.md item 2);
+#   - every round-12-touched row (bucket-pair dedup family, cascade
+#     concurrency, eval probe overlap, txnlog probe trims, rate-limit
+#     batch trims, bm25 entry dedupe, env-gate hoist);
+#   - the flagship canary;
+#   - 10 of the 15 staged r4 rows (ROUND12_STALE_STAGED) in the
+#     remaining slots. The 5 deferred (ext_histogram_buckets,
+#     ext_mode_deterministic, feat_winsorize, sample_per_group_k,
+#     split_stratified_exact) are pure-SQL single-aggregate surfaces
+#     untouched since r4 and the lowest-risk rows in the registry.
+ROUND12_PREFIX = [
+    # -- r11-touched, never driver-checked on the changed code (22) --
+    "u2_apply_trades",
+    "j17_interval_overlap",
+    "search_bm25_topk",
+    "search_tfidf_terms",
+    "search_hybrid_rrf",
+    "rag_chunk_retrieval",
+    "stats_bootstrap_ci",
+    "corpus_clean_pipeline",
+    "pipeline_training_manifest",
+    "er_resolve_entities",
+    "er_survivorship",
+    "dedup_cluster_components",
+    "split_leakage_safe",
+    "eval_kmeans_invariants",
+    "graph_pagerank",
+    "stream_join_live",
+    "stream_session_live",
+    "stream_tumbling_live",
+    "s32_txnlog_compact_small",
+    "s38_txnlog_row_tracking",
+    "s40_txnlog_dv_purge",
+    "mv_txnlog_cdf_refresh",
+    # -- r12-touched (17; some overlap r11's set above) --
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_ngram_containment",
+    "dedup_semantic_clusters",
+    "eval_dedup_recall",
+    "dedup_incremental_ingest",
+    "reco_copurchase_lift",
+    "s7_cascade_delete",
+    "eval_whiten_ann_recall",
+    "stream_txnlog_rate_limit",
+    "maintenance_txnlog_history",
+    "s13_txnlog_merge_mixed",
+    "s17_txnlog_merge_on_read",
+    "s11_merge_mixed",
+    "sql_recursive_hierarchy",
+    "graph_pagerank_fixed",
+    "stream_txnlog_join",
+    # -- flagship/canary --
+    "a1_pricing_summary",
+    # -- staged r4 remainder (10 of 15) --
+    "a9_contribution_share",
+    "ev_retention_cohorts",
+    "w7_ewma_value",
+    "batch_by_length",
+    "dq_fk_orphans",
+    "dq_freshness_lag",
+    "ext_cume_nth",
+    "ext_date_parts",
+    "ext_exists_flag",
+    "ext_filtered_agg",
+]
+_unknown_r12 = [n for n in ROUND12_PREFIX if n not in all_queries()]
+assert not _unknown_r12, f"ROUND12 names not registered: {_unknown_r12}"
+assert len(ROUND12_PREFIX) == 50, len(ROUND12_PREFIX)
+assert len(set(ROUND12_PREFIX)) == 50
+
 # Rotation self-advance: judged round N ⇒ current round is N+1.
 _ROTATIONS = {
     3: ROUND3_PREFIX,
@@ -795,8 +872,9 @@ _ROTATIONS = {
     9: ROUND9_PREFIX,
     10: ROUND10_PREFIX,
     11: ROUND11_PREFIX,
+    12: ROUND12_PREFIX,
 }
 _current = _judged_round() + 1
-set_rotation(_ROTATIONS.get(min(_current, 11), ROUND11_PREFIX))
+set_rotation(_ROTATIONS.get(min(_current, 12), ROUND12_PREFIX))
 
 __all__ = ["all_oracles", "all_queries", "get", "query", "set_rotation"]
