@@ -58,15 +58,17 @@ def _driver_max_edges() -> int:
 _INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
 
-def _driver_components(edges: DataFrame) -> DataFrame:
+def _driver_components(edges: DataFrame, pdf=None) -> DataFrame:
     """Union-find over a collected edge list — exact min-label.
 
     Python int comparison is identical to Spark's integral-type
     ordering, and "minimum node id per component" has a unique answer,
     so the result is bit-for-bit the distributed loop's fixpoint. The
-    caller gates on edge count and integral node types.
+    caller gates on edge count and integral node types (and may pass
+    the already-collected pandas edge list).
     """
-    pdf = edges.toPandas()
+    if pdf is None:
+        pdf = edges.toPandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -135,19 +137,21 @@ def connected_components(
     # small the graph, and dedup graphs at bench scale are a few
     # hundred edges. When the (checkpointed) edge list is small and
     # integrally typed, collect it and run union-find on the driver —
-    # exact same min-labels, zero loop jobs. The count is one cheap
-    # job over the already-materialized checkpoint; above the gate
-    # (or for non-integral node ids) the distributed loop runs as
-    # before.
+    # exact same min-labels, zero loop jobs. ONE limit(gate+1) collect
+    # over the already-materialized checkpoint both decides the gate
+    # and delivers the edges (was a count job + a separate toPandas);
+    # above the gate the wasted transfer is bounded at gate+1 rows and
+    # the distributed loop runs as before (also for non-integral ids).
     ntype = e.schema["a"].dataType
     gate = _driver_max_edges()
     if (
         gate > 0
         and isinstance(ntype, _INTEGRAL)
         and e.schema["b"].dataType == ntype
-        and e.count() <= gate
     ):
-        return _driver_components(e)
+        pdf = e.limit(gate + 1).toPandas()
+        if len(pdf) <= gate:
+            return _driver_components(e, pdf=pdf)
 
     # Symmetrize once so one join per round propagates both directions.
     sym = e.unionByName(

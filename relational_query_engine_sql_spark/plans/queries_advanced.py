@@ -66,16 +66,18 @@ from .registry import query
 # --------------------------------------------------------------------------
 
 
-def _driver_hierarchy_depths(spark: SparkSession, sup: DataFrame) -> DataFrame:
+def _driver_hierarchy_depths(
+    spark: SparkSession, sup: DataFrame, rows=None
+) -> DataFrame:
     """BFS over the collected (s_suppkey, parent) pairs — the exact
     integer twin of the distributed frontier loop: seeds are the
     s_suppkey = 0 rows, children are s_suppkey > 0 rows keyed by their
     parent value, and a node whose parent chain passes through a
     missing intermediate is orphaned by both paths. Caller gates on
-    row count."""
+    row count (and may pass the already-collected rows)."""
     children: dict[int, list[int]] = {}
     seed: list[int] = []
-    for r in sup.collect():
+    for r in rows if rows is not None else sup.collect():
         k = r["s_suppkey"]
         if k == 0:
             seed.append(k)
@@ -146,9 +148,13 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = int(
         _os.environ.get("SPARK_GRAFT_HIERARCHY_DRIVER_MAX_ROWS", "250000")
     )
-    n_rows = sup.count()  # metadata-only parquet count, one cheap job
-    if n_rows <= cap:
-        return _driver_hierarchy_depths(spark, sup)
+    if cap > 0:
+        # ONE limit(cap+1) collect both decides the gate and delivers
+        # the node table (was a count job + a separate collect); above
+        # the gate the wasted transfer is bounded at cap+1 rows.
+        rows = sup.limit(cap + 1).collect()
+        if len(rows) <= cap:
+            return _driver_hierarchy_depths(spark, sup, rows=rows)
     frontier = sup.filter(F.col("s_suppkey") == 0).select(
         "s_suppkey", F.lit(0).alias("depth")
     )

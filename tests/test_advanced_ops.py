@@ -40,7 +40,7 @@ def test_hierarchy_driver_path_matches_distributed(spark, sf_small, monkeypatch)
     monkeypatch.setattr(
         qa,
         "_driver_hierarchy_depths",
-        lambda s, d: calls.append(1) or real(s, d),
+        lambda s, d, rows=None: calls.append(1) or real(s, d, rows=rows),
     )
     fn = plans.get("sql_recursive_hierarchy").fn
 

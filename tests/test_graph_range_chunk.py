@@ -59,7 +59,7 @@ def test_cc_driver_path_matches_distributed(spark, monkeypatch):
     monkeypatch.setattr(
         graph,
         "_driver_components",
-        lambda e: calls.append(1) or real(e),
+        lambda e, pdf=None: calls.append(1) or real(e, pdf=pdf),
     )
 
     monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "0")
@@ -87,7 +87,7 @@ def test_cc_driver_gate_falls_back_when_exceeded(spark, monkeypatch):
     monkeypatch.setattr(
         graph,
         "_driver_components",
-        lambda e: calls.append(1) or real(e),
+        lambda e, pdf=None: calls.append(1) or real(e, pdf=pdf),
     )
     monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "2")
     got = {
