@@ -1346,6 +1346,15 @@ def _bpe_rounds(
     wwin = W.partitionBy("w").orderBy("pos")
     merges = []
     for r in rounds:
+        # Pin the round's input state: it feeds BOTH the pair-frequency
+        # argmax (via the broadcast best-pair subplan) and the merge
+        # application below, and each round nests the previous round's
+        # full plan — uncut, round 3's tree re-evaluates round 1's
+        # state 4x (§1.2 / §3 "materialise an intermediate to truncate
+        # the plan"). The state is vocabulary-sized (one row per word
+        # symbol), metadata-plane at any corpus scale — the corpus-
+        # scale shuffle (groupBy(word)) happens once, before round 1.
+        syms = syms.localCheckpoint(eager=True)
         with_next = syms.withColumn("nxt", F.lead("sym").over(wwin))
         pair_freq = (
             with_next.filter(F.col("nxt").isNotNull())
