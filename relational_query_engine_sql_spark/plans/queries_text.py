@@ -1312,18 +1312,30 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature(sh).localCheckpoint(eager=True)
     # cand is consumed 3x (found's semi-join + its own count + found's
     # count path) and true_pairs 2x — materialize both pair lists so
-    # the banding and verification joins run once each
-    cand = lsh_candidates(sig).localCheckpoint(eager=True)
-    true_pairs = (
-        jaccard_pairs(
-            sh,
-            JACCARD_THRESHOLD,
-            counts=sig.select("id", "n"),
-            materialize=False,  # sh is checkpointed above
+    # the banding and verification joins run once each. The two
+    # materializations read only the checkpointed sh/sig frames and
+    # are independent of each other, so overlap them (§2.6): each is a
+    # task-tail-bound job that otherwise leaves the executors idle.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cand():
+        return lsh_candidates(sig).localCheckpoint(eager=True)
+
+    def _truth():
+        return (
+            jaccard_pairs(
+                sh,
+                JACCARD_THRESHOLD,
+                counts=sig.select("id", "n"),
+                materialize=False,  # sh is checkpointed above
+            )
+            .select("d1", "d2")
+            .localCheckpoint(eager=True)
         )
-        .select("d1", "d2")
-        .localCheckpoint(eager=True)
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cand, f_truth = pool.submit(_cand), pool.submit(_truth)
+        cand, true_pairs = f_cand.result(), f_truth.result()
     found = true_pairs.join(cand, ["d1", "d2"], "left_semi")
     counts3 = (
         true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
@@ -1556,8 +1568,18 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree as the bulk of this query's 11.8s. The batch side is
     # 1/20th the size; checkpointing it costs nothing and saves its
     # own double evaluation.
-    sh_old = shingles(docs).localCheckpoint(eager=True)
-    sh_new = shingles(batch).localCheckpoint(eager=True)
+    # corpus-side and batch-side shingle materializations are
+    # independent — overlap them (§2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(
+            lambda: shingles(docs).localCheckpoint(eager=True)
+        )
+        f_new = pool.submit(
+            lambda: shingles(batch).localCheckpoint(eager=True)
+        )
+        sh_old, sh_new = f_old.result(), f_new.result()
     sig_old = minhash_signature(sh_old).localCheckpoint(eager=True)
     sig_new = minhash_signature(sh_new)
     cand = lsh_candidates_between(sig_new, sig_old)
