@@ -325,7 +325,13 @@ def minhash_lsh_dedup(
     ~half the query's cost (same rule as operators/graph.py:62)."""
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     sig = minhash_signature(sh, n_hashes).localCheckpoint(eager=True)
-    cand = lsh_candidates(sig, n_hashes, bands, max_bucket_size)
+    # cand feeds THREE consumers in the verification join (both
+    # per-side semi-join prunes + the final pair semi-join) — uncut,
+    # the banding subtree runs three times; the pair list is the
+    # smallest frame in the pipeline, so the cut is cheap at any scale
+    cand = lsh_candidates(
+        sig, n_hashes, bands, max_bucket_size
+    ).localCheckpoint(eager=True)
     return jaccard_pairs(
         sh, threshold, candidates=cand, counts=sig.select("id", "n")
     )

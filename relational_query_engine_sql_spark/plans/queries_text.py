@@ -341,7 +341,9 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # datapipe.dedup.minhash_lsh_dedup and operators/graph.py:62)
     sh = shingles(docs).localCheckpoint(eager=True)
     sig = minhash_signature(sh).localCheckpoint(eager=True)
-    cand = lsh_candidates(sig)
+    # cand feeds three verification consumers (same cut rationale as
+    # datapipe.dedup.minhash_lsh_dedup) — pin the tiny pair list
+    cand = lsh_candidates(sig).localCheckpoint(eager=True)
     pairs = jaccard_pairs(
         sh, JACCARD_THRESHOLD, candidates=cand, counts=sig.select("id", "n")
     )
@@ -1582,7 +1584,9 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh_old, sh_new = f_old.result(), f_new.result()
     sig_old = minhash_signature(sh_old).localCheckpoint(eager=True)
     sig_new = minhash_signature(sh_new)
-    cand = lsh_candidates_between(sig_new, sig_old)
+    cand = lsh_candidates_between(sig_new, sig_old).localCheckpoint(
+        eager=True
+    )  # three verification consumers, tiny pair list
     sh_all = sh_old.unionByName(sh_new)
     counts = sig_old.select("id", "n").unionByName(
         sig_new.select("id", "n")
