@@ -219,6 +219,12 @@ def tfidf_topk_terms(
     # never fires and the corpus tokenized TWICE (measured: 4 explode
     # subtrees in the plan). Materializing the postings once is the
     # inverted-index build every search system persists anyway.
+    # Trade-offs of the eager localCheckpoint (not free): plan-build
+    # becomes an action, the postings (O(distinct doc-term pairs), far
+    # smaller than the token stream but corpus-scale) land in executor
+    # storage, and they are NOT recomputable on executor loss — a
+    # deployment that cannot afford either swaps this for a persisted
+    # index table (write + read back) at the same cut point.
     tf = (
         toks.groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

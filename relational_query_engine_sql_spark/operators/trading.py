@@ -100,6 +100,12 @@ def apply_trades(
     batch imports and end-of-day files are sorted). The fold and the
     closed form are pinned equal on qualifying batches in
     tests/test_mutation.py.
+
+    NOTE: with ``route=True`` this call is EAGER — the position table
+    is localCheckpointed and the stateful-key probe runs Spark jobs at
+    call time (that is what lets an all-closed-form batch skip
+    planning the Python fold subtree entirely). Callers composing
+    plans without executing them should pass ``route=False``.
     """
     if not route:
         return _apply_trades_fold(holdings, trades)
