@@ -103,7 +103,15 @@ def _driver_components(edges: DataFrame, pdf=None) -> DataFrame:
         ]
     )
     rows = [(n, find(n)) for n in sorted(nodes)]
-    return edges.sparkSession.createDataFrame(rows, schema)
+    # Broadcast hint: the collected result re-enters the plan as a
+    # Scan ExistingRDD with unknown stats, so downstream label joins
+    # (docs LEFT JOIN labels in every dedup/ER consumer) planned as
+    # SortMergeJoin and shuffled the CORPUS side to meet a frame the
+    # gate bounds at <= 2·gate nodes (~16 MB of long pairs at the
+    # default). The hint turns those into BroadcastHashJoin — zero
+    # corpus-side exchange (§3.1); the distributed path's result stays
+    # unhinted because its size is unbounded.
+    return F.broadcast(edges.sparkSession.createDataFrame(rows, schema))
 
 
 def connected_components(
